@@ -1,0 +1,207 @@
+"""Query catalog — the named, oracle-checked pipelines exposed via
+``__ray_entry__.queries()`` / ``oracle_sql()``.
+
+Each entry is a callable ``sf_dir -> Dataset | DataFrame`` whose result the
+driver compares against the DuckDB SQL in ``ORACLE`` (generated from the same
+compiled plans where possible — see ``oracle.sqlgen``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import pyarrow as pa
+import ray.data
+
+from knowledgegraphs_ray.dedup.exact import dedup_exact
+from knowledgegraphs_ray.extract.containment import containment_check
+from knowledgegraphs_ray.oracle import sqlgen
+from knowledgegraphs_ray.pipelines.relational import extract_kg
+from knowledgegraphs_ray.pipelines.transcripts import (
+    extract_transcript_triples,
+    transcripts_from_events,
+)
+from knowledgegraphs_ray.rules.compiler import compile_rules
+from knowledgegraphs_ray.schema.model import tpch_schema
+from knowledgegraphs_ray.sim.ann import brute_force_topk
+from knowledgegraphs_ray.text import analysis as ta
+
+STAR_TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+
+
+def _docs(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# --- Ray-side queries -------------------------------------------------------
+
+
+def q_kg_triples_customer(sf_dir: str):
+    return extract_kg(sf_dir, ["customer"])
+
+
+def q_kg_triples_orders(sf_dir: str):
+    return extract_kg(sf_dir, ["orders"])
+
+
+def q_kg_triples_star(sf_dir: str):
+    return extract_kg(sf_dir, STAR_TABLES)
+
+
+def q_kg_attr_classes_customer(sf_dir: str):
+    return extract_kg(sf_dir, ["customer"], attrs_to_classes=True)
+
+
+def q_kg_transcripts(sf_dir: str):
+    return extract_transcript_triples(transcripts_from_events(sf_dir))
+
+
+def q_fk_containment(sf_dir: str):
+    res = containment_check(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+        "o_custkey",
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
+        "c_custkey",
+    )
+    return pa.table(
+        {
+            "n_src_rows": [res["n_src_rows"]],
+            "n_dangling": [res["n_dangling"]],
+            "contained": [res["contained"]],
+        }
+    )
+
+
+def q_dedup_exact_documents(sf_dir: str):
+    return dedup_exact(_docs(sf_dir, ["doc_id", "text"]), column="text", id_column="doc_id")
+
+
+def q_text_token_stats(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ta.token_stats, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "n_tokens", "n_chars_actual"])
+    )
+
+
+def q_text_quality(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ta.quality_stats, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "punct_ratio", "stop_ratio"])
+    )
+
+
+def q_lang_id(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ta.lang_scores, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id"] + [f"score_{l}" for l in ta.LANG_MARKERS] + ["lang_pred"])
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, query_ids=[0, 1, 2], k=10)
+
+
+def q_doc_fingerprints(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(ta.fingerprint, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "fingerprint"])
+    )
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "kg_triples_customer": q_kg_triples_customer,
+        "kg_triples_orders": q_kg_triples_orders,
+        "kg_triples_star": q_kg_triples_star,
+        "kg_attr_classes_customer": q_kg_attr_classes_customer,
+        "kg_transcripts": q_kg_transcripts,
+        "fk_containment": q_fk_containment,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "ann_topk": q_ann_topk,
+        "doc_fingerprints": q_doc_fingerprints,
+    }
+
+
+# --- DuckDB oracle twins ----------------------------------------------------
+
+
+def _plan_sql(tables: list[str], **kw) -> str:
+    g = tpch_schema(tables)
+    rules = compile_rules(g, **kw)
+    return sqlgen.kg_sql(rules, g, tables)
+
+
+# DuckDB single-quoted strings keep backslashes literal — pass regexes as-is.
+_STOP_RE_SQL = ta.STOP_RE
+_TOKEN_RE_SQL = ta.TOKEN_RE
+
+
+def oracle_sql() -> dict[str, str]:
+    lang_score_cols = ",\n  ".join(
+        "len(regexp_extract_all(lower(text), '\\b("
+        + "|".join(m)
+        + ")\\b')) AS score_"
+        + l
+        for l, m in ta.LANG_MARKERS.items()
+    )
+    lang_pred = (
+        "CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'und' "
+        "WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en' "
+        "WHEN score_de >= score_es AND score_de >= score_fr THEN 'de' "
+        "WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END"
+    )
+    return {
+        "kg_triples_customer": _plan_sql(["customer"]),
+        "kg_triples_orders": _plan_sql(["orders"]),
+        "kg_triples_star": _plan_sql(STAR_TABLES),
+        "kg_attr_classes_customer": _plan_sql(["customer"], attrs_to_classes=True),
+        "kg_transcripts": sqlgen.transcript_triples_sql(),
+        "fk_containment": (
+            "SELECT count(*) AS n_src_rows, "
+            "CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dangling, "
+            "coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) = 0 AS contained "
+            "FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "dedup_exact_documents": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS n_copies, text "
+            "FROM documents GROUP BY text"
+        ),
+        "text_token_stats": (
+            f"SELECT doc_id, len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_tokens, "
+            "length(text) AS n_chars_actual FROM documents"
+        ),
+        "text_quality": (
+            "SELECT doc_id, "
+            "CASE WHEN length(text) > 0 THEN "
+            "  len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio, "
+            f"CASE WHEN len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) > 0 THEN "
+            f"  len(regexp_extract_all(lower(text), '{_STOP_RE_SQL}')) "
+            f"  / CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS DOUBLE) ELSE 0.0 END AS stop_ratio "
+            "FROM documents"
+        ),
+        "lang_id": (
+            "SELECT doc_id, score_en, score_de, score_es, score_fr, "
+            + lang_pred
+            + " AS lang_pred FROM (SELECT doc_id,\n  "
+            + lang_score_cols
+            + " FROM documents)"
+        ),
+        "ann_topk": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2)), "
+            "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "  list_cosine_similarity(q.qe, e.embedding) AS score FROM q CROSS JOIN embeddings e) "
+            "SELECT query_id, neighbor_id, "
+            "  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank "
+            "FROM scored QUALIFY rank <= 10"
+        ),
+        # doc_fingerprints: engine-defined rolling hash — no SQL twin (rows-only check)
+    }

@@ -1,0 +1,201 @@
+"""Transcript -> knowledge-graph pipeline (the flagship, per BASELINE.json).
+
+Input shape (input_hint): Parquet table of multi-turn conversation / agent
+transcripts ``(conv_id:string, turn_idx:int32, role:string, text:string,
+tool:string, ts:timestamp)``.
+
+Stages (SURVEY.md §7.1):
+
+1. ``ordered_transcripts`` — groupby(conv_id) + in-group sort by turn_idx:
+   the stable-ordering shuffle the north_rule requires before any
+   text-sensitive kernel (reference analogue: natural file order the Java
+   pipeline implicitly relies on; here made explicit, T8).
+2. ``TranscriptTripleKernel`` — vectorized map_batches emitting the
+   conversation/turn ontology triples (rule-compiled shape: Conversation /
+   Turn classes, p_turn_conversation link, has_*_VALUE data props — naming
+   per util/Annotations.java:41-78). **No shuffle**: conversation-level
+   triples are emitted from the ``turn_idx == 0`` row of each conversation
+   (every conversation has one), so the kernel never needs cross-row state.
+3. Downstream: mention extraction / linking / canonicalization
+   (``linking``, ``canon`` packages) and edge sinks (``sinks``).
+
+At 10^12-turn scale the only all-to-all exchange in this module is the
+optional ordering shuffle of stage 1; triple emission itself is map-only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from knowledgegraphs_ray.extract.kernel import TRIPLE_SCHEMA, _const, _valid_mask
+
+KG = "kg:"
+
+# deterministic event_type -> role mapping used when deriving transcripts
+# from the testdata ``events`` stream (same CASE expression in oracle SQL)
+EVENT_ROLE = {
+    "signup": "system",
+    "login": "user",
+    "click": "user",
+    "view": "user",
+    "purchase": "assistant",
+    "error": "tool",
+}
+
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+
+def transcripts_from_events(sf_dir: str) -> ray.data.Dataset:
+    """Derive a deterministic transcript table from the ``events`` table.
+
+    conv_id = 'conv' + zero-padded user_id; turn_idx = rank of (ts, event_id)
+    within the conversation; role = EVENT_ROLE[event_type]; text = props;
+    tool = event_type. The groupby(user_id) + in-group sort is exactly the
+    per-conversation ordering shuffle of the flagship pipeline.
+    """
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+    def to_turns(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        uid = int(g["user_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "conv_id": f"conv{uid:08d}",
+                "turn_idx": np.arange(len(g), dtype=np.int32),
+                "role": g["event_type"].map(EVENT_ROLE).fillna("user").to_numpy(),
+                "text": g["props"].to_numpy(),
+                "tool": g["event_type"].to_numpy(),
+                "ts": g["ts"].to_numpy(),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(to_turns, batch_format="pandas")
+
+
+def ordered_transcripts(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Stable per-conversation turn order (north_rule T8): groupby(conv_id) +
+    in-group sort by turn_idx — cheaper than a global sort because order only
+    needs to hold within a conversation."""
+
+    def sort_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("turn_idx", kind="mergesort")
+
+    return ds.groupby("conv_id").map_groups(sort_group, batch_format="pandas")
+
+
+class TranscriptTripleKernel:
+    """Arrow batch of turns -> (subj, pred, obj) triples. Pure / map-only.
+
+    conv IRI = kg:conversation/<conv_id>; turn IRI = <conv IRI>/t<turn_idx>.
+    Conversation-level triples ride on the turn_idx==0 row.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return TRIPLE_SCHEMA.empty_table()
+        conv = pc.binary_join_element_wise(
+            pa.scalar(KG + "conversation/"), batch["conv_id"].combine_chunks(), ""
+        )
+        turn_idx = pc.cast(batch["turn_idx"], pa.string()).combine_chunks()
+        turn = pc.binary_join_element_wise(conv, pa.scalar("/t"), turn_idx, "")
+        out: list[pa.Table] = []
+
+        def emit(s, pred, o, mask=None):
+            t = pa.table(
+                {"subj": s, "pred": _const(pred, len(s)), "obj": o},
+                schema=TRIPLE_SCHEMA,
+            )
+            if mask is not None:
+                t = t.filter(mask)
+            out.append(t)
+
+        first = pc.equal(batch["turn_idx"].combine_chunks(), pa.scalar(0, pa.int32()))
+        emit(conv, "rdf:type", _const(KG + "Conversation", n), first)
+        emit(turn, "rdf:type", _const(KG + "Turn", n))
+        emit(turn, KG + "p_turn_conversation", conv)
+        for col, dtype in (("role", "varchar"), ("text", "varchar"), ("tool", "varchar")):
+            arr = batch[col].combine_chunks()
+            emit(turn, KG + f"has_{col}_VALUE", arr, _valid_mask(arr, dtype))
+        ts = pc.strftime(
+            batch["ts"].combine_chunks().cast(pa.timestamp("s"), safe=False),
+            format="%Y-%m-%d %H:%M:%S",
+        )
+        emit(turn, KG + "has_ts_VALUE", ts, pc.is_valid(ts))
+        return pa.concat_tables(out)
+
+
+def extract_transcript_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
+    return ds.map_batches(
+        TranscriptTripleKernel(), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthetic transcripts (FIXTURES.md F1) — distributed generator
+
+
+_ROLES = np.array(["user", "assistant", "system", "tool"])
+_TOOLS = np.array(["search", "code", "db", ""])  # "" -> null
+_VOCAB = np.array(
+    "the customer order part supplier nation region account balance ship "
+    "query filter join merge sort scan batch stream window value data "
+    "none null - acct mgr qty amt".split()
+)
+
+
+def synth_transcripts(
+    n_convs: int = 50, *, seed: int = 42, parallelism: int = 4
+) -> ray.data.Dataset:
+    """Deterministic synthetic transcript table (FIXTURES.md F1): Zipf-skewed
+    conversation lengths, hot low-cardinality roles, template text embedding
+    entity mentions / abbreviations / null sentinels, turn rows shuffled
+    within each generated block so per-conv ordering is actually exercised.
+
+    Generated distributed (``range -> map_batches``), one RNG per conversation
+    seeded by (seed, conv_id) ⇒ identical output at any parallelism.
+    """
+
+    def gen(batch: dict[str, np.ndarray]) -> pd.DataFrame:
+        rows = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+        for cid in batch["id"]:
+            rng = np.random.default_rng(seed * 1_000_003 + int(cid))
+            n_turns = int(min(200, max(1, rng.zipf(1.6))))
+            idx = np.arange(n_turns, dtype=np.int32)
+            roles = _ROLES[rng.integers(0, len(_ROLES), n_turns)]
+            tools = _TOOLS[rng.integers(0, len(_TOOLS), n_turns)]
+            words = _VOCAB[rng.integers(0, len(_VOCAB), (n_turns, 8))]
+            texts = np.array([" ".join(w) for w in words])
+            # exact duplicates: every 7th turn repeats the first turn's text
+            if n_turns > 7:
+                texts[::7] = texts[0]
+            perm = rng.permutation(n_turns)  # shuffled row order within conv
+            rows["conv_id"].append(np.repeat(f"conv{int(cid):08d}", n_turns)[perm])
+            rows["turn_idx"].append(idx[perm])
+            rows["role"].append(roles[perm])
+            rows["text"].append(texts[perm])
+            rows["tool"].append(np.where(tools == "", None, tools)[perm])
+            ts = base + np.timedelta64(1, "h") * int(cid) + np.timedelta64(1, "m") * idx
+            rows["ts"].append(ts[perm])
+        return pd.DataFrame({k: np.concatenate(v) for k, v in rows.items()}).astype(
+            {"turn_idx": "int32"}
+        )
+
+    return (
+        ray.data.range(n_convs, override_num_blocks=parallelism)
+        .map_batches(gen, batch_format="numpy")
+    )

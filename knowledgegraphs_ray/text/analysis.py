@@ -1,0 +1,124 @@
+"""Text analysis kernels for training-data pipelines over the documents table.
+
+All pure pyarrow.compute (RE2) — the same regex semantics DuckDB uses, so the
+oracle SQL can mirror each kernel expression exactly. These are the text
+normalization/quality analogues of the reference's annotation processing
+(utils/text_utils.py:31-93, util/Ontology.java:377-384) widened into the
+standard large-corpus operators: token counting, quality scoring,
+language-ID heuristic, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+TOKEN_RE = r"[A-Za-z0-9_]+"
+PUNCT_RE = r"[.,;:!?]"
+STOPWORDS = ("the", "and", "of", "a", "to", "in", "is")
+STOP_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+# tiny marker-word lists per language for the n-gram/stopword language-ID
+# heuristic (deterministic, model-free)
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "de": ("der", "die", "und", "ist"),
+    "es": ("el", "la", "los", "es"),
+    "fr": ("le", "la", "les", "est"),
+}
+
+
+def token_stats(batch: pa.Table, *, column: str = "text") -> pa.Table:
+    """n_tokens (\\w+ matches), n_chars, avg token length."""
+    text = batch[column].combine_chunks()
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE)
+    n_chars = pc.utf8_length(text)
+    return batch.append_column("n_tokens", pc.cast(n_tokens, pa.int64())).append_column(
+        "n_chars_actual", pc.cast(n_chars, pa.int64())
+    )
+
+
+def quality_stats(batch: pa.Table, *, column: str = "text") -> pa.Table:
+    """Quality-scoring ratios: punctuation density + stopword ratio.
+
+    punct_ratio = punct chars / chars; stop_ratio = stopword tokens / tokens.
+    """
+    text = batch[column].combine_chunks()
+    n_tokens = pc.cast(pc.count_substring_regex(text, TOKEN_RE), pa.float64())
+    n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.float64())
+    n_stop = pc.cast(
+        pc.count_substring_regex(pc.utf8_lower(text), STOP_RE), pa.float64()
+    )
+    punct_ratio = pc.if_else(
+        pc.greater(n_chars, 0.0), pc.divide(n_punct, n_chars), pa.scalar(0.0)
+    )
+    stop_ratio = pc.if_else(
+        pc.greater(n_tokens, 0.0), pc.divide(n_stop, n_tokens), pa.scalar(0.0)
+    )
+    return batch.append_column("punct_ratio", punct_ratio).append_column(
+        "stop_ratio", stop_ratio
+    )
+
+
+def lang_scores(batch: pa.Table, *, column: str = "text") -> pa.Table:
+    """Marker-word hit counts per language + argmax prediction (ties -> first
+    language in LANG_MARKERS order; all-zero -> 'und')."""
+    text = pc.utf8_lower(batch[column].combine_chunks())
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(markers) + r")\b"
+        scores[lang] = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+    mat = np.stack([scores[l].to_numpy(zero_copy_only=False) for l in LANG_MARKERS])
+    best = np.argmax(mat, axis=0)  # first max wins — dict order
+    langs = np.array(list(LANG_MARKERS))
+    pred = np.where(mat.max(axis=0) > 0, langs[best], "und")
+    out = batch
+    for lang in LANG_MARKERS:
+        out = out.append_column(f"score_{lang}", scores[lang])
+    return out.append_column("lang_pred", pa.array(pred, type=pa.string()))
+
+
+_ROLL_BASE = np.uint64(1099511628211)
+
+
+def rolling_hashes(arr: pa.Array) -> np.ndarray:
+    """Vectorized 64-bit polynomial rolling hash per string:
+    h(doc) = Σ byte[i] * BASE^(len-1-i)  (mod 2^64), computed over the whole
+    Arrow UTF-8 buffer at once with np.multiply + reduceat — no Python loop."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    buf = arr.buffers()[2]
+    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
+    data = np.frombuffer(buf, dtype=np.uint8) if buf else np.empty(0, np.uint8)
+    lens = np.diff(offsets).astype(np.int64)
+    max_len = int(lens.max()) if n else 0
+    # powers[k] = BASE^k mod 2^64 (uint64 wrap-around is the modulus)
+    powers = np.empty(max(max_len, 1), dtype=np.uint64)
+    powers[0] = 1
+    with np.errstate(over="ignore"):  # uint64 wrap-around IS the modulus
+        for k in range(1, max_len):  # O(max_len), not O(bytes)
+            powers[k] = powers[k - 1] * _ROLL_BASE
+    # exponent of each byte = (doc_end - 1 - global_position)
+    pos = np.arange(offsets[0], offsets[-1], dtype=np.int64)
+    ends = np.repeat(offsets[1:].astype(np.int64), lens)
+    exps = ends - 1 - pos
+    weighted = data[offsets[0] : offsets[-1]].astype(np.uint64) * powers[exps]
+    starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+    if len(weighted):
+        starts = np.minimum(starts, len(weighted) - 1)  # reduceat needs idx < len
+        sums = np.add.reduceat(weighted, starts)
+    else:
+        sums = np.zeros(n, np.uint64)
+    sums = np.where(lens == 0, np.uint64(0), sums)  # reduceat quirk on empty spans
+    return sums.astype(np.uint64)
+
+
+def fingerprint(batch: pa.Table, *, column: str = "text") -> pa.Table:
+    """64-bit rolling-hash document fingerprint (vectorized, deterministic)."""
+    fp = rolling_hashes(batch[column].combine_chunks())
+    return batch.append_column("fingerprint", pa.array(fp, type=pa.uint64()))

@@ -1,0 +1,88 @@
+"""Tests for dedup / text-analysis / similarity / containment operators."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from knowledgegraphs_ray.dedup.exact import dedup_exact
+from knowledgegraphs_ray.extract.containment import containment_check
+from knowledgegraphs_ray.sim.ann import LshBucketer, brute_force_topk
+from knowledgegraphs_ray.text import analysis as ta
+
+
+def test_dedup_exact_small():
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 3, "text": "aaa"},
+            {"doc_id": 1, "text": "aaa"},
+            {"doc_id": 2, "text": "bbb"},
+        ]
+    )
+    out = dedup_exact(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out[out["text"] == "aaa"]["n_copies"].iloc[0] == 2
+
+
+def test_token_and_quality_stats():
+    b = pa.table({"doc_id": [0, 1], "text": ["the cat, and dog!", ""]})
+    t = ta.token_stats(b)
+    assert t["n_tokens"].to_pylist() == [4, 0]
+    q = ta.quality_stats(b)
+    assert q["stop_ratio"].to_pylist()[0] == 0.5  # the, and of 4 tokens
+    assert q["punct_ratio"].to_pylist()[1] == 0.0
+
+
+def test_lang_scores_pred():
+    b = pa.table({"text": ["the cat and the dog", "el gato es la cosa", "zzz qqq"]})
+    out = ta.lang_scores(b)
+    assert out["lang_pred"].to_pylist() == ["en", "es", "und"]
+
+
+def test_rolling_fingerprint_matches_python():
+    texts = ["abc", "", "hello world", "abc"]
+    arr = pa.array(texts, pa.string())
+    out = ta.rolling_hashes(arr)
+
+    def ref(s: str) -> int:
+        h = 0
+        for b in s.encode():
+            h = (h * 1099511628211 + b) % (1 << 64)
+        return h
+
+    assert out.tolist() == [ref(s) for s in texts]
+    assert out[0] == out[3]  # duplicates share fingerprints
+
+
+def test_brute_force_topk_exact():
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((50, 8)).astype(np.float32)
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)]
+    )
+    out = brute_force_topk(ds, query_ids=[0], k=5, concurrency=2).to_pandas()
+    # oracle: numpy cosine
+    q = vecs[0] / np.linalg.norm(vecs[0])
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    scores = m @ q
+    expect = np.lexsort((np.arange(50), -scores))[:5]
+    got = out.sort_values("rank")["neighbor_id"].tolist()
+    assert got == expect.tolist()
+    assert out["rank"].tolist() == sorted(out["rank"].tolist())
+
+
+def test_lsh_bucketer_groups_identical_vectors():
+    v = [0.5] * 8
+    b = pa.table({"vec_id": [0, 1], "embedding": pa.array([v, v], pa.list_(pa.float32()))})
+    out = LshBucketer(dim=8)(b)
+    sig = out["lsh_bucket"].to_pylist()
+    assert sig[0] == sig[1]
+
+
+def test_containment_check(sf_dir):
+    res = containment_check(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
+        "o_custkey",
+        ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]),
+        "c_custkey",
+    )
+    assert res["contained"] is True and res["n_dangling"] == 0
