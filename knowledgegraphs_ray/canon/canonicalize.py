@@ -1,0 +1,103 @@
+"""Canonicalization — near-duplicate mention grouping into canonical IRIs.
+
+Reference: groupNearDuplicates (AAExpansion/source/util/NearDuplicates.py:53-79)
+clusters strings whose punctuation-stripped concatenations / token sets match
+(or fuzzy ratio >= threshold) with union-find; representative = first member.
+
+Ray-Data-first redesign (north_star: "canonicalization via
+groupby-on-mention-key union-find merge into canonical IRIs"):
+
+1. every mention gets a **blocking key** (normalized first token — cheap,
+   high recall for near-dups which share leading tokens; pluggable);
+2. ``groupby(block_key).map_groups`` runs union-find WITHIN each group:
+   members merge when token sets are equal, one is a prefix of the other,
+   or char-trigram Jaccard >= ``fuzzy_threshold`` (the model-free stand-in
+   for fuzz.ratio >= 95);
+3. representative = lexicographically smallest member (deterministic — the
+   reference's "first" depends on arrival order, which a distributed run
+   cannot reproduce);
+4. **skew handling**: blocks larger than ``hot_block_limit`` are near-dup
+   EXACT groups by definition of the key (hot mentions like "user"), so the
+   quadratic fuzzy pass inside them is skipped and exact-equality grouping
+   is used — bounded work per group regardless of skew (north_rule
+   "skew-aware repartitioning of hot entities"; the groupby itself hash
+   partitions blocks across the cluster).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from knowledgegraphs_ray.canon.unionfind import UnionFind
+from knowledgegraphs_ray.linking.mentions import normalize_label
+from knowledgegraphs_ray.linking.scorer import char_ngrams, jaccard
+
+
+def blocking_key(mention: str) -> str:
+    norm = normalize_label(mention)
+    return norm.split()[0][:4] if norm else ""
+
+
+def add_blocking_key(batch: pa.Table, *, mention_col: str = "mention") -> pa.Table:
+    keys = [blocking_key(m) for m in batch[mention_col].to_pylist()]
+    return batch.append_column("block_key", pa.array(keys, pa.string()))
+
+
+def _near_dup_groups(values: list[str], fuzzy_threshold: float) -> dict[str, str]:
+    """value -> canonical representative within one block (A4 union-find)."""
+    uf = UnionFind(values)
+    norms = {v: normalize_label(v) for v in values}
+    toksets = {v: frozenset(norms[v].split()) for v in values}
+    grams = {v: char_ngrams(norms[v]) for v in values}
+    vs = sorted(set(values))
+    concat = {v: norms[v].replace(" ", "") for v in values}
+    for i in range(len(vs)):
+        for j in range(i + 1, len(vs)):
+            a, b = vs[i], vs[j]
+            ca, cb = concat[a], concat[b]
+            shorter, longer = (ca, cb) if len(ca) <= len(cb) else (cb, ca)
+            prefix_plural = (
+                len(longer) - len(shorter) <= 2 and longer.startswith(shorter)
+            )
+            if (
+                toksets[a] == toksets[b]
+                or ca == cb
+                or prefix_plural
+                or jaccard(grams[a], grams[b]) >= fuzzy_threshold
+            ):
+                uf.union(a, b)
+    return {v: uf.find(v) for v in values}
+
+
+def canonicalize_mentions(
+    mentions: ray.data.Dataset,
+    *,
+    mention_col: str = "mention",
+    fuzzy_threshold: float = 0.75,
+    hot_block_limit: int = 500,
+) -> ray.data.Dataset:
+    """mention rows -> (mention, canonical, canonical_iri) mapping table."""
+
+    keyed = mentions.map_batches(
+        lambda b: add_blocking_key(b, mention_col=mention_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        uniq = sorted(g[mention_col].unique())
+        if len(uniq) > hot_block_limit:
+            # hot block: exact-equality canonicalization only (bounded work)
+            rep = {v: v for v in uniq}
+        else:
+            rep = _near_dup_groups(uniq, fuzzy_threshold)
+        out = pd.DataFrame({mention_col: uniq})
+        out["canonical"] = out[mention_col].map(rep)
+        out["canonical_iri"] = "kg:entity/" + out["canonical"].map(
+            lambda s: normalize_label(s).replace(" ", "_")
+        )
+        return out
+
+    return keyed.groupby("block_key").map_groups(merge_group, batch_format="pandas")

@@ -24,6 +24,7 @@ from knowledgegraphs_ray.pipelines.transcripts import (
 )
 from knowledgegraphs_ray.rules.compiler import compile_rules
 from knowledgegraphs_ray.schema.model import tpch_schema
+from knowledgegraphs_ray.pipelines import linking_pipeline as lp
 from knowledgegraphs_ray.sim.ann import brute_force_topk
 from knowledgegraphs_ray.text import analysis as ta
 
@@ -106,6 +107,29 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, query_ids=[0, 1, 2], k=10)
 
 
+def q_mentions_documents(sf_dir: str):
+    return lp.document_mentions(sf_dir)
+
+
+def q_link_exact_documents(sf_dir: str):
+    return lp.link_exact(sf_dir)
+
+
+def q_link_scored_documents(sf_dir: str):
+    sel = lp.link_scored(sf_dir)
+    return sel.select_columns(["mention", "cand_iri", "bes", "pj"])
+
+
+def q_canonical_mentions(sf_dir: str):
+    # widen the surface with a known near-duplicate pair (order/orders) so
+    # the union-find path does real work on real data
+    forms = set(lp.single_token_class_labels(lp.star_ontology_index())) | {"order"}
+    from knowledgegraphs_ray.canon.canonicalize import canonicalize_mentions
+
+    mentions = lp.document_mentions(sf_dir, forms)
+    return canonicalize_mentions(mentions.select_columns(["mention"]))
+
+
 def q_doc_fingerprints(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id", "text"])
@@ -128,6 +152,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,
         "doc_fingerprints": q_doc_fingerprints,
+        "mentions_documents": q_mentions_documents,
+        "link_exact_documents": q_link_exact_documents,
+        "link_scored_documents": q_link_scored_documents,
+        "canonical_mentions": q_canonical_mentions,
     }
 
 
@@ -204,4 +232,54 @@ def oracle_sql() -> dict[str, str]:
             "FROM scored QUALIFY rank <= 10"
         ),
         # doc_fingerprints: engine-defined rolling hash — no SQL twin (rows-only check)
+        # link_scored_documents: surrogate-model scoring — non-SQL (rows-only check)
+        "mentions_documents": _mentions_sql(),
+        "link_exact_documents": _link_exact_sql(),
+        "canonical_mentions": _canonical_mentions_sql(),
     }
+
+
+def _mention_forms() -> dict[str, str]:
+    return lp.single_token_class_labels(lp.star_ontology_index())
+
+
+def _mentions_sql(forms: list[str] | None = None) -> str:
+    forms = forms or sorted(_mention_forms())
+    inlist = ", ".join(f"'{f}'" for f in forms)
+    return (
+        "SELECT doc_id, tok AS mention, count(*) AS n_occurrences FROM ("
+        "SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tok "
+        "FROM documents) WHERE tok IN (" + inlist + ") GROUP BY doc_id, tok"
+    )
+
+
+def _link_exact_sql() -> str:
+    label2iri = _mention_forms()
+    vals = ", ".join(f"('{l}', '{i}')" for l, i in sorted(label2iri.items()))
+    return (
+        "WITH m AS (" + _mentions_sql() + "), v(label, iri) AS (VALUES " + vals + ") "
+        "SELECT m.doc_id, m.mention, m.n_occurrences, v.iri AS entity_iri "
+        "FROM m JOIN v ON m.mention = v.label"
+    )
+
+
+def _canonical_mentions_sql() -> str:
+    # The near-dup grouping of the FIXED surface-form dictionary is a
+    # compile-time artifact (like the rule table): compute it driver-side with
+    # the same union-find kernel, inline the mapping; which mentions actually
+    # occur stays data-driven in SQL.
+    from knowledgegraphs_ray.canon.canonicalize import _near_dup_groups
+    from knowledgegraphs_ray.linking.mentions import normalize_label
+
+    forms = sorted(set(_mention_forms()) | {"order"})
+    rep = _near_dup_groups(forms, 0.75)
+    vals = ", ".join(
+        f"('{m}', '{c}', 'kg:entity/{normalize_label(c).replace(' ', '_')}')"
+        for m, c in sorted(rep.items())
+    )
+    return (
+        "WITH m AS (" + _mentions_sql(forms) + "), "
+        "v(mention, canonical, canonical_iri) AS (VALUES " + vals + ") "
+        "SELECT DISTINCT m.mention, v.canonical, v.canonical_iri "
+        "FROM m JOIN v ON m.mention = v.mention"
+    )

@@ -1,0 +1,101 @@
+"""End-to-end entity linking + canonicalization pipelines.
+
+Flow (SURVEY.md §7.1 mentions branch):
+    corpus -> extract_mentions (broadcast dictionary, map-only)
+           -> generate_candidates (broadcast IDF inverted index, J2)
+           -> SurrogateCrossEncoder actor pool (B1 stand-in)
+           -> groupby(mention).map_groups(select_optimal)   (T2-T5)
+           -> canonicalize_mentions (blocking key + union-find, A4)
+
+Only two shuffles: the per-mention selection groupby and the canonicalization
+blocking groupby — both keyed on (short) mention strings after the corpus has
+been reduced to mention rows.
+"""
+
+from __future__ import annotations
+
+import ray.data
+
+from knowledgegraphs_ray.canon.canonicalize import canonicalize_mentions
+from knowledgegraphs_ray.linking.index import (
+    AnnotationIndex,
+    generate_candidates,
+    ontology_labels_from_rules,
+)
+from knowledgegraphs_ray.linking.mentions import extract_mentions
+from knowledgegraphs_ray.linking.scorer import score_candidates
+from knowledgegraphs_ray.linking.select import select_links
+from knowledgegraphs_ray.rules.compiler import compile_rules
+from knowledgegraphs_ray.schema.model import tpch_schema
+
+STAR_TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]
+
+
+def star_ontology_index(tables: list[str] | None = None) -> AnnotationIndex:
+    """Annotation index over the compiled star-schema ontology (the "DO")."""
+    rules = compile_rules(tpch_schema(tables or STAR_TABLES))
+    return AnnotationIndex.build(ontology_labels_from_rules(rules))
+
+
+def single_token_class_labels(index: AnnotationIndex) -> dict[str, str]:
+    """label -> iri for single-token class labels (the exact-match surface).
+
+    Deterministic tie-break: smallest IRI wins a shared label."""
+    out: dict[str, str] = {}
+    for iri, labels in sorted(index.labels.items()):
+        for lab in labels:
+            if " " not in lab and lab and not iri.startswith("kg:p_") and not iri.startswith("kg:has_"):
+                out.setdefault(lab, iri)
+    return out
+
+
+def document_mentions(
+    sf_dir: str, forms: set[str] | None = None
+) -> ray.data.Dataset:
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    if forms is None:
+        forms = set(single_token_class_labels(star_ontology_index()))
+    return extract_mentions(ds, forms, id_col="doc_id")
+
+
+def link_exact(sf_dir: str) -> ray.data.Dataset:
+    """Exact annotation match (J3/J4): mention token == class label -> link."""
+    index = star_ontology_index()
+    label2iri = single_token_class_labels(index)
+    mentions = document_mentions(sf_dir, set(label2iri))
+
+    import pyarrow as pa
+
+    def attach(batch: pa.Table) -> pa.Table:
+        iris = [label2iri[m] for m in batch["mention"].to_pylist()]
+        return batch.append_column("entity_iri", pa.array(iris, pa.string()))
+
+    return mentions.map_batches(attach, batch_format="pyarrow")
+
+
+def link_scored(
+    sf_dir: str,
+    *,
+    mode: str = "optimal",
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """Full scored linking over documents: distinct mentions -> candidates ->
+    surrogate scorer actor pool -> per-mention selection cascade.
+
+    Selection is per distinct mention STRING (the reference selects one
+    mapping per source element, MappingSelection.java:62-86) — the dedup-embed
+    pattern: score each surface form once, join links back to occurrences
+    downstream (J1)."""
+    from ray.data.aggregate import Count
+
+    index = star_ontology_index()
+    mentions = document_mentions(sf_dir)
+    distinct = mentions.groupby("mention").aggregate(Count(alias_name="n_docs"))
+    cands = generate_candidates(distinct, index, k=50)
+    scored = score_candidates(cands, index, concurrency=concurrency)
+    return select_links(scored, mode=mode)
+
+
+def canonical_document_mentions(sf_dir: str) -> ray.data.Dataset:
+    """Canonicalization over the distinct document mentions."""
+    return canonicalize_mentions(document_mentions(sf_dir))

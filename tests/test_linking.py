@@ -1,0 +1,148 @@
+"""Tests for mention extraction, candidate generation, surrogate scoring,
+selection cascade, and canonicalization (SURVEY.md §2.5-2.8, §2.13)."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from knowledgegraphs_ray.canon.canonicalize import canonicalize_mentions
+from knowledgegraphs_ray.canon.unionfind import UnionFind
+from knowledgegraphs_ray.linking.index import AnnotationIndex
+from knowledgegraphs_ray.linking.mentions import extract_mentions, normalize_label
+from knowledgegraphs_ray.linking.scorer import SurrogateCrossEncoder, char_ngrams, jaccard
+from knowledgegraphs_ray.linking.select import rank_candidates, select_optimal, topk
+
+
+def test_normalize_label():
+    assert normalize_label("APIReference_Name") == "api reference name"
+    assert normalize_label("has_birth-date!") == "has birth date"
+
+
+def test_extract_mentions_counts():
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "the customer met another Customer near the part"},
+            {"doc_id": 2, "text": "nothing relevant here"},
+        ]
+    )
+    out = extract_mentions(ds, {"customer", "part"}, id_col="doc_id").to_pandas()
+    got = {(r.doc_id, r.mention): r.n_occurrences for r in out.itertuples()}
+    assert got == {(1, "customer"): 2, (1, "part"): 1}
+
+
+def test_extract_mentions_bigrams():
+    ds = ray.data.from_items([{"doc_id": 1, "text": "new york and boston"}])
+    out = extract_mentions(
+        ds, {"new york", "boston"}, id_col="doc_id", bigrams=True
+    ).to_pandas()
+    assert set(out["mention"]) == {"new york", "boston"}
+
+
+def test_annotation_index_idf_candidates():
+    idx = AnnotationIndex.build(
+        {
+            "kg:A": ["credit card account"],
+            "kg:B": ["savings account"],
+            "kg:C": ["credit score"],
+        }
+    )
+    cands = dict(idx.candidates("credit account"))
+    # A shares both tokens; B and C share one each
+    assert max(cands, key=cands.get) == "kg:A"
+    assert set(cands) == {"kg:A", "kg:B", "kg:C"}
+    # rarer token ("score") has higher idf than "account" (df 1 vs 2)
+    assert idx.idf["score"] > idx.idf["account"]
+
+
+def test_exact_match_shortcut():
+    idx = AnnotationIndex.build({"kg:A": ["Credit_Card"], "kg:B": ["loan"]})
+    assert idx.exact_match("credit card") == ["kg:A"]
+
+
+def test_surrogate_scorer_orders_by_similarity():
+    idx = AnnotationIndex.build(
+        {"kg:A": ["customer"], "kg:B": ["custom duty"], "kg:C": ["nation"]}
+    )
+    sc = SurrogateCrossEncoder(idx)
+    batch = pa.table(
+        {
+            "mention": ["customer"] * 3,
+            "cand_iri": ["kg:A", "kg:B", "kg:C"],
+            "exact": [True, False, False],
+        }
+    )
+    out = sc(batch)
+    assert out.loc[0, "bes"] == 1.0  # exact shortcut (J4)
+    assert out.loc[1, "bes"] > out.loc[2, "bes"]  # custom duty closer than nation
+
+
+def test_rank_and_select_cascade():
+    g = pd.DataFrame(
+        {
+            "mention": ["m"] * 3,
+            "cand_iri": ["kg:x", "kg:y", "kg:z"],
+            "bes": [0.9, 0.86, 0.3],
+            "pj": [0.5, 0.8, 0.9],
+        }
+    )
+    r = rank_candidates(g)
+    assert r.loc[2, "pj_rank"] == 1  # highest pj
+    sel = select_optimal(g)
+    # z fails bes thresholds; among x,y the better pj_rank wins -> y
+    assert sel["cand_iri"].tolist() == ["kg:y"]
+
+
+def test_select_empty_when_all_below_threshold():
+    g = pd.DataFrame(
+        {"mention": ["m"], "cand_iri": ["kg:x"], "bes": [0.1], "pj": [0.0]}
+    )
+    assert select_optimal(g).empty
+
+
+def test_topk_deterministic_tiebreak():
+    g = pd.DataFrame(
+        {"mention": ["m"] * 3, "cand_iri": ["kg:c", "kg:a", "kg:b"], "bes": [0.5, 0.5, 0.9]}
+    )
+    out = topk(g, k=2)
+    assert out["cand_iri"].tolist() == ["kg:b", "kg:a"]  # ties by iri asc
+
+
+def test_union_find_deterministic_root():
+    uf = UnionFind()
+    uf.union("b", "a")
+    uf.union("c", "b")
+    assert uf.find("c") == "a"  # smallest value is the root
+
+
+def test_canonicalize_merges_near_duplicates():
+    ds = ray.data.from_items(
+        [
+            {"mention": "order"},
+            {"mention": "orders"},
+            {"mention": "omega 3 fatty acid"},
+            {"mention": "omega3 fatty acid"},
+            {"mention": "nation"},
+        ]
+    )
+    out = canonicalize_mentions(ds).to_pandas().set_index("mention")
+    assert out.loc["orders", "canonical"] == out.loc["order", "canonical"] == "order"
+    assert (
+        out.loc["omega 3 fatty acid", "canonical"]
+        == out.loc["omega3 fatty acid", "canonical"]
+    )
+    assert out.loc["nation", "canonical"] == "nation"
+    assert out.loc["order", "canonical_iri"] == "kg:entity/order"
+
+
+def test_canonicalize_hot_block_bounded():
+    # a hot block (> limit distinct mentions sharing a key) degrades to exact
+    rows = [{"mention": f"user{i:04d}"} for i in range(40)]
+    out = canonicalize_mentions(
+        ray.data.from_items(rows), hot_block_limit=10
+    ).to_pandas()
+    assert (out["canonical"] == out["mention"]).all()
+
+
+def test_char_ngram_jaccard_symmetry():
+    a, b = char_ngrams("order"), char_ngrams("orders")
+    assert 0 < jaccard(a, b) < 1
