@@ -1,0 +1,129 @@
+"""SimHash near-duplicate detection.
+
+64-bit SimHash per document: each token hash votes ±1 on every bit, the sign
+of the per-bit sum is the fingerprint. Near-dups = small Hamming distance.
+Candidate generation by band-exact match (pigeonhole: distance <= d ⇒ at
+least one of d+1 bands equal). Vectorized: bit-unpack token hashes with
+numpy, per-doc sums via ``np.add.reduceat``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+import ray.data
+
+_SEED = 7
+
+
+def simhash_batch(
+    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pd.DataFrame:
+    df = pl.from_arrow(batch.select([id_col, text_col]))
+    toks = df.select(
+        pl.col(id_col),
+        pl.col(text_col).str.to_lowercase().str.extract_all("[a-z0-9_]+").alias("t"),
+    )
+    lens = toks["t"].list.len().to_numpy().astype(np.int64)
+    h = (
+        toks.explode("t")
+        .select(pl.col("t").hash(seed=_SEED).alias("h"))["h"]
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    ids = df[id_col].to_numpy()
+    n = len(ids)
+    # (n_tokens, 64) ±1 votes
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    ) * 2 - 1
+    offsets = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    if len(h):
+        starts = np.minimum(offsets, len(h) - 1)
+        sums = np.add.reduceat(bits, starts, axis=0)
+    else:
+        sums = np.zeros((n, 64), dtype=np.int64)
+    sums[lens == 0] = -1  # empty doc -> fingerprint 0
+    fp = ((sums > 0).astype(np.uint64) * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum(
+        axis=1
+    )
+    return pd.DataFrame({id_col: ids, "simhash": fp.astype(np.uint64)})
+
+
+def simhash_bands(
+    batch: pa.Table, *, id_col: str = "doc_id", n_bands: int = 4
+) -> pd.DataFrame:
+    """fingerprint rows -> (doc_id, band_id, band_bits) for pigeonhole LSH
+    (catches every pair within Hamming distance n_bands - 1)."""
+    df = batch.to_pandas()
+    fp = df["simhash"].to_numpy().astype(np.uint64)
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    out = []
+    for b in range(n_bands):
+        out.append(
+            pd.DataFrame(
+                {
+                    id_col: df[id_col],
+                    "band_id": b,
+                    "band_bits": (fp >> np.uint64(b * width)) & mask,
+                    "simhash": fp,  # carried for in-bucket Hamming verification
+                }
+            )
+        )
+    return pd.concat(out, ignore_index=True)
+
+
+def hamming(a: np.ndarray, b: np.ndarray | np.uint64) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    # popcount via bit tricks (vectorized, no Python loop)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + ((x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    with np.errstate(over="ignore"):
+        return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def simhash_near_dup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    max_bucket: int = 500,
+) -> ray.data.Dataset:
+    """-> (doc_a, doc_b, distance) pairs with Hamming distance <= max_distance.
+    n_bands = max_distance + 1 guarantees no false negatives (pigeonhole)."""
+    n_bands = max_distance + 1
+    fps = ds.map_batches(
+        lambda b: simhash_batch(b, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    banded = fps.map_batches(
+        lambda b: simhash_bands(b, id_col=id_col, n_bands=n_bands),
+        batch_format="pyarrow",
+    )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
+        ids = g[id_col].to_numpy()
+        fp = g["simhash"].to_numpy().astype(np.uint64)
+        rows = {"doc_a": [], "doc_b": [], "distance": []}
+        for i in range(len(ids) - 1):
+            d = hamming(fp[i + 1 :], fp[i])
+            keep = np.where(d <= max_distance)[0]
+            for j in keep:
+                rows["doc_a"].append(ids[i])
+                rows["doc_b"].append(ids[i + 1 + j])
+                rows["distance"].append(int(d[j]))
+        return pd.DataFrame(rows)
+
+    cand = banded.groupby(["band_id", "band_bits"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    return cand.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -107,6 +107,43 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, query_ids=[0, 1, 2], k=10)
 
 
+def q_ngram_dedup_pairs(sf_dir: str):
+    from knowledgegraphs_ray.dedup.ngram import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_minhash_dedup_pairs(sf_dir: str):
+    from knowledgegraphs_ray.dedup.minhash import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from knowledgegraphs_ray.dedup.simhash import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), max_distance=3)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    from knowledgegraphs_ray.dedup.embed import embedding_near_dup_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = embedding_near_dup_pairs(ds, dim=64, threshold=0.95)
+    # pair output is tiny; materialize and enforce the schema (Ray loses the
+    # schema of an all-empty map_groups result)
+    import pandas as pd
+
+    df = out.to_pandas()
+    if df.empty:
+        df = pd.DataFrame(
+            {"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64")}
+        )
+    return df[["doc_a", "doc_b"]]
+
+
 def q_mentions_documents(sf_dir: str):
     return lp.document_mentions(sf_dir)
 
@@ -156,6 +193,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_exact_documents": q_link_exact_documents,
         "link_scored_documents": q_link_scored_documents,
         "canonical_mentions": q_canonical_mentions,
+        "ngram_dedup_pairs": q_ngram_dedup_pairs,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
     }
 
 
@@ -233,6 +274,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         # doc_fingerprints: engine-defined rolling hash — no SQL twin (rows-only check)
         # link_scored_documents: surrogate-model scoring — non-SQL (rows-only check)
+        # minhash_dedup_pairs / simhash_pairs: sketch-based (seeded-hash)
+        # candidate generation — non-SQL (rows-only; pytest checks recall vs
+        # exact pairs)
+        "ngram_dedup_pairs": __import__(
+            "knowledgegraphs_ray.dedup.ngram", fromlist=["ngram_pairs_oracle_sql"]
+        ).ngram_pairs_oracle_sql(),
+        "embedding_near_dups": (
+            "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+        ),
         "mentions_documents": _mentions_sql(),
         "link_exact_documents": _link_exact_sql(),
         "canonical_mentions": _canonical_mentions_sql(),

@@ -1,0 +1,96 @@
+"""Tests for the near-duplicate family: MinHash-LSH, SimHash, n-gram
+Jaccard, embedding-cosine — recall vs exact oracles on synthetic corpora."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from knowledgegraphs_ray.dedup.embed import embedding_near_dup_pairs
+from knowledgegraphs_ray.dedup.minhash import (
+    components_by_propagation,
+    components_from_pairs,
+    minhash_candidate_pairs,
+)
+from knowledgegraphs_ray.dedup.ngram import ngram_jaccard_pairs
+from knowledgegraphs_ray.dedup.simhash import hamming, simhash_batch, simhash_near_dup_pairs
+
+
+def _corpus():
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},  # exact dup
+        {"doc_id": 2, "text": base.replace("today", "tomorrow")},  # near dup
+        {"doc_id": 3, "text": "completely different content about databases and queries"},
+        {"doc_id": 4, "text": base.replace("quick", "slow").replace("lazy", "busy")},
+    ]
+    return ray.data.from_items(rows)
+
+
+def test_minhash_finds_near_dups():
+    pairs = minhash_candidate_pairs(_corpus(), threshold=0.5).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 1) in got  # exact dup always caught
+    assert (0, 2) in got  # near dup
+    assert all(3 not in p for p in got)  # distinct doc never pairs
+
+
+def test_minhash_deterministic_across_parallelism():
+    a = minhash_candidate_pairs(_corpus().repartition(1), threshold=0.5).to_pandas()
+    b = minhash_candidate_pairs(_corpus().repartition(4), threshold=0.5).to_pandas()
+    key = lambda df: set(zip(df["doc_a"], df["doc_b"]))
+    assert key(a) == key(b)
+
+
+def test_components_union_find_and_propagation_agree():
+    pairs = minhash_candidate_pairs(_corpus(), threshold=0.5)
+    uf = components_from_pairs(pairs)
+    lp = components_by_propagation(pairs).to_pandas()
+    uf_map = dict(zip(uf["doc_id"], uf["component"]))
+    lp_map = dict(zip(lp["node"], lp["label"]))
+    assert uf_map == lp_map
+    assert uf_map[0] == uf_map[1] == uf_map[2] == 0
+
+
+def test_simhash_identical_and_distance():
+    import pyarrow as pa
+
+    b = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["alpha beta gamma", "alpha beta gamma", "zz yy xx ww vv"],
+        }
+    )
+    fp = simhash_batch(b)["simhash"].to_numpy().astype(np.uint64)
+    assert fp[0] == fp[1]
+    assert hamming(np.array([fp[0]]), fp[2])[0] > 10
+
+
+def test_simhash_pairs_pipeline():
+    out = simhash_near_dup_pairs(_corpus(), max_distance=6).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(out["doc_a"], out["doc_b"])}
+    assert (0, 1) in got
+    assert all(out["distance"] >= 0)
+
+
+def test_ngram_jaccard_integer_exact():
+    out = ngram_jaccard_pairs(_corpus(), threshold_pct=60).to_pandas()
+    got = {tuple(sorted((a, b))): (i, u) for a, b, i, u in
+           zip(out["doc_a"], out["doc_b"], out["n_inter"], out["n_union"])}
+    assert (0, 1) in got
+    i, u = got[(0, 1)]
+    assert i == u  # identical token sets
+
+
+def test_embedding_near_dups():
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal(16)
+    rows = []
+    for i in range(3):  # three copies of the same direction
+        rows.append({"vec_id": i, "embedding": (base * (1 + 0.001 * i)).tolist()})
+    for i in range(3, 10):  # random others
+        rows.append({"vec_id": i, "embedding": rng.standard_normal(16).tolist()})
+    ds = ray.data.from_items(rows)
+    out = embedding_near_dup_pairs(ds, dim=16, threshold=0.99).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(out["doc_a"], out["doc_b"])}
+    assert {(0, 1), (0, 2), (1, 2)} <= got
