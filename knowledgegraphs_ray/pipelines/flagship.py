@@ -1,0 +1,128 @@
+"""Flagship checkpointed KG-construction run over transcripts.
+
+The end-to-end composition the north_star describes, with every stage
+checkpointed to partitioned Parquet + lineage manifest (resumable):
+
+    ingest      transcripts (events-derived or synthetic or user Parquet)
+    triples     per-turn ontology triples (map-only kernel)
+    mentions    dictionary mentions from turn text (map-only)
+    links       IDF candidates -> surrogate scorer pool -> selection
+    canonical   union-find canonicalization of mentions
+    edges       triples ∪ mention->entity links, Parquet + N-Triples shards
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from knowledgegraphs_ray.canon.canonicalize import canonicalize_mentions
+from knowledgegraphs_ray.linking.index import AnnotationIndex, generate_candidates
+from knowledgegraphs_ray.linking.mentions import extract_mentions
+from knowledgegraphs_ray.linking.scorer import score_candidates
+from knowledgegraphs_ray.linking.select import select_links
+from knowledgegraphs_ray.pipelines.linking_pipeline import (
+    single_token_class_labels,
+    star_ontology_index,
+)
+from knowledgegraphs_ray.pipelines.transcripts import (
+    extract_transcript_triples,
+    transcripts_from_events,
+)
+from knowledgegraphs_ray.state.checkpoint import CheckpointedPipeline
+
+
+def flagship_run(
+    root: str,
+    sf_dir: str | None = None,
+    *,
+    ingest=None,
+    index: AnnotationIndex | None = None,
+    write_nt: bool = True,
+    kernel_version: str = "1",
+) -> CheckpointedPipeline:
+    """Run (or resume) the full transcript KG construction under ``root``.
+
+    ``ingest``: zero-arg builder returning the transcript Dataset; defaults
+    to the events-derived transcripts of ``sf_dir``. Pass e.g.
+    ``lambda: synth_transcripts(50_000)`` for the synthetic corpus whose text
+    embeds entity mentions (FIXTURES.md F1)."""
+    idx = index or star_ontology_index()
+    forms = set(single_token_class_labels(idx))
+    p = CheckpointedPipeline(root)
+
+    if ingest is None:
+        assert sf_dir is not None, "need sf_dir or an ingest builder"
+        ingest = lambda: transcripts_from_events(sf_dir)
+    p.stage("ingest", ingest, kernel_version=kernel_version)
+    p.stage(
+        "triples",
+        lambda: extract_transcript_triples(p.dataset("ingest")),
+        kernel_version=kernel_version,
+    )
+
+    def build_mentions():
+        turns = p.dataset("ingest", columns=["conv_id", "turn_idx", "text"])
+        with_iri = turns.map_batches(_add_turn_iri, batch_format="pyarrow")
+        return extract_mentions(with_iri, forms, id_col="turn_iri")
+
+    p.stage("mentions", build_mentions, kernel_version=kernel_version)
+
+    def build_links():
+        from ray.data.aggregate import Count
+
+        mentions = p.dataset("mentions")
+        distinct = mentions.groupby("mention").aggregate(Count(alias_name="n_srcs"))
+        cands = generate_candidates(distinct, idx, k=50)
+        scored = score_candidates(cands, idx, concurrency=2)
+        return select_links(scored, mode="optimal")
+
+    p.stage("links", build_links, kernel_version=kernel_version)
+    p.stage(
+        "canonical",
+        lambda: canonicalize_mentions(p.dataset("mentions", columns=["mention"])),
+        kernel_version=kernel_version,
+    )
+
+    def build_edges():
+        triples = p.dataset("triples")
+        links = p.dataset("links").to_pandas()
+        link_map = dict(zip(links["mention"], links["cand_iri"]))
+        mentions = p.dataset("mentions")
+
+        def mention_edges(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ms = batch["mention"].to_pylist()
+            ent = [link_map.get(m) for m in ms]
+            t = pa.table(
+                {
+                    "subj": batch["turn_iri"].combine_chunks(),
+                    "pred": pa.array(["kg:mentions"] * len(ms), pa.string()),
+                    "obj": pa.array(ent, pa.string()),
+                }
+            )
+            return t.filter(pc.is_valid(t["obj"]))
+
+        link_edges = mentions.map_batches(mention_edges, batch_format="pyarrow")
+        return triples.union(link_edges)
+
+    res = p.stage("edges", build_edges, kernel_version=kernel_version)
+    if write_nt and not res.resumed:
+        from knowledgegraphs_ray.sinks.ntriples import write_ntriples
+
+        write_ntriples(p.dataset("edges"), root + "/edges_nt")
+    return p
+
+
+def _add_turn_iri(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    iri = pc.binary_join_element_wise(
+        pa.scalar("kg:conversation/"),
+        batch["conv_id"].combine_chunks(),
+        pa.scalar("/t"),
+        pc.cast(batch["turn_idx"], pa.string()).combine_chunks(),
+        "",
+    )
+    return batch.append_column("turn_iri", iri)
