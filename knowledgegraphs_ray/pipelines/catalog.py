@@ -107,6 +107,13 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, query_ids=[0, 1, 2], k=10)
 
 
+def q_json_triples_events(sf_dir: str):
+    from knowledgegraphs_ray.sources.json import json_to_triples
+
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    return json_to_triples(ds, id_col="event_id", json_col="props")
+
+
 def q_ngram_dedup_pairs(sf_dir: str):
     from knowledgegraphs_ray.dedup.ngram import ngram_jaccard_pairs
 
@@ -193,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_exact_documents": q_link_exact_documents,
         "link_scored_documents": q_link_scored_documents,
         "canonical_mentions": q_canonical_mentions,
+        "json_triples_events": q_json_triples_events,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -277,6 +285,14 @@ def oracle_sql() -> dict[str, str]:
         # minhash_dedup_pairs / simhash_pairs: sketch-based (seeded-hash)
         # candidate generation — non-SQL (rows-only; pytest checks recall vs
         # exact pairs)
+        "json_triples_events": (
+            "SELECT 'kg:json/' || CAST(event_id AS VARCHAR) AS subj, 'rdf:type' AS pred, "
+            "'kg:Record' AS obj FROM events WHERE props IS NOT NULL "
+            "UNION ALL "
+            "SELECT 'kg:json/' || CAST(event_id AS VARCHAR), 'kg:has_k', "
+            "regexp_extract(props, '\"k\": (-?\\d+)', 1) FROM events "
+            "WHERE props IS NOT NULL AND regexp_matches(props, '\"k\": -?\\d+')"
+        ),
         "ngram_dedup_pairs": __import__(
             "knowledgegraphs_ray.dedup.ngram", fromlist=["ngram_pairs_oracle_sql"]
         ).ngram_pairs_oracle_sql(),
