@@ -107,6 +107,30 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, query_ids=[0, 1, 2], k=10)
 
 
+def q_pii_scan_documents(sf_dir: str):
+    from knowledgegraphs_ray.pii.scan import scan_value_pii
+
+    return scan_value_pii(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_events_tumbling(sf_dir: str):
+    from knowledgegraphs_ray.streaming.windows import tumbling_window_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return tumbling_window_agg(ds, window_sec=3600)
+
+
+def q_events_sessionize(sf_dir: str):
+    from knowledgegraphs_ray.streaming.windows import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return sessionize(ds, gap_sec=1800)
+
+
 def q_json_triples_events(sf_dir: str):
     from knowledgegraphs_ray.sources.json import json_to_triples
 
@@ -200,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_exact_documents": q_link_exact_documents,
         "link_scored_documents": q_link_scored_documents,
         "canonical_mentions": q_canonical_mentions,
+        "pii_scan_documents": q_pii_scan_documents,
+        "events_tumbling": q_events_tumbling,
+        "events_sessionize": q_events_sessionize,
         "json_triples_events": q_json_triples_events,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -285,6 +312,28 @@ def oracle_sql() -> dict[str, str]:
         # minhash_dedup_pairs / simhash_pairs: sketch-based (seeded-hash)
         # candidate generation — non-SQL (rows-only; pytest checks recall vs
         # exact pairs)
+        "pii_scan_documents": __import__(
+            "knowledgegraphs_ray.pii.scan", fromlist=["pii_scan_oracle_sql"]
+        ).pii_scan_oracle_sql(),
+        "events_tumbling": (
+            "SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS window_start, "
+            "count(*) AS n_events, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
+            "FROM events GROUP BY user_id, window_start"
+        ),
+        "events_sessionize": (
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ep, "
+            "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "s AS (SELECT *, CASE WHEN ep - lag(ep) OVER "
+            "  (PARTITION BY user_id ORDER BY ep, event_id) > 1800 * 1000000 "
+            "  THEN 1 ELSE 0 END AS brk FROM e), "
+            "t AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ep, event_id "
+            "  ROWS UNBOUNDED PRECEDING) AS session_idx FROM s) "
+            "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
+            "count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents, "
+            "min(ep) AS start_us, max(ep) AS end_us "
+            "FROM t GROUP BY user_id, session_idx"
+        ),
         "json_triples_events": (
             "SELECT 'kg:json/' || CAST(event_id AS VARCHAR) AS subj, 'rdf:type' AS pred, "
             "'kg:Record' AS obj FROM events WHERE props IS NOT NULL "

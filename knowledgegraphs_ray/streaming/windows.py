@@ -1,0 +1,100 @@
+"""Stream-shaped operators over an ordered, keyed event log.
+
+The reference has no streaming (SURVEY.md §2.15); these are the standard
+log-processing operators a transcript/event pipeline needs, expressed the
+Ray-Data way: the input is a partitioned log — partition by key, sort by ts
+WITHIN the partition (``groupby(key).map_groups``), windows computed over the
+sorted group. Ordering assumption: event time is the ``ts`` column; no late
+data / watermarks (batch semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+
+def tumbling_window_agg(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_sec: int = 3600,
+) -> ray.data.Dataset:
+    """Per (key, window) count + sum. Map-only window assignment + one
+    pre-aggregated groupby: partials are combined inside ``map_batches``
+    first, so the shuffle moves one row per (key, window, block), not per
+    event."""
+
+    def assign_and_partial(batch: pa.Table) -> pd.DataFrame:
+        ts_us = batch[ts_col].combine_chunks().cast(pa.timestamp("us"), safe=False)
+        ep_us = pc.cast(ts_us, pa.int64())  # µs epoch regardless of input unit
+        win = pc.multiply(
+            pc.divide(ep_us, window_sec * 1_000_000), window_sec
+        )  # window start in SECONDS (integer floor)
+        # money as integer cents — engine-portable exact sums
+        cents = pc.cast(pc.round(pc.multiply(batch[value_col], 100)), pa.int64())
+        df = pd.DataFrame(
+            {
+                key: batch[key].to_numpy(zero_copy_only=False),
+                "window_start": win.to_numpy(zero_copy_only=False),
+                "cents": cents.to_numpy(zero_copy_only=False),
+            }
+        )
+        return (
+            df.groupby([key, "window_start"], as_index=False)
+            .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
+        )
+
+    partials = ds.map_batches(assign_and_partial, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    return partials.groupby([key, "window_start"]).aggregate(
+        Sum("n_events", alias_name="n_events"), Sum("sum_cents", alias_name="sum_cents")
+    )
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_sec: int = 1800,
+) -> ray.data.Dataset:
+    """Session windows: events of one key sorted by ts; a gap > gap_sec
+    starts a new session. -> (key, session_idx, n_events, sum_value,
+    start_epoch, end_epoch)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, "event_id"] if "event_id" in g else [ts_col], kind="mergesort")
+        # normalize to µs regardless of the pandas datetime unit (s/ms/us/ns)
+        ep_us = g[ts_col].astype("datetime64[us]").astype("int64")
+        gaps = ep_us.diff().fillna(0)
+        session = (gaps > gap_sec * 1_000_000).cumsum()
+        cents = (g[value_col] * 100).round().astype("int64")
+        out = (
+            pd.DataFrame(
+                {
+                    key: g[key].to_numpy(),
+                    "session_idx": session.to_numpy(),
+                    "ep_us": ep_us.to_numpy(),
+                    "cents": cents.to_numpy(),
+                }
+            )
+            .groupby([key, "session_idx"], as_index=False)
+            .agg(
+                n_events=("ep_us", "size"),
+                sum_cents=("cents", "sum"),
+                start_us=("ep_us", "min"),
+                end_us=("ep_us", "max"),
+            )
+        )
+        out["session_idx"] = out["session_idx"].astype("int64")
+        return out
+
+    return ds.groupby(key).map_groups(per_key, batch_format="pandas")
