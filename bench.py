@@ -65,6 +65,11 @@ def run_bench() -> dict:
     timed("text_quality", catalog.q_text_quality)
     timed("ann_topk", catalog.q_ann_topk)
     timed("fingerprints", catalog.q_doc_fingerprints)
+    timed("minhash_pairs", catalog.q_minhash_dedup_pairs)
+    timed("sessionize", catalog.q_events_sessionize)
+    timed("link_scored", catalog.q_link_scored_documents)
+    timed("json_triples", catalog.q_json_triples_events)
+    timed("pii_scan", catalog.q_pii_scan_documents)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

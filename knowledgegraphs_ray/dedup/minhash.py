@@ -83,24 +83,34 @@ class MinHashKernel:
             sh = np.zeros(max(len(h) - k + 1, 0), dtype=np.uint64)
             for j in range(k):
                 sh = sh * C + h[j : len(h) - k + 1 + j]
-        # mask shingles that cross doc boundaries; docs shorter than k tokens
-        # fall back to their single tokens as shingles
+        # build one flat shingle stream with per-doc offsets: docs with >= k
+        # tokens use their k-shingles; shorter docs fall back to raw tokens.
+        # Then ONE (S_total, P) multiply-add + minimum.reduceat per batch —
+        # no per-doc Python work.
         offsets = np.concatenate([[0], np.cumsum(lens)])
+        segs: list[np.ndarray] = []
+        seg_lens = np.empty(n, dtype=np.int64)
+        for d in range(n):  # cheap slicing loop; heavy math is below
+            s0, s1 = offsets[d], offsets[d + 1]
+            seg = sh[s0 : s1 - k + 1] if s1 - s0 >= k else h[s0:s1]
+            segs.append(seg)
+            seg_lens[d] = len(seg)
+        flat = np.concatenate(segs) if segs else np.empty(0, np.uint64)
         sigs = np.full((n, self.n_perm), _MERSENNE, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            for d in range(n):  # per-doc segment; inner ops vectorized over S×P
-                s0, s1 = offsets[d], offsets[d + 1]
-                if s1 - s0 >= k:
-                    seg = sh[s0 : s1 - k + 1]
-                else:
-                    seg = h[s0:s1]
-                if len(seg) == 0:
-                    continue
-                m = seg[:, None] * self.a[None, :] + self.b[None, :]
-                sigs[d] = m.min(axis=0)
+        if len(flat):
+            with np.errstate(over="ignore"):
+                m = flat[:, None] * self.a[None, :] + self.b[None, :]
+            starts = np.concatenate([[0], np.cumsum(seg_lens)])[:-1]
+            nonempty = seg_lens > 0
+            safe_starts = np.minimum(starts, len(flat) - 1)
+            mins = np.minimum.reduceat(m, safe_starts, axis=0)
+            sigs[nonempty] = mins[nonempty]
         return ids, sigs
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
+        """-> slim band rows (doc_id, band_id, band_hash) — signatures are NOT
+        duplicated into band rows (16× shuffle amplification); verification
+        reads them from the separate signature table."""
         ids, sigs = self.signatures(batch)
         n = len(ids)
         r = self.rows_per_band
@@ -112,10 +122,15 @@ class MinHashKernel:
             {
                 "doc_id": np.repeat(ids, self.n_bands),
                 "band_id": np.tile(np.arange(self.n_bands), n),
-                "band_hash": bands.reshape(-1),
-                "sig": list(np.repeat(sigs, self.n_bands, axis=0)),
+                # int64 bit-view: Ray's groupby coerces uint64 keys to float64
+                # (precision loss on 64-bit hashes); int64 survives intact
+                "band_hash": bands.reshape(-1).view(np.int64),
             }
         )
+
+    def signature_frame(self, batch: pa.Table) -> pd.DataFrame:
+        ids, sigs = self.signatures(batch)
+        return pd.DataFrame({"doc_id": ids, "sig": list(sigs)})
 
 
 def minhash_candidate_pairs(
@@ -130,35 +145,137 @@ def minhash_candidate_pairs(
     max_bucket: int = 200,
 ) -> ray.data.Dataset:
     """-> verified pair rows (doc_a, doc_b, est_jaccard)."""
+    import ray
+
     kern = MinHashKernel(
         id_col=id_col, text_col=text_col, shingle_k=shingle_k, n_perm=n_perm, n_bands=n_bands
     )
     banded = ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
+    # signature table, computed once and broadcast for verification.
+    # (At >>10M docs swap the broadcast for a hash-bucket join of pair rows
+    # against the signature table — the pair set stays the small side.)
+    sig_batches = ds.map_batches(
+        kern.signature_frame, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sig_df = sig_batches.to_pandas()
+    sig_map_ref = ray.put(
+        {i: s for i, s in zip(sig_df["doc_id"], sig_df["sig"])}
+    )
+
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "band_id": pd.Series([], dtype="int64"),
+        }
+    )
+
+    # ----- hot-bucket pre-filter --------------------------------------------
+    # Most (band, hash) buckets are singletons; calling a per-group UDF on
+    # every one costs ~1ms each (ruinous at 16 rows/doc). Count bucket sizes
+    # with the C aggregate path, broadcast the (small) set of buckets with
+    # >= 2 members, filter band rows to those, and pair only there.
+    # slim rows — fewer blocks, less scheduling; materialize so the two
+    # consumers (bucket counting + hot filter) don't re-run the kernel
+    banded = banded.repartition(8).materialize()
+    # bucket sizes: per-block partial counts (vectorized pandas) merged with
+    # polars on the driver — partials are <= one row per distinct bucket per
+    # block. (Ray's multi-key groupby costs ~35s on 80k rows here; above
+    # ~50M distinct buckets switch this to Dataset.groupby — same semantics.)
+    partials = banded.map_batches(
+        lambda df: df.groupby(["band_id", "band_hash"], as_index=False).size(),
+        batch_format="pandas",
+    ).to_pandas()
+    merged = (
+        pl.from_pandas(partials)
+        .group_by(["band_id", "band_hash"])
+        .agg(pl.col("size").sum())
+    )
+    hot = merged.filter(pl.col("size") >= 2)
+    hot_ref = ray.put(
+        set(zip(hot["band_id"].to_list(), hot["band_hash"].to_list()))
+    )
+
+    class HotFilter:
+        def __init__(self, ref):
+            self.ref = ref
+            self._s = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._s is None:
+                self._s = ray.get(self.ref)
+            keys = pd.Series(list(zip(df["band_id"], df["band_hash"])), index=df.index)
+            return df[keys.isin(self._s)]
+
+    hot_rows = banded.map_batches(HotFilter(hot_ref), batch_format="pandas")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id").head(max_bucket)
-        ids = g["doc_id"].to_numpy()
+        ids = np.sort(g["doc_id"].unique())[:max_bucket]
         if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-        sigs = np.stack(g["sig"].to_numpy())
-        rows = {"doc_a": [], "doc_b": [], "est_jaccard": []}
-        for i in range(len(ids)):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            keep = np.where(eq >= threshold)[0]
-            for j in keep:
-                rows["doc_a"].append(ids[i])
-                rows["doc_b"].append(ids[i + 1 + j])
-                rows["est_jaccard"].append(float(eq[j]))
-        return pd.DataFrame(rows)
+            return empty
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {
+                "doc_a": ids[iu].astype("int64"),
+                "doc_b": ids[ju].astype("int64"),
+                "band_id": np.int64(g["band_id"].iloc[0]),
+            }
+        )
 
-    cand = banded.groupby(["band_id", "band_hash"]).map_groups(
+    cand = hot_rows.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas"
     )
-    # same pair can surface from several bands — dedupe on (doc_a, doc_b)
-    def dedupe(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
 
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(dedupe, batch_format="pandas")
+    class Verify:
+        """Stateless broadcast-lookup stage doing BOTH dedupe and verify:
+        a pair survives only in the row of its FIRST colliding band (computed
+        from the signatures — no global pair shuffle needed) and only if the
+        signature-slot agreement >= threshold."""
+
+        def __init__(self, ref, band_a, n_bands, rows_per_band):
+            self.ref = ref
+            self.band_a = band_a
+            self.n_bands = n_bands
+            self.r = rows_per_band
+            self._m = None
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            out_empty = pd.DataFrame(
+                {
+                    "doc_a": np.empty(0, "int64"),
+                    "doc_b": np.empty(0, "int64"),
+                    "est_jaccard": np.empty(0, "float64"),
+                }
+            )
+            if batch.num_rows == 0 or "doc_a" not in batch.schema.names:
+                return out_empty
+            if self._m is None:
+                self._m = ray.get(self.ref)
+            a = batch["doc_a"].to_numpy(zero_copy_only=False)
+            b = batch["doc_b"].to_numpy(zero_copy_only=False)
+            band = batch["band_id"].to_numpy(zero_copy_only=False)
+            sa = np.stack([self._m[x] for x in a])
+            sb = np.stack([self._m[x] for x in b])
+            eq = sa == sb
+            est = eq.mean(axis=1)
+            with np.errstate(over="ignore"):
+                ba = (sa.reshape(-1, self.n_bands, self.r) * self.band_a).sum(axis=2).view(np.int64)
+                bb = (sb.reshape(-1, self.n_bands, self.r) * self.band_a).sum(axis=2).view(np.int64)
+            collide = ba == bb  # (n_pairs, n_bands)
+            first = collide.argmax(axis=1)  # first colliding band
+            keep = (est >= threshold) & (first == band) & collide.any(axis=1)
+            return pd.DataFrame(
+                {
+                    "doc_a": a[keep],
+                    "doc_b": b[keep],
+                    "est_jaccard": est[keep].astype("float64"),
+                }
+            )
+
+    return cand.map_batches(
+        Verify(sig_map_ref, kern.band_a, kern.n_bands, kern.rows_per_band),
+        batch_format="pyarrow",
+    )
 
 
 def components_from_pairs(
