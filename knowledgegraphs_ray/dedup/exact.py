@@ -34,6 +34,7 @@ def dedup_exact(
     column: str = "text",
     id_column: str = "doc_id",
     keep_payload: bool = True,
+    driver_merge_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """One row per distinct ``column`` value: representative = min(id), plus
     ``n_copies``. Shuffle key is the content hash (8 bytes/row), not the
@@ -41,18 +42,43 @@ def dedup_exact(
     collisions cannot merge distinct texts.
     """
 
-    hashed = ds.map_batches(
-        lambda b: add_content_hash(b, column=column),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    from ray.data.aggregate import Min, Sum
 
-    def pick(g: pd.DataFrame) -> pd.DataFrame:
-        agg = (
-            g.groupby(column, as_index=False, sort=False)
-            .agg(**{id_column: (id_column, "min"), "n_copies": (id_column, "size")})
+    # per-batch partial dedupe first (the combiner): one row per distinct
+    # value per block, so the shuffle moves distinct values, not the corpus
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(column, as_index=False, sort=False).agg(
+            **{id_column: (id_column, "min"), "n_copies": (id_column, "size")}
         )
-        cols = [id_column, "n_copies"] + ([column] if keep_payload else [])
-        return agg[cols]
 
-    return hashed.groupby("content_hash").map_groups(pick, batch_format="pandas")
+    parts = ds.map_batches(partial, batch_format="pandas")
+    if driver_merge_limit:
+        # small-cardinality fast path: partials merged driver-side in polars
+        # (Ray's aggregate has ~5s fixed cost at toy scale). Falls back to the
+        # distributed aggregate when partials exceed the limit; materialize so
+        # the count probe and the chosen path share one execution.
+        import polars as pl
+        import ray.data as rd
+
+        parts = parts.materialize()
+        if parts.count() <= driver_merge_limit:
+            pdf = parts.to_pandas()
+            out = (
+                pl.from_pandas(pdf)
+                .group_by(column)
+                .agg(
+                    pl.col(id_column).min().alias(id_column),
+                    pl.col("n_copies").sum().alias("n_copies"),
+                )
+                .sort(id_column)
+            )
+            cols = [id_column, "n_copies"] + ([column] if keep_payload else [])
+            return rd.from_arrow(out.select(cols).to_arrow())
+    # distributed path: builtin aggregates (C path — a per-group Python UDF
+    # here costs ~1ms per distinct value and dominates at scale)
+    out = parts.repartition(8).groupby(column).aggregate(
+        Min(id_column, alias_name=id_column), Sum("n_copies", alias_name="n_copies")
+    )
+    if not keep_payload:
+        out = out.select_columns([id_column, "n_copies"])
+    return out

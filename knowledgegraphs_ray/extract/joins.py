@@ -1,0 +1,93 @@
+"""Join strategies (J1 re-hosted for scale).
+
+The reference's FK join is a per-row lookup into the referenced table
+(InsertDataRDB.java:197-211). Here:
+
+* ``broadcast_join`` — small side ``ray.put`` once as an Arrow table, probe
+  with a vectorized pandas merge inside ``map_batches``. No shuffle. This is
+  the right plan whenever one side fits a worker (dimension tables,
+  canonical-entity maps, link tables).
+* ``bucket_join`` — both sides large: add ``bucket = hash(key) % B`` to both,
+  co-locate with one groupby each, merge matching buckets pairwise. The
+  explicit partitioned hash join (documented pattern from the Ray guide);
+  used when no side is broadcastable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def broadcast_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    right_columns: list[str] | None = None,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """left JOIN broadcast(right). ``how``: inner | left | semi | anti."""
+    cols = right_columns or [c for c in right.schema().names]
+    if right_on not in cols:
+        cols = [right_on] + cols
+    rdf = right.select_columns(cols).to_pandas()
+    ref = ray.put(rdf)
+
+    class Probe:
+        def __init__(self, ref, how):
+            self.ref = ref
+            self.how = how
+            self._r = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._r is None:
+                self._r = ray.get(self.ref)
+            r = self._r
+            if self.how in ("semi", "anti"):
+                mask = df[left_on].isin(set(r[right_on]))
+                return df[mask] if self.how == "semi" else df[~mask]
+            return df.merge(
+                r, how=self.how, left_on=left_on, right_on=right_on
+            )
+
+    return left.map_batches(Probe(ref, how), batch_format="pandas")
+
+
+def bucket_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    n_buckets: int = 32,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Partitioned hash join: both sides bucketed on the key hash, buckets
+    co-located via groupby, merged per bucket. Salt hot keys upstream if one
+    key dominates (the bucket of a hot key is that key's full row set)."""
+
+    def add_bucket(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        h = pd.util.hash_array(df[col].to_numpy()) % n_buckets
+        df = df.copy()
+        df["__bucket"] = h.astype("int64")
+        return df
+
+    lb = left.map_batches(lambda d: add_bucket(d, left_on), batch_format="pandas")
+    rb = right.map_batches(lambda d: add_bucket(d, right_on), batch_format="pandas")
+    lb = lb.map_batches(lambda d: d.assign(__side=0), batch_format="pandas")
+    rb = rb.map_batches(lambda d: d.assign(__side=1), batch_format="pandas")
+    both = lb.union(rb)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["__side"] == 0].dropna(axis=1, how="all").drop(columns=["__side", "__bucket"])
+        r = g[g["__side"] == 1].dropna(axis=1, how="all").drop(columns=["__side", "__bucket"])
+        if l.empty or (r.empty and how == "inner"):
+            return pd.DataFrame()
+        return l.merge(r, how=how, left_on=left_on, right_on=right_on)
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -107,6 +107,24 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, query_ids=[0, 1, 2], k=10)
 
 
+def q_pricing_summary(sf_dir: str):
+    from knowledgegraphs_ray.pipelines.analytics import lineitem_pricing_summary
+
+    return lineitem_pricing_summary(sf_dir)
+
+
+def q_orders_customer_join(sf_dir: str):
+    from knowledgegraphs_ray.pipelines.analytics import orders_with_customer
+
+    return orders_with_customer(sf_dir)
+
+
+def q_top_customers(sf_dir: str):
+    from knowledgegraphs_ray.pipelines.analytics import top_customers_by_revenue
+
+    return top_customers_by_revenue(sf_dir)
+
+
 def q_pii_scan_documents(sf_dir: str):
     from knowledgegraphs_ray.pii.scan import scan_value_pii
 
@@ -224,6 +242,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_exact_documents": q_link_exact_documents,
         "link_scored_documents": q_link_scored_documents,
         "canonical_mentions": q_canonical_mentions,
+        "pricing_summary": q_pricing_summary,
+        "orders_customer_join": q_orders_customer_join,
+        "top_customers": q_top_customers,
         "pii_scan_documents": q_pii_scan_documents,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
@@ -312,6 +333,23 @@ def oracle_sql() -> dict[str, str]:
         # minhash_dedup_pairs / simhash_pairs: sketch-based (seeded-hash)
         # candidate generation — non-SQL (rows-only; pytest checks recall vs
         # exact pairs)
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+            "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_customer_join": (
+            "SELECT o.o_orderkey, c.c_name, c.c_mktsegment "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "top_customers": (
+            "WITH a AS (SELECT o_custkey, "
+            "  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents, "
+            "  count(*) AS n_orders FROM orders GROUP BY o_custkey) "
+            "SELECT CAST(row_number() OVER (ORDER BY total_cents DESC, o_custkey) AS BIGINT) AS rank, "
+            "o_custkey, total_cents, n_orders FROM a "
+            "ORDER BY total_cents DESC, o_custkey LIMIT 10"
+        ),
         "pii_scan_documents": __import__(
             "knowledgegraphs_ray.pii.scan", fromlist=["pii_scan_oracle_sql"]
         ).pii_scan_oracle_sql(),

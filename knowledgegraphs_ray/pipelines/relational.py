@@ -28,7 +28,11 @@ def extract_table_triples(
     plan = rules.plans[table]
     ds = read_table(sf_dir, table, columns=plan.needed_columns)
     kernel = TripleKernel(plan, schema[table].columns)
-    return ds.map_batches(kernel, batch_format="pyarrow", zero_copy_batch=True)
+    # large batches: the kernel is pure Arrow compute — per-call overhead
+    # dominates at Ray's default 1024-row batches
+    return ds.map_batches(
+        kernel, batch_format="pyarrow", zero_copy_batch=True, batch_size=32768
+    )
 
 
 def extract_kg(

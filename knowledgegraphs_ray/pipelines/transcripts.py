@@ -85,10 +85,18 @@ def transcripts_from_events(sf_dir: str) -> ray.data.Dataset:
     return ds.groupby("user_id").map_groups(to_turns, batch_format="pandas")
 
 
-def ordered_transcripts(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Stable per-conversation turn order (north_rule T8): groupby(conv_id) +
-    in-group sort by turn_idx — cheaper than a global sort because order only
-    needs to hold within a conversation."""
+def ordered_transcripts(ds: ray.data.Dataset, *, strategy: str = "sort") -> ray.data.Dataset:
+    """Stable per-conversation turn order (north_rule T8).
+
+    strategy="sort" (default): one distributed range-partitioned sort on
+    (conv_id, turn_idx) — global order implies per-conversation order, and
+    Ray's sort is a vectorized C path. strategy="group": the literal
+    groupby(conv_id) + in-group sort; semantically identical but pays a
+    Python UDF call per conversation (~1ms each — ruinous at 10^10
+    conversations), kept for small keyed workloads that need custom
+    per-group logic anyway."""
+    if strategy == "sort":
+        return ds.sort(["conv_id", "turn_idx"])
 
     def sort_group(g: pd.DataFrame) -> pd.DataFrame:
         return g.sort_values("turn_idx", kind="mergesort")
@@ -140,7 +148,10 @@ class TranscriptTripleKernel:
 
 def extract_transcript_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(
-        TranscriptTripleKernel(), batch_format="pyarrow", zero_copy_batch=True
+        TranscriptTripleKernel(),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=32768,
     )
 
 
