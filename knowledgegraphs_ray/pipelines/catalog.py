@@ -107,6 +107,13 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, query_ids=[0, 1, 2], k=10)
 
 
+def q_candidate_keys_customer(sf_dir: str):
+    from knowledgegraphs_ray.schema.keys import candidate_keys
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+    return candidate_keys(ds)
+
+
 def q_pricing_summary(sf_dir: str):
     from knowledgegraphs_ray.pipelines.analytics import lineitem_pricing_summary
 
@@ -242,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_exact_documents": q_link_exact_documents,
         "link_scored_documents": q_link_scored_documents,
         "canonical_mentions": q_canonical_mentions,
+        "candidate_keys_customer": q_candidate_keys_customer,
         "pricing_summary": q_pricing_summary,
         "orders_customer_join": q_orders_customer_join,
         "top_customers": q_top_customers,
@@ -333,6 +341,12 @@ def oracle_sql() -> dict[str, str]:
         # minhash_dedup_pairs / simhash_pairs: sketch-based (seeded-hash)
         # candidate generation — non-SQL (rows-only; pytest checks recall vs
         # exact pairs)
+        "candidate_keys_customer": " UNION ALL ".join(
+            f"SELECT '{c}' AS column, count(DISTINCT {c}) AS n_distinct, "
+            f"count(*) AS n_rows, count(DISTINCT {c}) = count(*) AS is_candidate_key "
+            "FROM customer"
+            for c in tpch_schema(["customer"])["customer"].columns
+        ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
             "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
