@@ -155,6 +155,30 @@ def extract_transcript_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def with_context_window(ds: ray.data.Dataset, *, k: int = 2) -> ray.data.Dataset:
+    """X2 analogue: per-turn context = concatenated text of the ±k
+    neighbouring turns within the SAME conversation (reference: AAExpansion
+    context scoring against the ±2 header window, InterpretHeaders.py:163-298;
+    for transcripts the window is the conversation — north_star's
+    'within-conversation window').
+
+    groupby(conv_id).map_groups — the designated per-group custom-logic
+    path; pays Python per conversation, so feed it conversations that
+    actually need context (e.g. only convs containing mentions)."""
+
+    def per_conv(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("turn_idx", kind="mergesort").reset_index(drop=True)
+        texts = g["text"].fillna("").tolist()
+        ctx = []
+        for i in range(len(g)):
+            lo, hi = max(0, i - k), min(len(g), i + k + 1)
+            ctx.append(" ".join(texts[lo:i] + texts[i + 1 : hi]))
+        g["context"] = ctx
+        return g
+
+    return ds.groupby("conv_id").map_groups(per_conv, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # Deterministic synthetic transcripts (FIXTURES.md F1) — distributed generator
 
