@@ -19,6 +19,12 @@ import ray.data
 PREFIXES = {
     "kg:": "http://kg.local/",
     "rdf:": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs:": "http://www.w3.org/2000/01/rdf-schema#",
+    "owl:": "http://www.w3.org/2002/07/owl#",
+    "xsd:": "http://www.w3.org/2001/XMLSchema#",
+    "skos:": "http://www.w3.org/2004/02/skos/core#",
+    "dpv:": "https://w3id.org/dpv#",
+    "do:": "http://kg.local/do/",
 }
 
 
@@ -34,8 +40,8 @@ def _expand(arr: pa.Array) -> pa.Array:
 
 
 def _is_iri(arr: pa.Array) -> pa.Array:
-    m = pc.starts_with(arr, "kg:")
-    for pfx in ("rdf:", "http://", "https://"):
+    m = pc.starts_with(arr, "http://")
+    for pfx in list(PREFIXES) + ["https://"]:
         m = pc.or_(m, pc.starts_with(arr, pfx))
     return m
 
