@@ -50,7 +50,9 @@ def tumbling_window_agg(
             .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
         )
 
-    partials = ds.map_batches(assign_and_partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(
+        assign_and_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).repartition(8)  # partials are tiny; fewer blocks, less aggregate overhead
     from ray.data.aggregate import Sum
 
     return partials.groupby([key, "window_start"]).aggregate(
