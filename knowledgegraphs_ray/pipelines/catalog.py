@@ -107,6 +107,59 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, query_ids=[0, 1, 2], k=10)
 
 
+def q_clean_corpus(sf_dir: str):
+    from knowledgegraphs_ray.pipelines.training_data import clean_corpus
+
+    return clean_corpus(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
+def q_kg_pred_stats(sf_dir: str):
+    from ray.data.aggregate import Sum
+    import pandas as pd
+
+    trips = extract_kg(sf_dir, STAR_TABLES)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"pred": batch["pred"].to_numpy(zero_copy_only=False)})
+        return df.groupby("pred", as_index=False).size().rename(columns={"size": "n"})
+
+    parts = trips.map_batches(partial, batch_format="pyarrow", batch_size=65536).repartition(4)
+    return parts.groupby("pred").aggregate(Sum("n", alias_name="n_triples"))
+
+
+def q_purchases_last_view(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+    from knowledgegraphs_ray.extract.asof import asof_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    )
+    purchases = ev.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["event_type"], "purchase")).drop(
+            ["event_type"]
+        ),
+        batch_format="pyarrow",
+    )
+    views = ev.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["event_type"], "view")).drop(
+            ["event_type", "event_id"]
+        ),
+        batch_format="pyarrow",
+    )
+    joined = asof_join(purchases, views, key="user_id", ts_col="ts", right_cols=[])
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        ts_r = pd.to_datetime(df["ts_right"]).astype("datetime64[us]")
+        us = pd.array(ts_r.astype("int64"), dtype="Int64")
+        us[ts_r.isna().to_numpy()] = pd.NA
+        return pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"), "last_view_us": us}
+        )
+
+    return joined.map_batches(finalize, batch_format="pandas")
+
+
 def q_candidate_keys_customer(sf_dir: str):
     from knowledgegraphs_ray.schema.keys import candidate_keys
 
@@ -249,6 +302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_exact_documents": q_link_exact_documents,
         "link_scored_documents": q_link_scored_documents,
         "canonical_mentions": q_canonical_mentions,
+        "clean_corpus": q_clean_corpus,
+        "kg_pred_stats": q_kg_pred_stats,
+        "purchases_last_view": q_purchases_last_view,
         "candidate_keys_customer": q_candidate_keys_customer,
         "pricing_summary": q_pricing_summary,
         "orders_customer_join": q_orders_customer_join,
@@ -341,6 +397,20 @@ def oracle_sql() -> dict[str, str]:
         # minhash_dedup_pairs / simhash_pairs: sketch-based (seeded-hash)
         # candidate generation — non-SQL (rows-only; pytest checks recall vs
         # exact pairs)
+        "clean_corpus": __import__(
+            "knowledgegraphs_ray.pipelines.training_data", fromlist=["clean_corpus_oracle_sql"]
+        ).clean_corpus_oracle_sql(),
+        "kg_pred_stats": (
+            "WITH kg AS (" + _plan_sql(STAR_TABLES) + ") "
+            "SELECT pred, count(*) AS n_triples FROM kg GROUP BY pred"
+        ),
+        "purchases_last_view": (
+            "SELECT p.event_id, "
+            "(SELECT max(epoch_us(v.ts)) FROM events v "
+            " WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts) "
+            "AS last_view_us "
+            "FROM events p WHERE p.event_type = 'purchase'"
+        ),
         "candidate_keys_customer": " UNION ALL ".join(
             f"SELECT '{c}' AS column, count(DISTINCT {c}) AS n_distinct, "
             f"count(*) AS n_rows, count(DISTINCT {c}) = count(*) AS is_candidate_key "
