@@ -70,6 +70,9 @@ def run_bench() -> dict:
     timed("link_scored", catalog.q_link_scored_documents)
     timed("json_triples", catalog.q_json_triples_events)
     timed("pii_scan", catalog.q_pii_scan_documents)
+    timed("clean_corpus", catalog.q_clean_corpus)
+    timed("kg_pred_stats", catalog.q_kg_pred_stats)
+    timed("asof_last_view", catalog.q_purchases_last_view)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)
