@@ -97,14 +97,14 @@ class MinHashKernel:
             seg_lens[d] = len(seg)
         flat = np.concatenate(segs) if segs else np.empty(0, np.uint64)
         sigs = np.full((n, self.n_perm), _MERSENNE, dtype=np.uint64)
-        if len(flat):
+        nonempty = seg_lens > 0
+        if len(flat) and nonempty.any():
             with np.errstate(over="ignore"):
                 m = flat[:, None] * self.a[None, :] + self.b[None, :]
             starts = np.concatenate([[0], np.cumsum(seg_lens)])[:-1]
-            nonempty = seg_lens > 0
-            safe_starts = np.minimum(starts, len(flat) - 1)
-            mins = np.minimum.reduceat(m, safe_starts, axis=0)
-            sigs[nonempty] = mins[nonempty]
+            # reduceat over non-empty segments only (empty segments share
+            # their start with a neighbour and would corrupt its span)
+            sigs[nonempty] = np.minimum.reduceat(m, starts[nonempty], axis=0)
         return ids, sigs
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:

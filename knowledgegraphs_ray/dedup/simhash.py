@@ -40,12 +40,12 @@ def simhash_batch(
         np.int64
     ) * 2 - 1
     offsets = np.concatenate([[0], np.cumsum(lens)])[:-1]
-    if len(h):
-        starts = np.minimum(offsets, len(h) - 1)
-        sums = np.add.reduceat(bits, starts, axis=0)
-    else:
-        sums = np.zeros((n, 64), dtype=np.int64)
-    sums[lens == 0] = -1  # empty doc -> fingerprint 0
+    sums = np.full((n, 64), -1, dtype=np.int64)  # empty doc -> fingerprint 0
+    nonempty = lens > 0
+    if len(h) and nonempty.any():
+        # reduceat over non-empty docs only (empty docs share start indices
+        # with their neighbours and would corrupt the segments)
+        sums[nonempty] = np.add.reduceat(bits, offsets[nonempty], axis=0)
     fp = ((sums > 0).astype(np.uint64) * (np.uint64(1) << np.arange(64, dtype=np.uint64))).sum(
         axis=1
     )

@@ -109,12 +109,14 @@ def rolling_hashes(arr: pa.Array) -> np.ndarray:
     exps = ends - 1 - pos
     weighted = data[offsets[0] : offsets[-1]].astype(np.uint64) * powers[exps]
     starts = (offsets[:-1] - offsets[0]).astype(np.int64)
-    if len(weighted):
-        starts = np.minimum(starts, len(weighted) - 1)  # reduceat needs idx < len
-        sums = np.add.reduceat(weighted, starts)
-    else:
-        sums = np.zeros(n, np.uint64)
-    sums = np.where(lens == 0, np.uint64(0), sums)  # reduceat quirk on empty spans
+    sums = np.zeros(n, np.uint64)
+    nonempty = lens > 0
+    if len(weighted) and nonempty.any():
+        # reduceat over NON-EMPTY docs only: empty docs share their start
+        # index with the next doc, which would corrupt the neighbouring
+        # segment (reduceat treats duplicate indices as 1-element spans)
+        with np.errstate(over="ignore"):
+            sums[nonempty] = np.add.reduceat(weighted, starts[nonempty])
     return sums.astype(np.uint64)
 
 
