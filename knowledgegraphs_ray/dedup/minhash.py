@@ -72,7 +72,13 @@ class MinHashKernel:
             .alias("t"),
         )
         lens = toks["t"].list.len().to_numpy().astype(np.int64)
-        flat = toks.explode("t").select(pl.col("t").hash(seed=_SEED).alias("h"))
+        # drop_nulls: exploding an EMPTY list yields one null row, which would
+        # desynchronize the flat hash stream from the length offsets
+        flat = (
+            toks.explode("t")
+            .drop_nulls("t")
+            .select(pl.col("t").hash(seed=_SEED).alias("h"))
+        )
         h = flat["h"].to_numpy().astype(np.uint64)
         ids = df[self.id_col].to_numpy()
         n = len(ids)

@@ -27,8 +27,10 @@ def simhash_batch(
         pl.col(text_col).str.to_lowercase().str.extract_all("[a-z0-9_]+").alias("t"),
     )
     lens = toks["t"].list.len().to_numpy().astype(np.int64)
+    # drop_nulls: exploding an empty list yields one null row (offset desync)
     h = (
         toks.explode("t")
+        .drop_nulls("t")
         .select(pl.col("t").hash(seed=_SEED).alias("h"))["h"]
         .to_numpy()
         .astype(np.uint64)
