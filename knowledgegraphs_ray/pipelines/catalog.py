@@ -276,6 +276,13 @@ def q_canonical_mentions(sf_dir: str):
     return canonicalize_mentions(mentions.select_columns(["mention"]))
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    from knowledgegraphs_ray.sim.ivf import ivf_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, query_ids=[0, 1, 2], k=10, n_list=16, n_probe=8)
+
+
 def q_doc_fingerprints(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id", "text"])
@@ -297,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality": q_text_quality,
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "doc_fingerprints": q_doc_fingerprints,
         "mentions_documents": q_mentions_documents,
         "link_exact_documents": q_link_exact_documents,
