@@ -107,6 +107,43 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, query_ids=[0, 1, 2], k=10)
 
 
+def q_kg_triples_dedup(sf_dir: str):
+    """D5: exact (s,p,o) dedup — the duplicated union collapses back to the
+    original set because IRIs are deterministic (retry idempotence)."""
+    from knowledgegraphs_ray.dedup.exact import dedup_exact
+    import pyarrow.compute as pc
+
+    trips = extract_kg(sf_dir, ["nation", "region"])
+    doubled = trips.union(extract_kg(sf_dir, ["nation", "region"]))
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            batch["subj"].combine_chunks().cast(pa.string()),
+            batch["pred"].combine_chunks().cast(pa.string()),
+            batch["obj"].combine_chunks().cast(pa.string()),
+            "\x1f",
+        )
+        return batch.append_column("spo", key).append_column("spo_id", key)
+
+    keyed = doubled.map_batches(add_key, batch_format="pyarrow")
+    deduped = dedup_exact(keyed, column="spo", id_column="spo_id", keep_payload=True)
+    # (spo, n_copies) -> split back to columns
+    import pandas as pd
+
+    def split(df: pd.DataFrame) -> pd.DataFrame:
+        parts = df["spo"].str.split("\x1f", expand=True)
+        return pd.DataFrame(
+            {
+                "subj": parts[0],
+                "pred": parts[1],
+                "obj": parts[2],
+                "n_copies": df["n_copies"].astype("int64"),
+            }
+        )
+
+    return deduped.map_batches(split, batch_format="pandas")
+
+
 def q_clean_corpus(sf_dir: str):
     from knowledgegraphs_ray.pipelines.training_data import clean_corpus
 
@@ -310,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_exact_documents": q_link_exact_documents,
         "link_scored_documents": q_link_scored_documents,
         "canonical_mentions": q_canonical_mentions,
+        "kg_triples_dedup": q_kg_triples_dedup,
         "clean_corpus": q_clean_corpus,
         "kg_pred_stats": q_kg_pred_stats,
         "purchases_last_view": q_purchases_last_view,
@@ -405,6 +443,12 @@ def oracle_sql() -> dict[str, str]:
         # minhash_dedup_pairs / simhash_pairs: sketch-based (seeded-hash)
         # candidate generation — non-SQL (rows-only; pytest checks recall vs
         # exact pairs)
+        "kg_triples_dedup": (
+            "WITH kg AS ("
+            + _plan_sql(["nation", "region"])
+            + "), d AS (SELECT * FROM kg UNION ALL SELECT * FROM kg) "
+            "SELECT subj, pred, obj, count(*) AS n_copies FROM d GROUP BY subj, pred, obj"
+        ),
         "clean_corpus": __import__(
             "knowledgegraphs_ray.pipelines.training_data", fromlist=["clean_corpus_oracle_sql"]
         ).clean_corpus_oracle_sql(),
