@@ -157,16 +157,6 @@ def minhash_candidate_pairs(
         id_col=id_col, text_col=text_col, shingle_k=shingle_k, n_perm=n_perm, n_bands=n_bands
     )
     banded = ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
-    # signature table, computed once and broadcast for verification.
-    # (At >>10M docs swap the broadcast for a hash-bucket join of pair rows
-    # against the signature table — the pair set stays the small side.)
-    sig_batches = ds.map_batches(
-        kern.signature_frame, batch_format="pyarrow", zero_copy_batch=True
-    )
-    sig_df = sig_batches.to_pandas()
-    sig_map_ref = ray.put(
-        {i: s for i, s in zip(sig_df["doc_id"], sig_df["sig"])}
-    )
 
     empty = pd.DataFrame(
         {
@@ -230,7 +220,35 @@ def minhash_candidate_pairs(
 
     cand = hot_rows.groupby(["band_id", "band_hash"]).map_groups(
         pairs, batch_format="pandas"
+    ).materialize()
+
+    # ----- signatures, but only for candidate-pair members -----------------
+    # The signature table is corpus-sized (n_docs × n_perm × 8B); candidate
+    # pairs after LSH are near-dup-sized. Collect signatures ONLY for ids
+    # appearing in pairs (broadcast id-set semi-filter over a second
+    # signature pass) — memory ∝ pairs, never ∝ corpus.
+    cdf = cand.to_pandas()
+    needed = set(cdf["doc_a"]).union(cdf["doc_b"]) if len(cdf) else set()
+    needed_ref = ray.put(needed)
+
+    class SigFilter:
+        def __init__(self, ref):
+            self.ref = ref
+            self._ids = None
+
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            if self._ids is None:
+                self._ids = ray.get(self.ref)
+            sf = kern.signature_frame(batch)
+            return sf[sf["doc_id"].isin(self._ids)]
+
+    sig_df = (
+        ds.map_batches(SigFilter(needed_ref), batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        if needed
+        else pd.DataFrame({"doc_id": [], "sig": []})
     )
+    sig_map_ref = ray.put({i: s for i, s in zip(sig_df["doc_id"], sig_df["sig"])})
 
     class Verify:
         """Stateless broadcast-lookup stage doing BOTH dedupe and verify:
