@@ -58,6 +58,27 @@ def broadcast_join(
     return left.map_batches(Probe(ref, how), batch_format="pandas")
 
 
+def native_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Ray's built-in hash-partitioned join (Dataset.join, Ray >= 2.46) —
+    the preferred both-sides-large path when available; ``bucket_join`` below
+    is the portable fallback with explicit salting control."""
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=num_partitions,
+        on=(left_on,),
+        right_on=(right_on,),
+    )
+
+
 def bucket_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -197,6 +197,20 @@ def q_purchases_last_view(sf_dir: str):
     return joined.map_batches(finalize, batch_format="pandas")
 
 
+def q_lineitem_orders_join(sf_dir: str):
+    """Both-sides-large hash join via Ray's native Dataset.join."""
+    from knowledgegraphs_ray.extract.joins import native_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    out = native_join(li, orders, left_on="l_orderkey", right_on="o_orderkey")
+    return out.select_columns(["l_orderkey", "l_linenumber", "o_orderstatus"])
+
+
 def q_candidate_keys_customer(sf_dir: str):
     from knowledgegraphs_ray.schema.keys import candidate_keys
 
@@ -351,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q_clean_corpus,
         "kg_pred_stats": q_kg_pred_stats,
         "purchases_last_view": q_purchases_last_view,
+        "lineitem_orders_join": q_lineitem_orders_join,
         "candidate_keys_customer": q_candidate_keys_customer,
         "pricing_summary": q_pricing_summary,
         "orders_customer_join": q_orders_customer_join,
@@ -462,6 +477,10 @@ def oracle_sql() -> dict[str, str]:
             " WHERE v.user_id = p.user_id AND v.event_type = 'view' AND v.ts < p.ts) "
             "AS last_view_us "
             "FROM events p WHERE p.event_type = 'purchase'"
+        ),
+        "lineitem_orders_join": (
+            "SELECT l.l_orderkey, l.l_linenumber, o.o_orderstatus "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
         ),
         "candidate_keys_customer": " UNION ALL ".join(
             f"SELECT '{c}' AS column, count(DISTINCT {c}) AS n_distinct, "
