@@ -105,10 +105,13 @@ def bucket_join(
     both = lb.union(rb)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        l = g[g["__side"] == 0].dropna(axis=1, how="all").drop(columns=["__side", "__bucket"])
-        r = g[g["__side"] == 1].dropna(axis=1, how="all").drop(columns=["__side", "__bucket"])
+        l = g[g["__side"] == 0].drop(columns=["__side", "__bucket"])
+        r = g[g["__side"] == 1].drop(columns=["__side", "__bucket"])
         if l.empty or (r.empty and how == "inner"):
             return pd.DataFrame()
+        # drop the all-null columns the union introduced from the other side
+        l = l.dropna(axis=1, how="all")
+        r = r.dropna(axis=1, how="all")
         return l.merge(r, how=how, left_on=left_on, right_on=right_on)
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -1,0 +1,75 @@
+"""Join strategies agree with each other and with pandas semantics."""
+
+import pandas as pd
+import ray.data
+
+from knowledgegraphs_ray.extract.asof import asof_join
+from knowledgegraphs_ray.extract.joins import broadcast_join, bucket_join, native_join
+
+
+def _sides():
+    left = ray.data.from_items(
+        [
+            {"k": 1, "lv": "a"},
+            {"k": 2, "lv": "b"},
+            {"k": 2, "lv": "c"},
+            {"k": 9, "lv": "d"},  # dangling
+        ]
+    )
+    right = ray.data.from_items(
+        [{"k": 1, "rv": "X"}, {"k": 2, "rv": "Y"}, {"k": 3, "rv": "Z"}]
+    )
+    return left, right
+
+
+def _norm(df: pd.DataFrame, cols=("k", "lv", "rv")) -> set:
+    return set(map(tuple, df[list(cols)].astype(str).itertuples(index=False)))
+
+
+def test_three_join_strategies_agree():
+    left, right = _sides()
+    b = broadcast_join(left, right, left_on="k", right_on="k").to_pandas()
+    n = native_join(left, right, left_on="k", right_on="k", num_partitions=4).to_pandas()
+    h = bucket_join(left, right, left_on="k", right_on="k", n_buckets=4).to_pandas()
+    expect = {("1", "a", "X"), ("2", "b", "Y"), ("2", "c", "Y")}
+    assert _norm(b) == expect
+    assert _norm(n) == expect
+    assert _norm(h) == expect
+
+
+def test_broadcast_semi_anti():
+    left, right = _sides()
+    semi = broadcast_join(left, right, left_on="k", right_on="k", how="semi").to_pandas()
+    anti = broadcast_join(left, right, left_on="k", right_on="k", how="anti").to_pandas()
+    assert set(semi["lv"]) == {"a", "b", "c"}
+    assert set(anti["lv"]) == {"d"}
+
+
+def _ts(s):
+    return pd.Timestamp(s)
+
+
+def test_asof_join_strict_and_missing():
+    left = ray.data.from_items(
+        [
+            {"k": 1, "ts": _ts("2024-01-01 10:00"), "event": "p1"},
+            {"k": 1, "ts": _ts("2024-01-01 12:00"), "event": "p2"},
+            {"k": 2, "ts": _ts("2024-01-01 09:00"), "event": "p3"},  # no prior view
+        ]
+    )
+    right = ray.data.from_items(
+        [
+            {"k": 1, "ts": _ts("2024-01-01 10:00"), "view": "v0"},  # == p1 ts
+            {"k": 1, "ts": _ts("2024-01-01 11:00"), "view": "v1"},
+            {"k": 2, "ts": _ts("2024-01-01 23:00"), "view": "v2"},  # after p3
+        ]
+    )
+    out = asof_join(left, right, key="k", ts_col="ts", right_cols=["view"], strict=True)
+    df = out.to_pandas().set_index("event")
+    assert pd.isna(df.loc["p1", "view"])  # strict: equal ts does not match
+    assert df.loc["p2", "view"] == "v1"
+    assert pd.isna(df.loc["p3", "view"])
+
+    out2 = asof_join(left, right, key="k", ts_col="ts", right_cols=["view"], strict=False)
+    df2 = out2.to_pandas().set_index("event")
+    assert df2.loc["p1", "view"] == "v0"  # inclusive
