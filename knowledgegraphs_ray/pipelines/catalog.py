@@ -236,6 +236,16 @@ def q_top_customers(sf_dir: str):
     return top_customers_by_revenue(sf_dir)
 
 
+def q_pii_schema(sf_dir: str):
+    """Schema-level PII identification over the star ontology (F-stage).
+    Output is schema-derived (same at every sf) — rows-only check."""
+    from knowledgegraphs_ray.pii.identify import identify_schema_pii
+    from knowledgegraphs_ray.rules.compiler import compile_rules
+
+    rules = compile_rules(tpch_schema(STAR_TABLES))
+    return identify_schema_pii(rules)
+
+
 def q_pii_scan_documents(sf_dir: str):
     from knowledgegraphs_ray.pii.scan import scan_value_pii
 
@@ -370,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "orders_customer_join": q_orders_customer_join,
         "top_customers": q_top_customers,
+        "pii_schema": q_pii_schema,
         "pii_scan_documents": q_pii_scan_documents,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
