@@ -72,21 +72,51 @@ def flagship_run(
         from ray.data.aggregate import Count
 
         mentions = p.dataset("mentions")
+        schema = mentions.schema()
+        if schema is None or "mention" not in schema.names:
+            # mention-free corpus (dictionary had no hits) — empty link table
+            import pandas as pd
+
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "mention": pd.Series([], dtype=str),
+                        "cand_iri": pd.Series([], dtype=str),
+                        "bes": pd.Series([], dtype=float),
+                        "pj": pd.Series([], dtype=float),
+                    }
+                )
+            )
         distinct = mentions.groupby("mention").aggregate(Count(alias_name="n_srcs"))
         cands = generate_candidates(distinct, idx, k=50)
         scored = score_candidates(cands, idx, concurrency=2)
         return select_links(scored, mode="optimal")
 
     p.stage("links", build_links, kernel_version=kernel_version)
-    p.stage(
-        "canonical",
-        lambda: canonicalize_mentions(p.dataset("mentions", columns=["mention"])),
-        kernel_version=kernel_version,
-    )
+    def build_canonical():
+        mentions = p.dataset("mentions")
+        schema = mentions.schema()
+        if schema is None or "mention" not in schema.names:
+            import pandas as pd
+
+            return ray.data.from_pandas(
+                pd.DataFrame(
+                    {
+                        "mention": pd.Series([], dtype=str),
+                        "canonical": pd.Series([], dtype=str),
+                        "canonical_iri": pd.Series([], dtype=str),
+                    }
+                )
+            )
+        return canonicalize_mentions(mentions.select_columns(["mention"]))
+
+    p.stage("canonical", build_canonical, kernel_version=kernel_version)
 
     def build_edges():
         triples = p.dataset("triples")
         links = p.dataset("links").to_pandas()
+        if links.empty or "mention" not in links.columns:
+            return triples
         link_map = dict(zip(links["mention"], links["cand_iri"]))
         mentions = p.dataset("mentions")
 
