@@ -100,10 +100,21 @@ def votes_for_batch(df: pd.DataFrame, columns: list[str]) -> pd.DataFrame:
 
 
 def infer_column_types(
-    ds: ray.data.Dataset, columns: list[str] | None = None
+    ds: ray.data.Dataset,
+    columns: list[str] | None = None,
+    *,
+    sample_rows: int | None = None,
 ) -> dict[str, str]:
-    """Streaming vote pass -> colTypes verdict ({bool,int,double,timestamp,varchar})."""
+    """Streaming vote pass -> colTypes verdict ({bool,int,double,timestamp,varchar}).
+
+    ``sample_rows``: at 100 TB a full scan just to type columns is wasteful —
+    vote on the first N rows instead (the reference scans everything,
+    TabularFilesReader.java:246-390; sampling trades the guarantee that a
+    late value can't flip the verdict for one cheap pass, and the cast stage
+    coerces stragglers to null anyway)."""
     columns = columns or ds.schema().names
+    if sample_rows is not None:
+        ds = ds.limit(sample_rows)
     votes_ds = ds.map_batches(
         lambda df: votes_for_batch(df, columns), batch_format="pandas"
     )
