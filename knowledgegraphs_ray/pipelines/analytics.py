@@ -43,11 +43,13 @@ def lineitem_pricing_summary(sf_dir: str) -> ray.data.Dataset:
         )
         return out
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).repartition(4)
-    return parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("sum_qty", alias_name="sum_qty"),
-        Sum("sum_base_cents", alias_name="sum_base_cents"),
-        Sum("n_rows", alias_name="n_rows"),
+    from knowledgegraphs_ray.util.fastagg import sum_partials
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return sum_partials(
+        parts,
+        keys=["l_returnflag", "l_linestatus"],
+        sum_cols=["sum_qty", "sum_base_cents", "n_rows"],
     )
 
 
@@ -87,11 +89,10 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
             total_cents=("cents", "sum"), n_orders=("cents", "size")
         )
 
-    parts = orders.map_batches(partial, batch_format="pyarrow", batch_size=65536).repartition(4)
-    agg = parts.groupby("o_custkey").aggregate(
-        Sum("total_cents", alias_name="total_cents"),
-        Sum("n_orders", alias_name="n_orders"),
-    )
+    from knowledgegraphs_ray.util.fastagg import sum_partials
+
+    parts = orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    agg = sum_partials(parts, keys=["o_custkey"], sum_cols=["total_cents", "n_orders"])
     df = agg.to_pandas()
     df = df.sort_values(
         ["total_cents", "o_custkey"], ascending=[False, True], kind="mergesort"

@@ -151,17 +151,18 @@ def q_clean_corpus(sf_dir: str):
 
 
 def q_kg_pred_stats(sf_dir: str):
-    from ray.data.aggregate import Sum
     import pandas as pd
+    from knowledgegraphs_ray.util.fastagg import sum_partials
 
     trips = extract_kg(sf_dir, STAR_TABLES)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         df = pd.DataFrame({"pred": batch["pred"].to_numpy(zero_copy_only=False)})
-        return df.groupby("pred", as_index=False).size().rename(columns={"size": "n"})
+        out = df.groupby("pred", as_index=False).size()
+        return out.rename(columns={"size": "n_triples"})
 
-    parts = trips.map_batches(partial, batch_format="pyarrow", batch_size=65536).repartition(4)
-    return parts.groupby("pred").aggregate(Sum("n", alias_name="n_triples"))
+    parts = trips.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return sum_partials(parts, keys=["pred"], sum_cols=["n_triples"])
 
 
 def q_purchases_last_view(sf_dir: str):

@@ -50,13 +50,13 @@ def tumbling_window_agg(
             .agg(n_events=("cents", "size"), sum_cents=("cents", "sum"))
         )
 
+    from knowledgegraphs_ray.util.fastagg import sum_partials
+
     partials = ds.map_batches(
         assign_and_partial, batch_format="pyarrow", zero_copy_batch=True
-    ).repartition(8)  # partials are tiny; fewer blocks, less aggregate overhead
-    from ray.data.aggregate import Sum
-
-    return partials.groupby([key, "window_start"]).aggregate(
-        Sum("n_events", alias_name="n_events"), Sum("sum_cents", alias_name="sum_cents")
+    )
+    return sum_partials(
+        partials, keys=[key, "window_start"], sum_cols=["n_events", "sum_cents"]
     )
 
 
