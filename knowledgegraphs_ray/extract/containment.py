@@ -11,7 +11,6 @@ key column is broadcast once via ``ray.put`` and the check is a vectorized
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray

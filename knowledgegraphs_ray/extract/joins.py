@@ -15,7 +15,6 @@ The reference's FK join is a per-row lookup into the referenced table
 
 from __future__ import annotations
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray

@@ -17,7 +17,6 @@ heaps) and ``batch_format="pyarrow"`` (binary round-trips pandas badly).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data
 
