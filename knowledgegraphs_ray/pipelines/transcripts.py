@@ -192,42 +192,100 @@ _VOCAB = np.array(
 )
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Counter-based hash (splitmix64): deterministic per input, vectorized."""
+    with np.errstate(over="ignore"):
+        z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
 def synth_transcripts(
     n_convs: int = 50, *, seed: int = 42, parallelism: int = 4
 ) -> ray.data.Dataset:
     """Deterministic synthetic transcript table (FIXTURES.md F1): Zipf-skewed
     conversation lengths, hot low-cardinality roles, template text embedding
-    entity mentions / abbreviations / null sentinels, turn rows shuffled
-    within each generated block so per-conv ordering is actually exercised.
+    entity mentions / null sentinels, exact duplicates every 7th turn, turn
+    rows shuffled within each generated block so per-conv ordering is
+    actually exercised.
 
-    Generated distributed (``range -> map_batches``), one RNG per conversation
-    seeded by (seed, conv_id) ⇒ identical output at any parallelism.
+    Fully vectorized: every random choice is a counter-based splitmix64 hash
+    of (seed, conv_id, turn_idx, stream) ⇒ identical output at any
+    parallelism or batching, with NO per-conversation Python loop.
     """
 
-    def gen(batch: dict[str, np.ndarray]) -> pd.DataFrame:
-        rows = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    def gen(batch: dict[str, np.ndarray]) -> pa.Table:
+        import polars as pl
+
+        cids = batch["id"].astype(np.uint64)
+        base_seed = np.uint64(seed)
+
+        def h(counter: np.ndarray, stream: int) -> np.ndarray:
+            with np.errstate(over="ignore"):
+                return _splitmix64(
+                    counter * np.uint64(0x100000001B3)
+                    + base_seed * np.uint64(0x9E3779B1)
+                    + np.uint64(stream)
+                )
+
+        # Zipf(1.6)-ish lengths via inverse CDF: n = floor(u^(-1/0.6)), clipped
+        u = (h(cids, 1) >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+        n_turns = np.clip(
+            np.floor(np.power(np.maximum(u, 1e-12), -1.0 / 0.6)), 1, 200
+        ).astype(np.int64)
+        total = int(n_turns.sum())
+        conv_rep = np.repeat(cids, n_turns)
+        offsets = np.concatenate([[0], np.cumsum(n_turns)])
+        turn_idx = (np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], n_turns))
+        key = conv_rep * np.uint64(1_000_003) + turn_idx.astype(np.uint64)
+
+        roles = _ROLES[(h(key, 2) % np.uint64(len(_ROLES))).astype(np.int64)]
+        tools = _TOOLS[(h(key, 3) % np.uint64(len(_TOOLS))).astype(np.int64)]
+        word_cols = [
+            pl.Series(
+                f"w{j}",
+                _VOCAB[(h(key, 10 + j) % np.uint64(len(_VOCAB))).astype(np.int64)],
+            )
+            for j in range(8)
+        ]
+        texts = (
+            pl.DataFrame(word_cols)
+            .select(pl.concat_str([pl.col(f"w{j}") for j in range(8)], separator=" "))
+            .to_series()
+            .to_numpy()
+        )
+        # exact duplicates: every 7th turn repeats the conversation's turn 0
+        first_idx = np.repeat(offsets[:-1], n_turns)
+        dup_mask = (turn_idx % 7 == 0) & (turn_idx > 0)
+        texts[dup_mask] = texts[first_idx[dup_mask]]
+
         base = np.datetime64("2024-01-01T00:00:00", "us")
-        for cid in batch["id"]:
-            rng = np.random.default_rng(seed * 1_000_003 + int(cid))
-            n_turns = int(min(200, max(1, rng.zipf(1.6))))
-            idx = np.arange(n_turns, dtype=np.int32)
-            roles = _ROLES[rng.integers(0, len(_ROLES), n_turns)]
-            tools = _TOOLS[rng.integers(0, len(_TOOLS), n_turns)]
-            words = _VOCAB[rng.integers(0, len(_VOCAB), (n_turns, 8))]
-            texts = np.array([" ".join(w) for w in words])
-            # exact duplicates: every 7th turn repeats the first turn's text
-            if n_turns > 7:
-                texts[::7] = texts[0]
-            perm = rng.permutation(n_turns)  # shuffled row order within conv
-            rows["conv_id"].append(np.repeat(f"conv{int(cid):08d}", n_turns)[perm])
-            rows["turn_idx"].append(idx[perm])
-            rows["role"].append(roles[perm])
-            rows["text"].append(texts[perm])
-            rows["tool"].append(np.where(tools == "", None, tools)[perm])
-            ts = base + np.timedelta64(1, "h") * int(cid) + np.timedelta64(1, "m") * idx
-            rows["ts"].append(ts[perm])
-        return pd.DataFrame({k: np.concatenate(v) for k, v in rows.items()}).astype(
-            {"turn_idx": "int32"}
+        ts = (
+            base
+            + conv_rep.astype("timedelta64[h]").astype("timedelta64[us]")
+            + turn_idx.astype("timedelta64[m]").astype("timedelta64[us]")
+        )
+        conv_names = pl.Series("c", conv_rep.astype(np.int64))
+        conv_str = (
+            pl.DataFrame([conv_names])
+            .select(("conv" + pl.col("c").cast(pl.Utf8).str.zfill(8)).alias("conv_id"))
+            .to_series()
+            .to_numpy()
+        )
+        # shuffled row order within the block (deterministic permutation)
+        perm = np.argsort(h(key, 99), kind="stable")
+        return pa.table(
+            {
+                "conv_id": pa.array(conv_str[perm], pa.string()),
+                "turn_idx": pa.array(turn_idx[perm].astype(np.int32), pa.int32()),
+                "role": pa.array(roles[perm], pa.string()),
+                "text": pa.array(texts[perm], pa.string()),
+                "tool": pa.array(
+                    np.where(tools[perm] == "", None, tools[perm]), pa.string()
+                ),
+                "ts": pa.array(ts[perm], pa.timestamp("us")),
+            }
         )
 
     return (
