@@ -189,8 +189,10 @@ def q_purchases_last_view(sf_dir: str):
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
         ts_r = pd.to_datetime(df["ts_right"]).astype("datetime64[us]")
-        us = pd.array(ts_r.astype("int64"), dtype="Int64")
-        us[ts_r.isna().to_numpy()] = pd.NA
+        # float64 with NaN for misses — matching how DuckDB surfaces a
+        # nullable BIGINT to pandas, so the driver's value hash agrees
+        us = ts_r.astype("int64").astype("float64")
+        us[ts_r.isna().to_numpy()] = np.nan
         return pd.DataFrame(
             {"event_id": df["event_id"].astype("int64"), "last_view_us": us}
         )
