@@ -99,9 +99,36 @@ except ImportError:  # pragma: no cover - older Ray layouts
     NTriplesDatasink = None
 
 
-def write_ntriples(triples: ray.data.Dataset, out_dir: str) -> None:
-    """Materialize the edge table as N-Triples shards (one file per block)."""
+def write_ntriples(triples: ray.data.Dataset, out_dir: str) -> dict:
+    """Materialize the edge table as N-Triples shards (one file per block),
+    then publish a ``_SUCCESS`` manifest with per-shard lineage (file, bytes,
+    line count) — same contract as the Parquet stage checkpoints."""
+    import json
+    import os
+    import time
+
     lines = triples.map_batches(
         to_ntriples_lines, batch_format="pyarrow", zero_copy_batch=True
     )
     lines.write_datasink(NTriplesDatasink(out_dir))
+
+    shards = []
+    total = 0
+    for f in sorted(os.listdir(out_dir)):
+        if not f.endswith(".nt"):
+            continue
+        path = os.path.join(out_dir, f)
+        with open(path, "rb") as fh:
+            n = sum(1 for _ in fh)
+        total += n
+        shards.append({"file": f, "bytes": os.path.getsize(path), "lines": n})
+    manifest = {
+        "triples": total,
+        "shards": shards,
+        "written_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+    }
+    tmp = os.path.join(out_dir, "_SUCCESS.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_SUCCESS"))
+    return manifest

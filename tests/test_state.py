@@ -84,8 +84,12 @@ def test_write_ntriples_shards(tmp_path):
     ds = ray.data.from_items(
         [{"subj": "kg:a", "pred": "rdf:type", "obj": "kg:T"} for _ in range(3)]
     )
-    write_ntriples(ds, out)
+    manifest = write_ntriples(ds, out)
     files = [f for f in os.listdir(out) if f.endswith(".nt")]
     assert files
     text = "".join(open(os.path.join(out, f)).read() for f in files)
     assert text.count(" .\n") == 3
+    # lineage manifest published alongside the shards
+    assert manifest["triples"] == 3
+    assert sum(s["lines"] for s in manifest["shards"]) == 3
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
