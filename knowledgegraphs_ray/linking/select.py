@@ -94,14 +94,24 @@ def select_links(
     mention_col: str = "mention",
     mode: str = "optimal",
     k: int = 20,
+    hierarchy=None,
     **thresholds,
 ) -> ray.data.Dataset:
     """groupby(mention) -> per-group selection kernel. The shuffle key is the
     mention string; candidate lists were already capped (<=200/mention), so
-    group payloads stay small (SURVEY.md §7.5 cross-batch top-k note)."""
-    fn = (
-        (lambda g: select_optimal(g, **thresholds))
-        if mode == "optimal"
-        else (lambda g: topk(g, k))
-    )
+    group payloads stay small (SURVEY.md §7.5 cross-batch top-k note).
+
+    ``hierarchy``: optional broadcast Hierarchy — candidates related through
+    the ontology are pruned first (H4 considerHierarchies: specialize /
+    generalize / sibling-best) before the threshold cascade."""
+
+    def with_hierarchy(g: pd.DataFrame) -> pd.DataFrame:
+        if hierarchy is not None and len(g) > 1:
+            from knowledgegraphs_ray.rules.hierarchy import consider_hierarchies
+
+            g = rank_candidates(g)
+            g = consider_hierarchies(g, hierarchy)
+        return select_optimal(g, **thresholds)
+
+    fn = with_hierarchy if mode == "optimal" else (lambda g: topk(g, k))
     return scored.groupby(mention_col).map_groups(fn, batch_format="pandas")
