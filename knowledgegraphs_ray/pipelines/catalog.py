@@ -292,6 +292,17 @@ def q_minhash_dedup_pairs(sf_dir: str):
     return minhash_candidate_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
 
 
+def q_minhash_components(sf_dir: str):
+    """Connected near-dup components (doc_id, component representative)."""
+    from knowledgegraphs_ray.dedup.minhash import (
+        components_from_pairs,
+        minhash_candidate_pairs,
+    )
+
+    pairs = minhash_candidate_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+    return components_from_pairs(pairs)
+
+
 def q_simhash_pairs(sf_dir: str):
     from knowledgegraphs_ray.dedup.simhash import simhash_near_dup_pairs
 
@@ -390,6 +401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_triples_events": q_json_triples_events,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "minhash_components": q_minhash_components,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
     }

@@ -99,3 +99,70 @@ def link_scored(
 def canonical_document_mentions(sf_dir: str) -> ray.data.Dataset:
     """Canonicalization over the distinct document mentions."""
     return canonicalize_mentions(document_mentions(sf_dir))
+
+
+def link_transcripts_with_context(
+    transcripts: ray.data.Dataset,
+    *,
+    index: AnnotationIndex | None = None,
+    window: int = 2,
+    ctx_weight: float = 0.3,
+    concurrency: int = 2,
+) -> ray.data.Dataset:
+    """Context-aware transcript linking (X2 integrated):
+
+    1. ±``window``-turn context per turn (``with_context_window`` — the
+       within-conversation window the north_star names);
+    2. mention extraction keeps each mention's turn context;
+    3. candidates + surrogate scoring as usual;
+    4. bes is blended with a context-similarity term
+       (char-ngram Jaccard of candidate label vs turn context) before the
+       per-(mention, context-bucket) selection.
+    Output: one selected link per distinct (mention, context-bucket)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from knowledgegraphs_ray.linking.mentions import normalize_label
+    from knowledgegraphs_ray.linking.scorer import char_ngrams, jaccard
+    from knowledgegraphs_ray.pipelines.transcripts import with_context_window
+
+    idx = index or star_ontology_index()
+    forms = set(single_token_class_labels(idx))
+    ctx_ds = with_context_window(transcripts, k=window)
+
+    class MentionWithContext:
+        def __call__(self, batch: pa.Table) -> pd.DataFrame:
+            df = batch.select(["conv_id", "turn_idx", "text", "context"]).to_pandas()
+            rows = []
+            for _, r in df.iterrows():
+                toks = set(normalize_label(str(r["text"])).split())
+                for tok in toks & forms:
+                    rows.append(
+                        (
+                            f"kg:conversation/{r['conv_id']}/t{r['turn_idx']}",
+                            tok,
+                            str(r["context"]),
+                        )
+                    )
+            return pd.DataFrame(rows, columns=["turn_iri", "mention", "context"]).astype(str)
+
+    mentions = ctx_ds.map_batches(MentionWithContext(), batch_format="pyarrow")
+    cands = generate_candidates(mentions, idx, k=20)
+    scored = score_candidates(cands, idx, concurrency=concurrency)
+
+    def blend(df: pd.DataFrame) -> pd.DataFrame:
+        labels = idx.labels
+        ctx_scores = []
+        for _, r in df.iterrows():
+            grams_ctx = char_ngrams(normalize_label(r["context"])[:200])
+            best = 0.0
+            for lab in labels.get(r["cand_iri"], ()):  # max over candidate labels
+                best = max(best, jaccard(char_ngrams(lab), grams_ctx))
+            ctx_scores.append(best)
+        df = df.copy()
+        df["ctx_score"] = ctx_scores
+        df["bes"] = (1 - ctx_weight) * df["bes"] + ctx_weight * df["ctx_score"]
+        return df
+
+    blended = scored.map_batches(blend, batch_format="pandas")
+    return select_links(blended, mode="optimal")
