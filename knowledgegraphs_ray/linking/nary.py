@@ -65,6 +65,75 @@ def find_nary_patterns(
     return distinct_paths.head(1).assign(sum_pj_rank=best["sum_pj_rank"]).reset_index(drop=True)
 
 
+def _t5_optimal(g: pd.DataFrame) -> str | None:
+    """selectOptimal (T5): min pj_rank, tie-break max bes, then iri order."""
+    if g is None or g.empty:
+        return None
+    g = g.sort_values(
+        ["pj_rank", "bes", "cand_iri"], ascending=[True, False, True], kind="mergesort"
+    )
+    return g.iloc[0]["cand_iri"]
+
+
+def select_from_incompatible_paths(
+    obj_cands: pd.DataFrame | None,
+    cls_cands: pd.DataFrame | None,
+    data_cands: pd.DataFrame | None,
+    h: Hierarchy,
+    *,
+    ranges: dict[str, str] | None = None,
+    domains: dict[str, str] | None = None,
+    table_optimal: str | None = None,
+) -> tuple[str | None, str | None, str | None]:
+    """MappingSelection.selectFromIncompatiblePaths (java :233-295): when a
+    source element has BOTH object-property and class candidates whose
+    optimal pair is NOT compatible, each of the BES and PJ criteria votes for
+    its higher scorer; an unequal vote drops the loser. The data-property
+    optimal is then constrained to candidates whose domain is compatible
+    with whatever survived (class > obj-range > table)."""
+    ranges = ranges or {}
+    domains = domains or {}
+    has_obj = obj_cands is not None and not obj_cands.empty
+    has_cls = cls_cands is not None and not cls_cands.empty
+
+    obj_opt = _t5_optimal(obj_cands) if has_obj else None
+    cls_opt = _t5_optimal(cls_cands) if has_cls else None
+
+    if has_obj and has_cls:
+        obj_votes = cls_votes = 0
+        for crit in ("bes", "pj"):
+            o = float(obj_cands.loc[obj_cands["cand_iri"] == obj_opt, crit].iloc[0])
+            c = float(cls_cands.loc[cls_cands["cand_iri"] == cls_opt, crit].iloc[0])
+            mx = max(o, c)
+            obj_votes += 1 if o == mx else 0
+            cls_votes += 1 if c == mx else 0
+        obj_range = ranges.get(obj_opt)
+        compatible = obj_range is not None and h.are_compatible(obj_range, cls_opt)
+        if obj_votes != cls_votes and not compatible:
+            if obj_votes > cls_votes:
+                cls_opt = None
+            else:
+                obj_opt = None
+
+    data_opt = None
+    if data_cands is not None and not data_cands.empty:
+        compatible_domain = (
+            cls_opt
+            or (ranges.get(obj_opt) if obj_opt else None)
+            or table_optimal
+        )
+        d = data_cands
+        if compatible_domain is not None and domains:
+            mask = d["cand_iri"].map(
+                lambda iri: h.are_compatible(domains.get(iri, ""), compatible_domain)
+            )
+            if mask.any():
+                d = d[mask]
+        data_opt = _t5_optimal(d)
+
+    return obj_opt, cls_opt, data_opt
+
+
 def seed_scores(
     selections: pd.DataFrame,
     candidates: pd.DataFrame,
