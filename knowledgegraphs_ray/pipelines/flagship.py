@@ -40,13 +40,21 @@ def flagship_run(
     index: AnnotationIndex | None = None,
     write_nt: bool = True,
     kernel_version: str = "1",
+    config=None,
 ) -> CheckpointedPipeline:
     """Run (or resume) the full transcript KG construction under ``root``.
 
     ``ingest``: zero-arg builder returning the transcript Dataset; defaults
     to the events-derived transcripts of ``sf_dir``. Pass e.g.
     ``lambda: synth_transcripts(50_000)`` for the synthetic corpus whose text
-    embeds entity mentions (FIXTURES.md F1)."""
+    embeds entity mentions (FIXTURES.md F1).
+
+    ``config``: optional ``PipelineConfig`` — thresholds, candidate counts,
+    scorer concurrency/batch, and the ``scorer_cls`` model plug flow into the
+    linking stage (the reference's per-use-case config surface, §2.14)."""
+    from knowledgegraphs_ray.config import PipelineConfig
+
+    cfg = config or PipelineConfig()
     idx = index or star_ontology_index()
     forms = set(single_token_class_labels(idx))
     p = CheckpointedPipeline(root)
@@ -88,9 +96,32 @@ def flagship_run(
                 )
             )
         distinct = mentions.groupby("mention").aggregate(Count(alias_name="n_srcs"))
-        cands = generate_candidates(distinct, idx, k=50)
-        scored = score_candidates(cands, idx, concurrency=2)
-        return select_links(scored, mode="optimal")
+        cands = generate_candidates(distinct, idx, k=cfg.num_raw_candidates)
+        if cfg.scorer_cls is not None:
+            import ray as _ray
+
+            scored = cands.map_batches(
+                cfg.scorer_cls,
+                fn_constructor_args=(_ray.put(idx),),
+                batch_format="pyarrow",
+                batch_size=cfg.scorer_batch_size,
+                concurrency=cfg.scorer_concurrency,
+                num_cpus=1,
+            )
+        else:
+            scored = score_candidates(
+                cands,
+                idx,
+                concurrency=cfg.scorer_concurrency,
+                batch_size=cfg.scorer_batch_size,
+            )
+        return select_links(
+            scored,
+            mode="optimal",
+            bes_hi=cfg.bes_hi,
+            bes_lo=cfg.bes_lo,
+            pj_hi=cfg.pj_hi,
+        )
 
     p.stage("links", build_links, kernel_version=kernel_version)
     def build_canonical():
