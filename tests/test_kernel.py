@@ -91,6 +91,18 @@ def test_format_literal_double_nulls():
     assert out.to_pylist() == ["1.00", None]
 
 
+def test_inverse_link_emission():
+    g = _mini_schema()
+    rt = compile_rules(g, include_inverse=True)
+    kern = TripleKernel(rt.plans["person"], g["person"].columns)
+    trip = {(r["subj"], r["pred"], r["obj"]) for r in kern(_batch()).to_pylist()}
+    assert ("kg:person/1", "kg:p_person_addr", "kg:addr/10") in trip
+    assert ("kg:addr/10", "kg:p_addr_person_inv", "kg:person/1") in trip
+    # null FK emits neither direction
+    assert not any(s == "kg:addr/None" or o == "kg:person/2" and p.endswith("_inv")
+                   for s, p, o in trip)
+
+
 def test_empty_batch():
     g = _mini_schema()
     rt = compile_rules(g)
