@@ -273,6 +273,17 @@ def q_events_sessionize(sf_dir: str):
     return sessionize(ds, gap_sec=1800)
 
 
+def q_events_sessionize_incremental(sf_dir: str):
+    """The raw-actor incremental sessionizer — same oracle as the batch
+    operator, so the stateful streaming path is value-checked too."""
+    from knowledgegraphs_ray.streaming.stateful import incremental_sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+    return incremental_sessionize(ds, gap_sec=1800, n_shards=4)
+
+
 def q_json_triples_events(sf_dir: str):
     from knowledgegraphs_ray.sources.json import json_to_triples
 
@@ -398,6 +409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan_documents": q_pii_scan_documents,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_incremental": q_events_sessionize_incremental,
         "json_triples_events": q_json_triples_events,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -541,6 +553,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY user_id, window_start"
         ),
         "events_sessionize": (
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ep, "
+            "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "s AS (SELECT *, CASE WHEN ep - lag(ep) OVER "
+            "  (PARTITION BY user_id ORDER BY ep, event_id) > 1800 * 1000000 "
+            "  THEN 1 ELSE 0 END AS brk FROM e), "
+            "t AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ep, event_id "
+            "  ROWS UNBOUNDED PRECEDING) AS session_idx FROM s) "
+            "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
+            "count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents, "
+            "min(ep) AS start_us, max(ep) AS end_us "
+            "FROM t GROUP BY user_id, session_idx"
+        ),
+        "events_sessionize_incremental": (
             "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ep, "
             "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
             "s AS (SELECT *, CASE WHEN ep - lag(ep) OVER "
