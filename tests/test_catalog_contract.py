@@ -27,7 +27,17 @@ def test_oracle_sql_is_nonempty_text():
 
 
 def test_no_module_level_ray_init():
+    import ast
     import pathlib
 
-    src = pathlib.Path("__ray_entry__.py").read_text()
-    assert "ray.init" not in src  # the driver owns the session
+    tree = ast.parse(pathlib.Path("__ray_entry__.py").read_text())
+    calls = [
+        n
+        for n in ast.walk(tree)
+        if isinstance(n, ast.Call)
+        and isinstance(n.func, ast.Attribute)
+        and n.func.attr in ("init", "shutdown")
+        and isinstance(n.func.value, ast.Name)
+        and n.func.value.id == "ray"
+    ]
+    assert not calls  # the driver owns the session (docstrings may mention it)
