@@ -98,6 +98,25 @@ def test_union_find_invariants(edges):
     }
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    st.dates(min_value=__import__("datetime").date(1900, 1, 1),
+             max_value=__import__("datetime").date(2099, 12, 31)),
+    st.sampled_from(["%Y-%m-%d", "%d/%m/%Y", "%Y/%m/%d", "%d-%m-%Y"]),
+)
+def test_date_normalizer_matches_duckdb_strptime(d, fmt):
+    import pandas as pd
+
+    from knowledgegraphs_ray.schema.infer import normalize_date_series
+
+    raw = d.strftime(fmt)
+    mine = normalize_date_series(pd.Series([raw])).iloc[0]
+    gold = _con.execute(
+        "SELECT strftime(strptime(?, ?), '%Y-%m-%d')", [raw, fmt]
+    ).fetchone()[0]
+    assert mine == gold, (raw, fmt, mine, gold)
+
+
 def test_ntriples_escape_roundtrip_concrete(tmp_path):
     import ray.data
 
