@@ -1,0 +1,129 @@
+"""Distributed segment rank — per-key row numbering without per-group Python.
+
+``sorted_segment_rank`` computes, for every row, its 0-based rank within its
+key group under a given ordering — the distributed equivalent of SQL's
+``row_number() OVER (PARTITION BY key ORDER BY ...) - 1`` — using ONE
+range-partitioned sort plus one vectorized pass:
+
+1. ``Dataset.sort(key_cols + order_cols)`` co-locates each key's rows
+   contiguously (possibly straddling block boundaries).
+2. One task per block adds ``rank = local_cumcount`` (numpy run-length
+   arithmetic, no row loop) and returns O(1) boundary metadata (first/last
+   key, prefix/suffix run lengths).
+3. The driver threads a carry through the metadata in sorted order —
+   O(num_blocks) Python, independent of data size — and issues a fix-up task
+   ONLY for blocks whose first run continues a key from earlier blocks
+   (at most one per block boundary; zero for most blocks).
+4. Blocks are rewrapped with ``ray.data.from_arrow_refs`` — data never
+   leaves the object store.
+
+This is the documented "raw Ray tasks where the Dataset API can't express
+the semantics" tier (block index is not visible inside ``map_batches``); the
+per-row work is exactly one vectorized pass. Replaces the per-conversation
+``groupby().map_groups`` UDF (~1ms/group — ruinous at 10^10 keys) flagged in
+VERDICT.md round 1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _run_bounds(block: pa.Table, key_cols: list[str]) -> np.ndarray:
+    """Boolean array: True where a new key run starts (position 0 included).
+    Key columns are sort keys and assumed non-null."""
+    n = block.num_rows
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in key_cols:
+        arr = block[c].to_numpy(zero_copy_only=False)
+        change[1:] |= arr[1:] != arr[:-1]
+    return change
+
+
+@ray.remote(num_returns=2)
+def _rank_block(block: pa.Table, key_cols: list[str], rank_col: str, dtype: str):
+    """-> (block + local-cumcount rank column, boundary metadata)."""
+    n = block.num_rows
+    if n == 0:
+        return block.append_column(rank_col, pa.array([], getattr(pa, dtype)())), {
+            "n": 0
+        }
+    change = _run_bounds(block, key_cols)
+    starts = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    rank = np.arange(n, dtype=np.int64) - starts[run_id]
+    first_run = int(starts[1] if len(starts) > 1 else n)
+    meta = {
+        "n": n,
+        "first_key": tuple(block[c][0].as_py() for c in key_cols),
+        "last_key": tuple(block[c][n - 1].as_py() for c in key_cols),
+        "first_run": first_run,
+        "last_run": int(n - starts[-1]),
+    }
+    out = block.append_column(
+        rank_col, pa.array(rank.astype(dtype), getattr(pa, dtype)())
+    )
+    return out, meta
+
+
+@ray.remote
+def _offset_first_run(
+    block: pa.Table, rank_col: str, first_run: int, offset: int, dtype: str
+) -> pa.Table:
+    """Add ``offset`` to the rank of the block's first ``first_run`` rows."""
+    rank = block[rank_col].to_numpy(zero_copy_only=False).copy()
+    rank[:first_run] += offset
+    i = block.schema.get_field_index(rank_col)
+    return block.set_column(
+        i, rank_col, pa.array(rank.astype(dtype), getattr(pa, dtype)())
+    )
+
+
+def sorted_segment_rank(
+    ds: ray.data.Dataset,
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    rank_col: str = "rank",
+    dtype: str = "int32",
+) -> ray.data.Dataset:
+    """-> ``ds`` sorted by ``key_cols + order_cols`` with an added ``rank_col``
+    = 0-based position of the row within its key group under that order.
+
+    Key/order columns must be non-null (they are sort keys). Deterministic at
+    any parallelism; make ``order_cols`` unique per key (e.g. include a
+    unique id) for full determinism under ties.
+    """
+    sorted_ds = ds.sort(key_cols + order_cols)
+    refs = sorted_ds.to_arrow_refs()  # blocks stay in the object store
+    ranked: list = []
+    meta_refs: list = []
+    for r in refs:
+        out, m = _rank_block.remote(r, key_cols, rank_col, dtype)
+        ranked.append(out)
+        meta_refs.append(m)
+    metas = ray.get(meta_refs)
+
+    # thread the carry: a block's first run needs an offset iff it continues
+    # the trailing key of the preceding blocks
+    carry_key: tuple | None = None
+    carry_cum = 0
+    for i, m in enumerate(metas):
+        if m["n"] == 0:
+            continue
+        off = carry_cum if m["first_key"] == carry_key else 0
+        if off:
+            ranked[i] = _offset_first_run.remote(
+                ranked[i], rank_col, m["first_run"], off, dtype
+            )
+        if m["first_key"] == m["last_key"]:
+            carry_cum = off + m["n"]
+        else:
+            carry_cum = m["last_run"]
+        carry_key = m["last_key"]
+
+    return ray.data.from_arrow_refs(ranked)

@@ -67,3 +67,50 @@ def test_transcripts_from_events(sf_dir):
         g = g.sort_values("turn_idx")
         assert list(g["turn_idx"]) == list(range(len(g)))
         assert g["ts"].is_monotonic_increasing
+
+
+def test_segrank_matches_group_strategy(sf_dir):
+    """The vectorized sort+segment-rank derivation is row-identical to the
+    literal groupby(user_id)+per-group-sort reference path."""
+    import pandas as pd
+
+    a = (
+        transcripts_from_events(sf_dir)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        transcripts_from_events(sf_dir, strategy="group")
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sorted_segment_rank_straddling_blocks():
+    """Keys spanning many tiny blocks get correct cross-block offsets."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from knowledgegraphs_ray.util.segrank import sorted_segment_rank
+
+    rng = np.random.default_rng(0)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, n),  # few hot keys -> every block boundary straddles
+            "o": rng.permutation(n),
+            "u": np.arange(n),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(23)
+    out = sorted_segment_rank(
+        ds, key_cols=["k"], order_cols=["o", "u"], rank_col="r", dtype="int64"
+    ).to_pandas()
+    expect = df.sort_values(["k", "o", "u"]).reset_index(drop=True)
+    expect["r"] = expect.groupby("k").cumcount()
+    got = out.sort_values(["k", "o", "u"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "o", "u", "r"]].astype({"r": "int64"}), expect)
