@@ -149,6 +149,7 @@ def minhash_candidate_pairs(
     n_bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 200,
+    bucket_driver_limit: int = 5_000_000,
 ) -> ray.data.Dataset:
     """-> verified pair rows (doc_a, doc_b, est_jaccard)."""
     import ray
@@ -172,25 +173,33 @@ def minhash_candidate_pairs(
     # with the C aggregate path, broadcast the (small) set of buckets with
     # >= 2 members, filter band rows to those, and pair only there.
     # slim rows — fewer blocks, less scheduling; materialize so the two
-    # consumers (bucket counting + hot filter) don't re-run the kernel
-    banded = banded.repartition(8).materialize()
-    # bucket sizes: per-block partial counts (vectorized pandas) merged with
-    # polars on the driver — partials are <= one row per distinct bucket per
-    # block. (Ray's multi-key groupby costs ~35s on 80k rows here; above
-    # ~50M distinct buckets switch this to Dataset.groupby — same semantics.)
+    # consumers (bucket counting + hot filter) don't re-run the kernel.
+    # Partition count follows the cluster, not a single-node constant.
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    banded = banded.repartition(n_parts).materialize()
+    # bucket sizes: per-block partial counts (vectorized pandas) merged via
+    # util.fastagg.sum_partials — driver polars below its row limit, with the
+    # AUTO-FALLBACK to the distributed Dataset aggregate above it, so the
+    # partial rows (≤ one per distinct bucket per block, which scales with
+    # n_docs × n_bands) never land on the driver unbounded.
+    from knowledgegraphs_ray.util.fastagg import sum_partials
+
     partials = banded.map_batches(
         lambda df: df.groupby(["band_id", "band_hash"], as_index=False).size(),
         batch_format="pandas",
+    )
+    bucket_sizes = sum_partials(
+        partials,
+        keys=["band_id", "band_hash"],
+        sum_cols=["size"],
+        driver_limit=bucket_driver_limit,
+    )
+    # hot buckets (≥2 members) are ∝ duplicate groups, not corpus size — the
+    # broadcast-small-side tier; collected as the lookup set for the filter
+    hot = bucket_sizes.map_batches(
+        lambda df: df[df["size"] >= 2], batch_format="pandas"
     ).to_pandas()
-    merged = (
-        pl.from_pandas(partials)
-        .group_by(["band_id", "band_hash"])
-        .agg(pl.col("size").sum())
-    )
-    hot = merged.filter(pl.col("size") >= 2)
-    hot_ref = ray.put(
-        set(zip(hot["band_id"].to_list(), hot["band_hash"].to_list()))
-    )
+    hot_ref = ray.put(set(zip(hot["band_id"], hot["band_hash"])))
 
     class HotFilter:
         def __init__(self, ref):
@@ -322,44 +331,80 @@ def components_from_pairs(
 
 
 def components_by_propagation(
-    pairs: ray.data.Dataset, *, max_iter: int = 10
+    pairs: ray.data.Dataset, *, max_iter: int = 25
 ) -> ray.data.Dataset:
-    """Distributed min-label propagation over the pair graph — each round is
-    one groupby; converges in O(diameter) rounds (near-dup components are
-    shallow). The scale path for components when edges don't fit the driver."""
+    """Distributed min-label propagation over the pair graph — the scale path
+    for components when the edge set doesn't fit the driver.
+
+    Every round is pure Dataset ops with NO driver collect: the label table
+    is hash-joined onto the (node, peer) edges via ``Dataset.join``, the
+    per-node minimum is taken with a per-batch partial min (combine) before
+    the small groupby aggregate. Labels only ever decrease, so the
+    (distributed) sum of labels is a monotone potential — an unchanged sum
+    between rounds ⟺ fixpoint. Converges in O(diameter) rounds (near-dup
+    components are shallow). -> (node, label) rows.
+    """
+    from ray.data.aggregate import Min
+
+    from knowledgegraphs_ray.extract.joins import native_join
+    from knowledgegraphs_ray.util.blocks import compact_nonempty
+
+    EDGE_SCHEMA = pa.schema([("node", pa.int64()), ("peer", pa.int64())])
+    LABEL_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
     def explode(b: pa.Table) -> pa.Table:
+        # explicit int64: 0-row pandas-born blocks carry null-typed columns,
+        # which would poison the join key schema
+        a = b["doc_a"].combine_chunks().cast(pa.int64())
+        bb = b["doc_b"].combine_chunks().cast(pa.int64())
         return pa.table(
-            {
-                "node": pa.concat_arrays(
-                    [b["doc_a"].combine_chunks(), b["doc_b"].combine_chunks()]
-                ),
-                "peer": pa.concat_arrays(
-                    [b["doc_b"].combine_chunks(), b["doc_a"].combine_chunks()]
-                ),
-            }
+            {"node": pa.concat_arrays([a, bb]), "peer": pa.concat_arrays([bb, a])}
         )
 
-    edges = pairs.map_batches(explode, batch_format="pyarrow")
+    edges = compact_nonempty(
+        pairs.map_batches(explode, batch_format="pyarrow"), EDGE_SCHEMA
+    )
 
-    def init_label(g: pd.DataFrame) -> pd.DataFrame:
-        node = g["node"].iloc[0]
-        lab = min(g["peer"].min(), node)
-        return pd.DataFrame({"node": [node], "label": [lab]})
+    def partial_min(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("node", as_index=False)["label"].min()
 
-    labels = edges.groupby("node").map_groups(init_label, batch_format="pandas")
+    def stabilize(df: pd.DataFrame) -> pd.DataFrame:
+        # Ray's hash aggregate emits schema-less 0-column blocks for empty
+        # partitions; give every block the constant (node, label) schema so
+        # the downstream Arrow hash join sees a consistent key field
+        return df.reindex(columns=["node", "label"]).astype(
+            {"node": "int64", "label": "int64"}
+        )
+
+    def group_min(ds: ray.data.Dataset) -> ray.data.Dataset:
+        combined = ds.map_batches(partial_min, batch_format="pandas")
+        agg = combined.groupby("node").aggregate(Min("label", alias_name="label"))
+        return compact_nonempty(
+            agg.map_batches(stabilize, batch_format="pandas"), LABEL_SCHEMA
+        )
+
+    # init: label(node) = min(node, min peer) — one combine + one aggregate
+    init = edges.map_batches(
+        lambda df: pd.DataFrame(
+            {"node": df["node"], "label": np.minimum(df["node"], df["peer"])}
+        ),
+        batch_format="pandas",
+    )
+    labels = group_min(init)  # group_min materializes (compact_nonempty)
+    prev_sum = labels.sum("label")
+
     for _ in range(max_iter):
-        lab_df = labels.to_pandas()  # label table is O(nodes in dup graph), small
-        lmap = dict(zip(lab_df["node"], lab_df["label"]))
-
-        def relabel(g: pd.DataFrame, lmap=lmap) -> pd.DataFrame:
-            node = g["node"].iloc[0]
-            cands = [lmap.get(node, node)] + [lmap.get(p, p) for p in g["peer"]]
-            return pd.DataFrame({"node": [node], "label": [min(cands)]})
-
-        new_labels = edges.groupby("node").map_groups(relabel, batch_format="pandas")
-        new_df = new_labels.to_pandas()
-        if dict(zip(new_df["node"], new_df["label"])) == lmap:
+        # labels keyed by peer: rename, then hash-join onto the edges
+        by_peer = labels.map_batches(
+            lambda df: df.rename(columns={"node": "peer"}), batch_format="pandas"
+        )
+        via_peers = native_join(
+            edges, by_peer, left_on="peer", right_on="peer"
+        ).select_columns(["node", "label"])
+        labels_new = group_min(via_peers.union(labels))
+        new_sum = labels_new.sum("label")
+        labels = labels_new
+        if new_sum == prev_sum:  # monotone potential unchanged -> fixpoint
             break
-        labels = new_labels
+        prev_sum = new_sum
     return labels

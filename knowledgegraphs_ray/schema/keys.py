@@ -21,16 +21,31 @@ from knowledgegraphs_ray.extract.containment import containment_check
 
 
 def distinct_counts(
-    ds: ray.data.Dataset, columns: list[str] | None = None
+    ds: ray.data.Dataset,
+    columns: list[str] | None = None,
+    *,
+    driver_limit: int = 2_000_000,
+    approx: bool = False,
 ) -> pd.DataFrame:
     """-> (column, n_distinct, n_rows) via per-block partial distincts.
 
-    Each block contributes its local distinct values (deduped), the partials
-    are unioned per column with one polars pass — exact, and the shuffle
-    volume is bounded by the true cardinality, not the row count. For
-    ultra-high-cardinality columns at 100 TB swap the exact set for a
-    mergeable HLL sketch (same pipeline shape)."""
+    Three tiers (the output is always one tiny row per column):
+
+    * driver merge — below ``driver_limit`` total partial distinct values,
+      one polars pass over the collected partials (exact, fast);
+    * distributed exact — above the limit, the partial values become
+      (column, value) rows deduped with a Dataset groupby, and the per-column
+      counts come back through ``fastagg.sum_partials``; the driver never
+      holds the value set (a near-unique column — the exact thing this
+      operator looks for — no longer makes the driver corpus-sized);
+    * ``approx=True`` — mergeable HyperLogLog sketches (``util.hll``,
+      ~1.6 % error): per-block registers combined by elementwise max inside
+      each batch, one 4 KiB row per (column, batch) to the driver.
+    """
     columns = columns or ds.schema().names
+
+    if approx:
+        return _distinct_counts_hll(ds, columns)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
         out = []
@@ -41,21 +56,109 @@ def distinct_counts(
                 {
                     "column": c,
                     "values": vals.cast(pl.Utf8).to_list(),
+                    "n_vals": len(vals),
                     "n_rows": batch.num_rows,
                 }
             )
         return pd.DataFrame(out)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    rows = []
-    for c, g in parts.groupby("column"):
-        distinct: set = set()
-        for vs in g["values"]:
-            distinct.update(vs)
-        rows.append(
-            {"column": c, "n_distinct": len(distinct), "n_rows": int(g["n_rows"].sum())}
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    if parts.sum("n_vals") <= driver_limit:
+        pdf = parts.to_pandas()
+        rows = []
+        for c, g in pdf.groupby("column"):
+            distinct: set = set()
+            for vs in g["values"]:
+                distinct.update(vs)
+            rows.append(
+                {
+                    "column": c,
+                    "n_distinct": len(distinct),
+                    "n_rows": int(g["n_rows"].sum()),
+                }
+            )
+        return pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
+
+    # distributed exact: dedupe (column, value) rows with a groupby, then
+    # count per column via partial sums (combine-before-shuffle both times)
+    from knowledgegraphs_ray.util.fastagg import sum_partials
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["column", "values"]].explode("values").dropna().rename(
+            columns={"values": "value"}
         )
-    return pd.DataFrame(rows).sort_values("column").reset_index(drop=True)
+
+    from ray.data.aggregate import Count
+
+    distinct_rows = (
+        parts.map_batches(explode, batch_format="pandas")
+        .groupby(["column", "value"])
+        .aggregate(Count(alias_name="cnt"))
+    )
+    count_parts = distinct_rows.map_batches(
+        lambda df: df.groupby("column", as_index=False).size().rename(
+            columns={"size": "n_distinct"}
+        ),
+        batch_format="pandas",
+    )
+    nd = sum_partials(count_parts, keys=["column"], sum_cols=["n_distinct"]).to_pandas()
+    nr = sum_partials(
+        parts.select_columns(["column", "n_rows"]),
+        keys=["column"],
+        sum_cols=["n_rows"],
+    ).to_pandas()
+    out = nd.merge(nr, on="column")
+    return out.sort_values("column").reset_index(drop=True)
+
+
+def _distinct_counts_hll(ds: ray.data.Dataset, columns: list[str]) -> pd.DataFrame:
+    """Approximate tier: per-batch HLL registers, merged by max."""
+    import numpy as np
+
+    from knowledgegraphs_ray.util.hll import (
+        DEFAULT_P,
+        hll_add_hashes,
+        hll_estimate,
+        hll_merge,
+        hll_new,
+    )
+
+    def sketch(batch: pa.Table) -> pd.DataFrame:
+        df = pl.from_arrow(batch)
+        out = []
+        for c in columns:
+            vals = df[c].drop_nulls()
+            h = vals.hash(seed=7).to_numpy().astype(np.uint64)
+            regs = hll_add_hashes(hll_new(DEFAULT_P), h)
+            out.append({"column": c, "regs": regs, "n_rows": batch.num_rows})
+        return pd.DataFrame(out)
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c, g in df.groupby("column"):
+            regs = hll_new(DEFAULT_P)
+            for r in g["regs"]:
+                regs = hll_merge(regs, np.asarray(r, dtype=np.uint8))
+            rows.append(
+                {"column": c, "regs": regs, "n_rows": int(g["n_rows"].sum())}
+            )
+        return pd.DataFrame(rows)
+
+    merged = parts.map_batches(combine, batch_format="pandas").to_pandas()
+    final = combine(merged)
+    final["n_distinct"] = [
+        int(round(hll_estimate(np.asarray(r, dtype=np.uint8)))) for r in final["regs"]
+    ]
+    return (
+        final[["column", "n_distinct", "n_rows"]]
+        .sort_values("column")
+        .reset_index(drop=True)
+    )
 
 
 def candidate_keys(ds: ray.data.Dataset, columns: list[str] | None = None) -> pd.DataFrame:

@@ -1,0 +1,42 @@
+"""Block-level hygiene helpers.
+
+Ray Data's shuffle operators emit 0-row blocks whose schema is empty (or a
+stale pandas-born ``null``-typed one), and ``map_batches`` passes empty
+blocks through without invoking the UDF — so a schema-poisoned empty block
+survives every downstream stage and breaks Arrow hash joins ("No match for
+key field reference ... on right side"). ``compact_nonempty`` materializes a
+dataset and drops its 0-row blocks without moving any data through the
+driver (block refs stay in the object store).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+
+@ray.remote
+def _num_rows(block) -> int:
+    # len() covers both pa.Table (== num_rows) and pandas DataFrame blocks —
+    # to_arrow_refs hands back pandas-born blocks unconverted
+    return len(block)
+
+
+@ray.remote
+def _as_arrow(block) -> pa.Table:
+    if isinstance(block, pa.Table):
+        return block
+    return pa.Table.from_pandas(block, preserve_index=False)
+
+
+def compact_nonempty(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Dataset:
+    """Materialize ``ds`` and drop 0-row blocks. If everything is empty,
+    return a single empty block with the given ``schema`` (so downstream
+    joins/aggregates see stable types)."""
+    refs = ds.materialize().to_arrow_refs()
+    counts = ray.get([_num_rows.remote(r) for r in refs])
+    kept = [_as_arrow.remote(r) for r, n in zip(refs, counts) if n > 0]
+    if not kept:
+        return ray.data.from_arrow(schema.empty_table())
+    return ray.data.from_arrow_refs(kept)

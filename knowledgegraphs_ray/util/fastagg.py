@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import pandas as pd
 import polars as pl
+import ray
 import ray.data
 
 
@@ -43,6 +44,7 @@ def sum_partials(
         return ray.data.from_arrow(merged.to_arrow())
     from ray.data.aggregate import Sum
 
-    return parts.repartition(32).groupby(keys).aggregate(
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return parts.repartition(n_parts).groupby(keys).aggregate(
         *[Sum(c, alias_name=c) for c in sum_cols]
     )

@@ -94,3 +94,49 @@ def test_embedding_near_dups():
     out = embedding_near_dup_pairs(ds, dim=16, threshold=0.99).to_pandas()
     got = {tuple(sorted((a, b))) for a, b in zip(out["doc_a"], out["doc_b"])}
     assert {(0, 1), (0, 2), (1, 2)} <= got
+
+
+def test_minhash_distributed_bucket_count_path():
+    """bucket_driver_limit=0 forces the Dataset.groupby fallback inside
+    fastagg for bucket-size counting — pairs must be identical to the
+    driver-merge fast path."""
+    fast = minhash_candidate_pairs(_corpus(), threshold=0.5).to_pandas()
+    dist = minhash_candidate_pairs(
+        _corpus(), threshold=0.5, bucket_driver_limit=0
+    ).to_pandas()
+    key = lambda df: set(zip(df["doc_a"], df["doc_b"]))
+    assert key(fast) == key(dist)
+    assert key(fast)  # non-trivial
+
+
+def test_propagation_matches_union_find_on_random_graph():
+    """Distributed label propagation (hash-join rounds, no driver collect)
+    agrees with exact union-find on a multi-component random graph spread
+    over many blocks."""
+    from knowledgegraphs_ray.canon.unionfind import UnionFind
+
+    rng = np.random.default_rng(3)
+    # three disjoint random components of 20 nodes each — random graphs have
+    # O(log n) diameter, so propagation converges in a few rounds
+    parts = []
+    for base in (0, 20, 40):
+        a = rng.integers(base, base + 20, 40)
+        b = rng.integers(base, base + 20, 40)
+        keep = a != b
+        parts.append(pd.DataFrame({"doc_a": a[keep], "doc_b": b[keep]}))
+    df = pd.concat(parts, ignore_index=True).astype("int64")
+    a, b = df["doc_a"].to_numpy(), df["doc_b"].to_numpy()
+    pairs = ray.data.from_pandas(df).repartition(5)
+
+    lp = components_by_propagation(pairs).to_pandas()
+    uf = UnionFind()
+    for x, y in zip(a.tolist(), b.tolist()):
+        uf.union(x, y)
+    # same partition: min-label representative per component
+    comp_of = {x: uf.find(x) for x in set(a.tolist()) | set(b.tolist())}
+    rep_min: dict = {}
+    for x, c in comp_of.items():
+        rep_min[c] = min(rep_min.get(c, x), x)
+    expect = {x: rep_min[c] for x, c in comp_of.items()}
+    got = dict(zip(lp["node"], lp["label"]))
+    assert got == expect

@@ -54,3 +54,53 @@ def test_merge_prunes_unmatched_attr_class():
     d = [e for e in plan.emits if isinstance(e, DataEmit)][0]
     # attr class gone: data property attaches directly to the table class
     assert d.attr_cls is None and d.pred == "do:regionName"
+
+
+def test_distinct_counts_distributed_exact_path(sf_dir):
+    """driver_limit=0 forces the distributed (column, value) groupby path —
+    must agree exactly with the driver-merge fast path."""
+    import pandas as pd
+    import ray.data
+
+    from knowledgegraphs_ray.schema.keys import distinct_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+    a = distinct_counts(ds)
+    b = distinct_counts(ds, driver_limit=0).astype(
+        {"n_distinct": "int64", "n_rows": "int64"}
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_distinct_counts_hll_close(sf_dir):
+    """HLL tier estimates within a few percent of exact."""
+    import ray.data
+
+    from knowledgegraphs_ray.schema.keys import distinct_counts
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+    exact = distinct_counts(ds).set_index("column")["n_distinct"]
+    est = distinct_counts(ds, approx=True).set_index("column")["n_distinct"]
+    for c in exact.index:
+        assert abs(est[c] - exact[c]) <= max(3, 0.05 * exact[c]), c
+
+
+def test_hll_estimate_accuracy():
+    import numpy as np
+
+    from knowledgegraphs_ray.util.hll import (
+        DEFAULT_P,
+        hll_add_hashes,
+        hll_estimate,
+        hll_merge,
+        hll_new,
+    )
+
+    rng = np.random.default_rng(11)
+    for true_n in (100, 10_000, 1_000_000):
+        h = rng.integers(0, 2**64, true_n, dtype=np.uint64)
+        # split into two sketches and merge — mergeability check
+        a = hll_add_hashes(hll_new(DEFAULT_P), h[: true_n // 2])
+        b = hll_add_hashes(hll_new(DEFAULT_P), h[true_n // 2 :])
+        est = hll_estimate(hll_merge(a, b))
+        assert abs(est - true_n) / true_n < 0.06, (true_n, est)
