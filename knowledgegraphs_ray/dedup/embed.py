@@ -58,25 +58,36 @@ def embedding_near_dup_pairs(
     )
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Emit a pair ONLY from the bucket of its FIRST colliding table —
+        global dedup without a pair shuffle (signatures are recomputed from
+        the carried vectors, deterministically: same floats, same planes).
+        Caveat: a pair whose first-collision bucket was truncated by
+        max_bucket is dropped rather than recovered from a later table."""
         g = g.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
         ids = g[id_col].to_numpy()
         if len(ids) < 2:
             return empty
+        table_id = int(g["table_id"].iloc[0])
         m = np.stack(g["vec"].to_numpy())
         sims = m @ m.T
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = sims[iu, ju] >= threshold
+        iu, ju = iu[keep], ju[keep]
+        if not len(iu):
+            return empty
+        sigs = np.stack(
+            [((m @ P) > 0) @ (1 << np.arange(n_planes)) for P in planes], axis=1
+        )  # (n_members, n_tables)
+        first = (sigs[iu] == sigs[ju]).argmax(axis=1)  # this bucket guarantees a hit
+        keep2 = first == table_id
         return pd.DataFrame(
             {
-                "doc_a": ids[iu[keep]].astype("int64"),
-                "doc_b": ids[ju[keep]].astype("int64"),
-                "cosine": sims[iu[keep], ju[keep]].astype("float64"),
+                "doc_a": ids[iu[keep2]].astype("int64"),
+                "doc_b": ids[ju[keep2]].astype("int64"),
+                "cosine": sims[iu[keep2], ju[keep2]].astype("float64"),
             }
         )
 
-    cand = bucketed.groupby(["table_id", "bucket"]).map_groups(
+    return bucketed.groupby(["table_id", "bucket"]).map_groups(
         pairs, batch_format="pandas"
-    )
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
     )

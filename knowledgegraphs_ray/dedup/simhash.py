@@ -109,23 +109,48 @@ def simhash_near_dup_pairs(
         batch_format="pyarrow",
     )
 
+    width = 64 // n_bands
+    mask = np.uint64((1 << width) - 1)
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "distance": pd.Series([], dtype="int64"),
+        }
+    )
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """Emit a pair ONLY from the bucket of its FIRST colliding band —
+        global dedup without a pair shuffle (both fingerprints are in hand,
+        so the first-collision test is local). Caveat shared with the
+        minhash Verify stage: if a pair's first-collision bucket is
+        truncated by max_bucket, the pair is dropped rather than recovered
+        from a later band."""
         g = g.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
         ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return empty
         fp = g["simhash"].to_numpy().astype(np.uint64)
-        rows = {"doc_a": [], "doc_b": [], "distance": []}
-        for i in range(len(ids) - 1):
-            d = hamming(fp[i + 1 :], fp[i])
-            keep = np.where(d <= max_distance)[0]
-            for j in keep:
-                rows["doc_a"].append(ids[i])
-                rows["doc_b"].append(ids[i + 1 + j])
-                rows["distance"].append(int(d[j]))
-        return pd.DataFrame(rows)
+        band_id = int(g["band_id"].iloc[0])
+        iu, ju = np.triu_indices(len(ids), k=1)
+        d = hamming(fp[iu], fp[ju])
+        keep = d <= max_distance
+        iu, ju, d = iu[keep], ju[keep], d[keep]
+        if not len(iu):
+            return empty
+        shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(width))[None, :]
+        ba = (fp[iu][:, None] >> shifts) & mask
+        bb = (fp[ju][:, None] >> shifts) & mask
+        first = (ba == bb).argmax(axis=1)  # this bucket guarantees >= 1 hit
+        keep2 = first == band_id
+        return pd.DataFrame(
+            {
+                "doc_a": ids[iu[keep2]].astype("int64"),
+                "doc_b": ids[ju[keep2]].astype("int64"),
+                "distance": d[keep2].astype("int64"),
+            }
+        )
 
-    cand = banded.groupby(["band_id", "band_bits"]).map_groups(
+    return banded.groupby(["band_id", "band_bits"]).map_groups(
         pairs, batch_format="pandas"
-    )
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
     )

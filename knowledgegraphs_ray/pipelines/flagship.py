@@ -148,19 +148,24 @@ def flagship_run(
         links = p.dataset("links").to_pandas()
         if links.empty or "mention" not in links.columns:
             return triples
-        link_map = dict(zip(links["mention"], links["cand_iri"]))
+        # broadcast dictionary as parallel Arrow arrays: lookup is a
+        # vectorized index_in + take, no Python loop over rows
+        link_keys = pa.array(list(links["mention"]), pa.string())
+        link_vals = pa.array(list(links["cand_iri"]), pa.string())
         mentions = p.dataset("mentions")
 
         def mention_edges(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            ms = batch["mention"].to_pylist()
-            ent = [link_map.get(m) for m in ms]
+            from knowledgegraphs_ray.extract.kernel import _const
+
+            idx = pc.index_in(batch["mention"].combine_chunks(), value_set=link_keys)
+            ent = pc.take(link_vals, idx)  # null where the mention has no link
             t = pa.table(
                 {
                     "subj": batch["turn_iri"].combine_chunks(),
-                    "pred": pa.array(["kg:mentions"] * len(ms), pa.string()),
-                    "obj": pa.array(ent, pa.string()),
+                    "pred": _const("kg:mentions", batch.num_rows),
+                    "obj": ent,
                 }
             )
             return t.filter(pc.is_valid(t["obj"]))

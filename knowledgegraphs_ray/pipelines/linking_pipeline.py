@@ -126,43 +126,85 @@ def link_transcripts_with_context(
     from knowledgegraphs_ray.linking.scorer import char_ngrams, jaccard
     from knowledgegraphs_ray.pipelines.transcripts import with_context_window
 
+    from knowledgegraphs_ray.linking.mentions import _CAMEL_RE, _PUNCT_RE
+
     idx = index or star_ontology_index()
     forms = set(single_token_class_labels(idx))
     ctx_ds = with_context_window(transcripts, k=window)
 
     class MentionWithContext:
+        """Vectorized: normalize with pandas .str kernels, explode tokens,
+        per-row distinct + dictionary filter — no iterrows."""
+
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
             df = batch.select(["conv_id", "turn_idx", "text", "context"]).to_pandas()
-            rows = []
-            for _, r in df.iterrows():
-                toks = set(normalize_label(str(r["text"])).split())
-                for tok in toks & forms:
-                    rows.append(
-                        (
-                            f"kg:conversation/{r['conv_id']}/t{r['turn_idx']}",
-                            tok,
-                            str(r["context"]),
-                        )
-                    )
-            return pd.DataFrame(rows, columns=["turn_iri", "mention", "context"]).astype(str)
+            if df.empty:
+                return pd.DataFrame(
+                    {c: pd.Series([], dtype=str) for c in ("turn_iri", "mention", "context")}
+                )
+            df["turn_iri"] = (
+                "kg:conversation/" + df["conv_id"].astype(str)
+                + "/t" + df["turn_idx"].astype(str)
+            )
+            norm = (
+                df["text"].fillna("").astype(str)
+                .str.replace(_CAMEL_RE, " ", regex=True)
+                .str.replace("_", " ", regex=False)
+                .str.replace(_PUNCT_RE, " ", regex=True)
+                .str.lower()
+            )
+            toks = norm.str.findall(r"\S+")
+            out = (
+                df[["turn_iri", "context"]]
+                .assign(mention=toks)
+                .explode("mention")
+                .dropna(subset=["mention"])
+                .drop_duplicates(["turn_iri", "mention"])
+            )
+            out = out[out["mention"].isin(forms)]
+            return out[["turn_iri", "mention", "context"]].astype(str)
 
     mentions = ctx_ds.map_batches(MentionWithContext(), batch_format="pyarrow")
     cands = generate_candidates(mentions, idx, k=20)
     scored = score_candidates(cands, idx, concurrency=concurrency)
 
-    def blend(df: pd.DataFrame) -> pd.DataFrame:
-        labels = idx.labels
-        ctx_scores = []
-        for _, r in df.iterrows():
-            grams_ctx = char_ngrams(normalize_label(r["context"])[:200])
-            best = 0.0
-            for lab in labels.get(r["cand_iri"], ()):  # max over candidate labels
-                best = max(best, jaccard(char_ngrams(lab), grams_ctx))
-            ctx_scores.append(best)
-        df = df.copy()
-        df["ctx_score"] = ctx_scores
-        df["bes"] = (1 - ctx_weight) * df["bes"] + ctx_weight * df["ctx_score"]
-        return df
+    class Blend:
+        """Context-similarity blend, deduped to unique (cand_iri, context)
+        pairs per batch; candidate-label n-gram sets memoized per actor."""
 
-    blended = scored.map_batches(blend, batch_format="pandas")
+        def __init__(self):
+            self._label_grams: dict[str, list[frozenset]] = {}
+
+        def _grams_for(self, iri: str) -> list[frozenset]:
+            g = self._label_grams.get(iri)
+            if g is None:
+                g = [frozenset(char_ngrams(lab)) for lab in idx.labels.get(iri, ())]
+                self._label_grams[iri] = g
+            return g
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                df = df.copy()
+                df["ctx_score"] = pd.Series([], dtype=float)
+                return df
+            uniq = df[["cand_iri", "context"]].drop_duplicates()
+            scores = {}
+            for iri, ctx in zip(uniq["cand_iri"], uniq["context"]):
+                grams_ctx = char_ngrams(normalize_label(ctx)[:200])
+                best = 0.0
+                for g in self._grams_for(iri):
+                    best = max(best, jaccard(g, grams_ctx))
+                scores[(iri, ctx)] = best
+            df = df.copy()
+            df["ctx_score"] = [
+                scores[(i, c)] for i, c in zip(df["cand_iri"], df["context"])
+            ]
+            df["bes"] = (1 - ctx_weight) * df["bes"] + ctx_weight * df["ctx_score"]
+            return df
+
+    # instance-passed (task pool): the memo then only spans one batch, but a
+    # dedicated actor pool here could starve the upstream scorer pool on
+    # small clusters (see verify-skill gotcha); the unique-pair dedupe is
+    # the main win anyway
+    blended = scored.map_batches(Blend(), batch_format="pandas")
     return select_links(blended, mode="optimal")
