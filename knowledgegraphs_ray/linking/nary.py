@@ -84,6 +84,7 @@ def select_from_incompatible_paths(
     ranges: dict[str, str] | None = None,
     domains: dict[str, str] | None = None,
     table_optimal: str | None = None,
+    missing_domain_is_compatible: bool = True,
 ) -> tuple[str | None, str | None, str | None]:
     """MappingSelection.selectFromIncompatiblePaths (java :233-295): when a
     source element has BOTH object-property and class candidates whose
@@ -123,12 +124,21 @@ def select_from_incompatible_paths(
             or table_optimal
         )
         d = data_cands
-        if compatible_domain is not None and domains:
-            mask = d["cand_iri"].map(
-                lambda iri: h.are_compatible(domains.get(iri, ""), compatible_domain)
+        if compatible_domain is not None:
+            # H6 classUsesDataProps (MappingSelection.java:631-661): domain
+            # compatibility PLUS the owl:Restriction onProperty rescue for
+            # candidates whose domain is missing/incompatible
+            from knowledgegraphs_ray.rules.hierarchy import class_uses_data_props
+
+            usable = class_uses_data_props(
+                compatible_domain,
+                list(d["cand_iri"]),
+                h,
+                domains=domains,
+                missing_domain_is_compatible=missing_domain_is_compatible,
             )
-            if mask.any():
-                d = d[mask]
+            if usable:
+                d = d[d["cand_iri"].isin(usable)]
         data_opt = _t5_optimal(d)
 
     return obj_opt, cls_opt, data_opt

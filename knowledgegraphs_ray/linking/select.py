@@ -16,6 +16,8 @@ kernels applied per mention group (``groupby(mention).map_groups``):
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import ray.data
@@ -47,18 +49,103 @@ def rank_candidates(g: pd.DataFrame) -> pd.DataFrame:
     return g
 
 
-def salvage(g: pd.DataFrame, *, hi: float = BES_HI, keep: int = 10) -> pd.DataFrame:
-    """T3: no candidate clears ``hi`` -> keep top-``keep`` by bes and re-rank
-    by token containment (mention tokens fully inside the label tokens)."""
+_TGT_TOKEN_RE = re.compile(r"\b(?!has\b)\w+")
+
+
+def overlap_ranking(
+    mention: str,
+    cand_iris: list[str],
+    labels: dict[str, list[str]] | None = None,
+) -> dict[str, int]:
+    """T3 candidate ranking (mapping_prediction.py:368-402, steps 8.1-8.3):
+
+    score(candidate) = max over its annotations of
+    (# tgt tokens, len > 1, excluding 'has', found inside the mention text)
+    / (# tgt tokens) — dense rank by (score desc, token-length desc), ties
+    share a rank, score 0 gets NO rank (→ inf). Token presence uses plain
+    substring containment (the reference's fuzz.partial_ratio == 100)."""
+    scored: list[tuple[str, float, int]] = []
+    for iri in cand_iris:
+        annots = labels.get(iri) if labels else None
+        if not annots:
+            annots = [iri.split(":")[-1].replace("_", " ")]
+        best = (0.0, 0)
+        for tgt in annots:
+            toks = _TGT_TOKEN_RE.findall(tgt)
+            if not toks:
+                continue
+            score = sum(1 for t in toks if len(t) > 1 and t in mention) / len(toks)
+            if (score, len(toks)) > best:
+                best = (score, len(toks))
+        scored.append((iri, best[0], best[1]))
+    scored.sort(key=lambda x: (x[1], x[2]), reverse=True)
+    ranking: dict[str, int] = {}
+    cur, prev = 0, None
+    for iri, s, length in scored:
+        if s == 0:
+            continue
+        if (s, length) != prev:
+            cur += 1
+        ranking[iri] = cur
+        prev = (s, length)
+    return ranking
+
+
+def salvage(
+    g: pd.DataFrame,
+    *,
+    hi: float = BES_HI,
+    keep: int = 10,
+    perc_thrs: float = 0.5,
+    num_raw_candidates: int = 200,
+    labels: dict[str, list[str]] | None = None,
+) -> pd.DataFrame:
+    """T3 low-score salvage (mapping_prediction.py:405-450,
+    get_low_score_candidates): when no candidate clears ``hi``,
+
+    1. keep the top-``keep`` by bes;
+    2. compute the token-overlap ranking (``overlap_ranking``);
+    3. the best-bes candidate survives iff it has a rank or bes >= perc_thrs;
+    4. every later candidate survives iff its bes is within ``perc_thrs``
+       relative difference of the best AND (it has a rank or bes > perc_thrs),
+       OR its rank improves on the best rank seen so far (which it then
+       updates);
+    5. unranked survivors get salvage_rank = num_raw_candidates + 1.
+    """
+    import math
+
     if (g["bes"] >= hi).any():
         return g
-    g = g.nlargest(keep, "bes").copy()
-    def contains(row) -> float:
-        m = set(str(row["mention"]).split())
-        c = set(row["cand_iri"].split(":")[-1].replace("_", " ").split())
-        return 1.0 if m and m <= c else 0.0
-    g["containment"] = g.apply(contains, axis=1)
-    return g.sort_values(["containment", "bes"], ascending=False, kind="mergesort")
+    g = g.sort_values(
+        ["bes", "cand_iri"], ascending=[False, True], kind="mergesort"
+    ).head(keep)
+    g = g[g["bes"] != -1].reset_index(drop=True)
+    if g.empty:
+        g["salvage_rank"] = pd.Series([], dtype="int64")
+        return g
+    mention = str(g["mention"].iloc[0]) if "mention" in g.columns else ""
+    ranking = overlap_ranking(mention, list(g["cand_iri"]), labels)
+
+    best_bes = float(g["bes"].iloc[0])
+    best_rank = ranking.get(g["cand_iri"].iloc[0], math.inf)
+    kept: list[tuple[int, float]] = []  # (row index, rank)
+    if best_rank < math.inf or best_bes >= perc_thrs:
+        kept.append((0, best_rank))
+    for i in range(1, len(g)):
+        s = float(g["bes"].iloc[i])
+        perc_diff = abs((s - best_bes) / best_bes) if best_bes else math.inf
+        r = ranking.get(g["cand_iri"].iloc[i], math.inf)
+        suitable = (perc_diff < perc_thrs and (r < math.inf or s > perc_thrs)) or (
+            r < math.inf and r <= best_rank
+        )
+        if suitable:
+            kept.append((i, r))
+            best_rank = min(best_rank, r)
+    out = g.loc[[i for i, _ in kept]].copy()
+    out["salvage_rank"] = [
+        num_raw_candidates + 1 if math.isinf(r) else int(r) for _, r in kept
+    ]
+    return out
 
 
 def select_optimal(
@@ -113,5 +200,8 @@ def select_links(
             g = consider_hierarchies(g, hierarchy)
         return select_optimal(g, **thresholds)
 
-    fn = with_hierarchy if mode == "optimal" else (lambda g: topk(g, k))
+    if mode == "salvage":
+        fn = lambda g: salvage(g, **thresholds)
+    else:
+        fn = with_hierarchy if mode == "optimal" else (lambda g: topk(g, k))
     return scored.groupby(mention_col).map_groups(fn, batch_format="pandas")

@@ -144,6 +144,48 @@ def q_kg_triples_dedup(sf_dir: str):
     return deduped.map_batches(split, batch_format="pandas")
 
 
+def q_kg_triples_bridge(sf_dir: str):
+    """objPropRules 2-4/7 instantiation over the bridge schema: a
+    many-to-many join table (orderpart, from lineitem columns) and a
+    self-referencing table (nation_sibling, derived sibling FK). Link
+    emission is gated on the compiled ontology exactly like the reference's
+    addForeignKeysToPaths (InsertDataRDB.java:47-64)."""
+    import pyarrow.compute as pc
+
+    from knowledgegraphs_ray.extract.kernel import TripleKernel
+    from knowledgegraphs_ray.schema.model import bridge_schema
+
+    g = bridge_schema()
+    rules = compile_rules(g)
+
+    op = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    t_op = op.map_batches(
+        TripleKernel(rules.plans["orderpart"], g["orderpart"].columns),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=32768,
+    )
+
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+
+    def derive_sibling(b: pa.Table) -> pa.Table:
+        keys = b["n_nationkey"].to_numpy(zero_copy_only=False)
+        sib = (keys.astype("int64") + 1) % 25
+        return b.append_column("sibling_key", pa.array(sib.astype("int32"), pa.int32()))
+
+    t_ns = nat.map_batches(derive_sibling, batch_format="pyarrow").map_batches(
+        TripleKernel(rules.plans["nation_sibling"], g["nation_sibling"].columns),
+        batch_format="pyarrow",
+        batch_size=32768,
+    )
+    return t_op.union(t_ns)
+
+
 def q_clean_corpus(sf_dir: str):
     from knowledgegraphs_ray.pipelines.training_data import clean_corpus
 
@@ -363,10 +405,14 @@ def q_canonical_mentions(sf_dir: str):
 
 
 def q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN with n_probe == n_list: every centroid list is scanned, so
+    the result is EXACT and shares the brute-force DuckDB oracle while still
+    exercising the full IVF path (train, assign, per-list scan, merge).
+    The reduced-probe approximate tier is recall-tested in tests/test_ivf.py."""
     from knowledgegraphs_ray.sim.ivf import ivf_topk
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_topk(ds, query_ids=[0, 1, 2], k=10, n_list=16, n_probe=8)
+    return ivf_topk(ds, query_ids=[0, 1, 2], k=10, n_list=16, n_probe=16)
 
 
 def q_doc_fingerprints(sf_dir: str):
@@ -396,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_exact_documents": q_link_exact_documents,
         "link_scored_documents": q_link_scored_documents,
         "canonical_mentions": q_canonical_mentions,
+        "kg_triples_bridge": q_kg_triples_bridge,
         "kg_triples_dedup": q_kg_triples_dedup,
         "clean_corpus": q_clean_corpus,
         "kg_pred_stats": q_kg_pred_stats,
@@ -431,6 +478,15 @@ def _plan_sql(tables: list[str], **kw) -> str:
 # DuckDB single-quoted strings keep backslashes literal — pass regexes as-is.
 _STOP_RE_SQL = ta.STOP_RE
 _TOKEN_RE_SQL = ta.TOKEN_RE
+
+_ANN_TOPK_SQL = (
+    "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2)), "
+    "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+    "  list_cosine_similarity(q.qe, e.embedding) AS score FROM q CROSS JOIN embeddings e) "
+    "SELECT query_id, neighbor_id, "
+    "  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank "
+    "FROM scored QUALIFY rank <= 10"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -483,19 +539,16 @@ def oracle_sql() -> dict[str, str]:
             + lang_score_cols
             + " FROM documents)"
         ),
-        "ann_topk": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2)), "
-            "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
-            "  list_cosine_similarity(q.qe, e.embedding) AS score FROM q CROSS JOIN embeddings e) "
-            "SELECT query_id, neighbor_id, "
-            "  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank "
-            "FROM scored QUALIFY rank <= 10"
-        ),
+        "ann_topk": _ANN_TOPK_SQL,
+        # ann_ivf_topk probes ALL lists (n_probe == n_list) -> exact: the
+        # brute-force SQL is a true oracle for the full IVF path
+        "ann_ivf_topk": _ANN_TOPK_SQL,
         # doc_fingerprints: engine-defined rolling hash — no SQL twin (rows-only check)
         # link_scored_documents: surrogate-model scoring — non-SQL (rows-only check)
         # minhash_dedup_pairs / simhash_pairs: sketch-based (seeded-hash)
         # candidate generation — non-SQL (rows-only; pytest checks recall vs
         # exact pairs)
+        "kg_triples_bridge": _bridge_sql(),
         "kg_triples_dedup": (
             "WITH kg AS ("
             + _plan_sql(["nation", "region"])
@@ -598,6 +651,29 @@ def oracle_sql() -> dict[str, str]:
         "link_exact_documents": _link_exact_sql(),
         "canonical_mentions": _canonical_mentions_sql(),
     }
+
+
+def _bridge_sql() -> str:
+    """Oracle twin of q_kg_triples_bridge — generated from the SAME compiled
+    plans, with the virtual tables expressed as DuckDB subqueries."""
+    from knowledgegraphs_ray.schema.model import bridge_schema
+
+    g = bridge_schema()
+    rules = compile_rules(g)
+    op_sql = sqlgen.triples_sql(
+        rules.plans["orderpart"],
+        g["orderpart"].columns,
+        from_clause="(SELECT l_orderkey, l_partkey, l_quantity FROM lineitem)",
+    )
+    ns_sql = sqlgen.triples_sql(
+        rules.plans["nation_sibling"],
+        g["nation_sibling"].columns,
+        from_clause=(
+            "(SELECT n_nationkey, n_name, (n_nationkey + 1) % 25 AS sibling_key "
+            "FROM nation)"
+        ),
+    )
+    return op_sql + "\nUNION ALL\n" + ns_sql
 
 
 def _mention_forms() -> dict[str, str]:

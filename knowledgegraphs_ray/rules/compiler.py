@@ -49,6 +49,11 @@ def obj_prop_iri(src_table: str, ref_table: str) -> str:
     return KG + f"p_{sanitize(src_table)}_{sanitize(ref_table)}"
 
 
+def symmetric_prop_iri(cname: str) -> str:
+    # Annotations.java:56-58 symmetricObjPropName — has_<className>
+    return KG + f"has_{sanitize(cname)}"
+
+
 def data_prop_iri(col: str, attrs_to_classes: bool) -> str:
     # DataPropExtractor.java:34-62 — has_<col> (direct) or has_<col>_VALUE
     # (when the column becomes an attribute class).
@@ -118,6 +123,16 @@ class TablePlan:
 
 
 @dataclass
+class PureProp:
+    """DomRan record of a pure object property (Properties.java:10-48):
+    repeated registrations under the same name union their domains/ranges."""
+
+    rules: set[str] = field(default_factory=set)
+    domains: set[str] = field(default_factory=set)
+    ranges: set[str] = field(default_factory=set)
+
+
+@dataclass
 class RuleTable:
     """Compiled ontology + extraction plans for one dataset."""
 
@@ -125,6 +140,20 @@ class RuleTable:
     object_props: dict[str, tuple[str, str]] = field(default_factory=dict)  # iri -> (dom, ran)
     data_props: dict[str, tuple[str, str]] = field(default_factory=dict)  # iri -> (dom, dtype)
     plans: dict[str, TablePlan] = field(default_factory=dict)
+    # full DomRan union per property (rules 1-8); object_props keeps the
+    # first-registered (dom, ran) pair for compatibility
+    pure_props: dict[str, PureProp] = field(default_factory=dict)
+    # object properties minted for attribute classes (has_<col>) — kept
+    # apart so hierarchy derivation doesn't confuse them with the
+    # symmetric has_<Class> props of rules 6/7
+    attr_props: set[str] = field(default_factory=set)
+
+    def add_pure(self, rule: str, name: str, dom: str, ran: str) -> None:
+        p = self.pure_props.setdefault(name, PureProp())
+        p.rules.add(rule)
+        p.domains.add(dom)
+        p.ranges.add(ran)
+        self.object_props.setdefault(name, (dom, ran))
 
 
 def _class_rule_applies(t: TableSchema) -> bool:
@@ -199,36 +228,193 @@ def compile_rules(
             for m in members:
                 grouped[m] = gname
 
+    # ----- pass 1: table -> class name (classRule1 groups + classRule2) -----
+    table_class: dict[str, str] = {}
     for name, t in g.tables.items():
         if name in grouped:
-            cname = grouped[name]
+            table_class[name] = grouped[name]
         elif _class_rule_applies(t):
-            cname = name
-        else:
+            table_class[name] = name
+
+    def cname_of(table: str) -> str | None:
+        """Class name of a table; None if the table exists but maps to no
+        class (reference isClass). A ref table OUTSIDE the schema subset is
+        treated as a virtual class named after itself — subset schemas (a
+        fact table without its dimensions) keep their FK links, minting
+        the dimension IRIs that the full schema would (deterministic IRIs
+        make the two runs consistent)."""
+        if table in table_class:
+            return table_class[table]
+        if table not in g.tables:
+            return table
+        return None
+
+    for name, cname in table_class.items():
+        rt.classes[class_iri(cname)] = name
+
+    # ----- pass 2: pure object properties, rules 1-8 ------------------------
+    # (ObjectPropExtractor.java:34-134, one rule method per block; property
+    # names use pureObjPropName p_<domainClass>_<rangeClass> and
+    # symmetricObjPropName has_<class>; repeated names union DomRan.)
+    def fk_pk_difference(t: TableSchema) -> set[str]:
+        # RTable.java:108-117: "refTable.refColumn" strings of non-PK FK cols
+        return {
+            f"{fk.ref_table}.{fk.ref_column}"
+            for col, fk in t.fks.items()
+            if col not in t.pk_set
+        }
+
+    for name, t in g.tables.items():
+        this = cname_of(name)
+
+        # rule 1: non-PK FK column whose target is the ref table's PK ->
+        # p_this_other AND the inverse p_other_this (ObjectPropExtractor:34-46)
+        for col, fk in t.fks.items():
+            other = cname_of(fk.ref_table)
+            ref_pk_ok = (
+                fk.ref_table not in g.tables  # virtual dimension: assume PK
+                or fk.ref_column in g[fk.ref_table].pks
+            )
+            if (
+                this is not None
+                and other is not None
+                and this != other
+                and col not in t.pk_set
+                and ref_pk_ok
+            ):
+                rt.add_pure(
+                    "r1", obj_prop_iri(this, other), class_iri(this), class_iri(other)
+                )
+                rt.add_pure(
+                    "r1 inv",
+                    obj_prop_iri(other, this),
+                    class_iri(other),
+                    class_iri(this),
+                )
+
+        # rule 2: composite-PK table with PK∩FK keys and extra columns ->
+        # p_this_other per bridged key (ObjectPropExtractor:48-60)
+        if (
+            this is not None
+            and len(t.pks) > 1
+            and t.pk_inter_fk
+            and len(t.columns) > len(t.pks)
+        ):
+            for key in sorted(t.pk_inter_fk):
+                other = cname_of(t.fks[key].ref_table)
+                if other is not None and other != this:
+                    rt.add_pure(
+                        "r2",
+                        obj_prop_iri(this, other),
+                        class_iri(this),
+                        class_iri(other),
+                    )
+
+        # rules 3/4: PKs ⊆ FKs (join table) -> pairwise props between the
+        # referenced classes (both directions), and refClass -> thisClass
+        # (ObjectPropExtractor:62-85)
+        if t.pk_set and t.pk_set <= t.fk_set:
+            fks = list(t.fks.values())
+            for fkp1 in fks:
+                c1 = cname_of(fkp1.ref_table)
+                if c1 is None:
+                    continue
+                for fkp2 in fks:
+                    c2 = cname_of(fkp2.ref_table)
+                    if c2 is not None and c1 != c2:
+                        rt.add_pure(
+                            "r3", obj_prop_iri(c1, c2), class_iri(c1), class_iri(c2)
+                        )
+                    if this is not None:
+                        if this != c1:
+                            rt.add_pure(
+                                "r4",
+                                obj_prop_iri(c1, this),
+                                class_iri(c1),
+                                class_iri(this),
+                            )
+                        if c2 is not None and this != c2:
+                            rt.add_pure(
+                                "r4",
+                                obj_prop_iri(c2, this),
+                                class_iri(c2),
+                                class_iri(this),
+                            )
+
+        # rule 6: even-sized PK all referencing ONE class -> symmetric
+        # has_<class> (ObjectPropExtractor:87-103)
+        if len(t.pks) % 2 == 0 and t.pk_set and t.pk_set <= t.fk_set:
+            ref_classes = {cname_of(t.fks[k].ref_table) for k in t.pk_inter_fk}
+            if len(ref_classes) == 1:
+                (c,) = ref_classes
+                if c is not None:
+                    rt.add_pure(
+                        "r6", symmetric_prop_iri(c), class_iri(c), class_iri(c)
+                    )
+
+        # rule 7: self-referencing FK onto the table's own PK -> symmetric
+        # has_<thisClass> (ObjectPropExtractor:105-115)
+        if this is not None:
+            for col, fk in t.fks.items():
+                if fk.ref_table == name and fk.ref_column in t.pks:
+                    rt.add_pure(
+                        "r7", symmetric_prop_iri(this), class_iri(this), class_iri(this)
+                    )
+
+        # rule 8: two tables sharing a non-PK FK target -> p_this_other
+        # (both directions, via the outer loop over tables;
+        # ObjectPropExtractor:117-134)
+        if this is not None:
+            diff = fk_pk_difference(t)
+            if diff:
+                for name2, t2 in g.tables.items():
+                    other = cname_of(name2)
+                    if other is None or other == this:
+                        continue
+                    if diff & fk_pk_difference(t2):
+                        rt.add_pure(
+                            "r8",
+                            obj_prop_iri(this, other),
+                            class_iri(this),
+                            class_iri(other),
+                        )
+
+    # ----- pass 3: per-table extraction plans -------------------------------
+    # Mirrors InsertDataRDB.addForeignKeysToPaths (InsertDataRDB.java:47-64):
+    # an FK column emits link triples ONLY IF the corresponding property
+    # exists in the compiled ontology — p_<thisClass>_<refClass>, or the
+    # symmetric has_<thisClass> for a self-reference. Rules 3/4/6/8 enrich
+    # the ontology surface but (as in the reference) are not instantiated
+    # from join-table rows.
+    class_names = {sanitize(n) for n in g.tables}
+    for name, t in g.tables.items():
+        this = cname_of(name)
+        if this is None:
             continue
-        ciri = class_iri(cname)
-        rt.classes[ciri] = name
+        ciri = class_iri(this)
         plan = TablePlan(table=name, cls=ciri, pk_cols=list(t.pks))
         plan.emits.append(TypeEmit(ciri))
 
-        # object properties from FK columns.
-        # objPropRule1 (ObjectPropExtractor.java:34-46): non-PK FK column ->
-        # property thisClass -> refClass; objPropRule2-4 (48-85): PK∩FK bridge
-        # columns also link to each referenced class. Both reduce to: every FK
-        # column emits one link property to its referenced table's class.
         for col, fk in t.fks.items():
-            piri = obj_prop_iri(cname, fk.ref_table)
-            rt.object_props[piri] = (ciri, class_iri(fk.ref_table))
+            if fk.ref_table == name:
+                piri = symmetric_prop_iri(this)
+            else:
+                other = cname_of(fk.ref_table)
+                piri = obj_prop_iri(this, other) if other is not None else None
+            if piri is None or piri not in rt.pure_props:
+                continue  # no compiled property for this FK column
             inv = None
-            if include_inverse:
-                inv = obj_prop_iri(fk.ref_table, cname) + "_inv"
-                rt.object_props[inv] = (class_iri(fk.ref_table), ciri)
-            plan.emits.append(LinkEmit(col=col, pred=piri, ref_table=fk.ref_table, inverse_pred=inv))
+            if include_inverse and fk.ref_table != name:
+                inv_name = obj_prop_iri(cname_of(fk.ref_table), this)
+                if inv_name in rt.pure_props:
+                    inv = inv_name
+            plan.emits.append(
+                LinkEmit(col=col, pred=piri, ref_table=fk.ref_table, inverse_pred=inv)
+            )
 
         # data properties from simple-attribute columns
         # (DataPropExtractor.java:34-62). A column whose sanitized name clashes
         # with a class name gets the _ATTR suffix (Annotations.java:41-78).
-        class_names = {sanitize(n) for n in g.tables}
         for col in t.columns:
             if not t.is_simple_attribute(col):
                 continue
@@ -236,10 +422,11 @@ def compile_rules(
             dtype = t.columns[col]
             dpred = data_prop_iri(col_label, attrs_to_classes)
             if attrs_to_classes:
-                aciri = attr_class_iri(cname, col_label)
+                aciri = attr_class_iri(this, col_label)
                 apred = KG + f"has_{sanitize(col_label)}"
                 rt.classes.setdefault(aciri, name)
                 rt.object_props[apred] = (ciri, aciri)
+                rt.attr_props.add(apred)
                 rt.data_props[dpred] = (aciri, dtype)
                 plan.emits.append(
                     DataEmit(col=col, pred=dpred, dtype=dtype, attr_cls=aciri, attr_pred=apred)

@@ -18,22 +18,39 @@ import pandas as pd
 
 @dataclass
 class Hierarchy:
-    """parents: child -> set(direct parents). Closure computed on build."""
+    """parents: child -> set(direct parents). Closure computed on build.
+    ``restrictions``: class -> owl:Restriction onProperty IRIs declared
+    directly on that class (H6; inherited ones come via the closure)."""
 
     parents: dict[str, set[str]] = field(default_factory=dict)
     # iri -> {ancestor: min_depth}
     closure: dict[str, dict[str, int]] = field(default_factory=dict)
+    restrictions: dict[str, set[str]] = field(default_factory=dict)
 
     @classmethod
-    def build(cls, edges: list[tuple[str, str]]) -> "Hierarchy":
-        """edges: (child, parent) pairs."""
+    def build(
+        cls,
+        edges: list[tuple[str, str]],
+        restrictions: list[tuple[str, str]] | None = None,
+    ) -> "Hierarchy":
+        """edges: (child, parent) pairs; restrictions: (class, onProperty)."""
         h = cls()
         for c, p in edges:
             h.parents.setdefault(c, set()).add(p)
             h.parents.setdefault(p, set())
         for node in h.parents:
             h.closure[node] = h._bfs(node)
+        for c, prop in restrictions or []:
+            h.restrictions.setdefault(c, set()).add(prop)
         return h
+
+    def restriction_props(self, cls_iri: str) -> set[str]:
+        """onProperty IRIs restricted on the class OR any superclass —
+        the SPARQL of MappingSelection.java:643-653 (direct ∪ subClassOf+)."""
+        props = set(self.restrictions.get(cls_iri, ()))
+        for anc in self.ancestors(cls_iri):
+            props |= self.restrictions.get(anc, set())
+        return props
 
     def _bfs(self, start: str) -> dict[str, int]:
         """All ancestors with min depth; cycle-safe (Ontology.java:174-209)."""
@@ -79,6 +96,49 @@ class Hierarchy:
         return [sorted(v) for v in kids.values() if len(v) > 1]
 
 
+def class_uses_data_props(
+    class_iri: str,
+    candidates: list[str],
+    h: Hierarchy,
+    *,
+    domains: dict[str, object] | None = None,
+    missing_domain_is_compatible: bool = True,
+) -> set[str]:
+    """H6 — MappingSelection.java:631-661 ``classUsesDataProps``: which
+    data-property candidates are usable on ``class_iri``.
+
+    1. A candidate whose (inferred) domain is compatible with the class —
+       equal or ancestor either way; union domains pass if ANY operand is
+       compatible; a missing domain passes iff
+       ``missing_domain_is_compatible`` — is kept.
+    2. Remaining candidates are checked against the properties restricted on
+       the class or its superclasses (``owl:Restriction owl:onProperty``,
+       direct or via subClassOf+): a candidate compatible with any
+       restriction property (equal or sub/super property, self counts) is
+       also kept.
+
+    ``domains``: candidate -> domain IRI | set of IRIs (union) | None.
+    """
+    domains = domains or {}
+    compatible: set[str] = set()
+    for cand in candidates:
+        dom = domains.get(cand)
+        if dom is None:
+            if missing_domain_is_compatible:
+                compatible.add(cand)
+            continue
+        ops = dom if isinstance(dom, (set, frozenset, list, tuple)) else [dom]
+        if any(h.are_compatible(str(o), class_iri) for o in ops):
+            compatible.add(cand)
+    others = [c for c in candidates if c not in compatible]
+    if others:
+        restr = h.restriction_props(class_iri)
+        for cand in others:
+            if any(h.are_compatible(cand, rp) for rp in restr):
+                compatible.add(cand)
+    return compatible
+
+
 DEPTH_THRS = 3  # MappingSelection DEPTH_THRS default
 
 
@@ -122,9 +182,15 @@ def consider_hierarchies(
 
 def hierarchy_from_rules(rules) -> Hierarchy:
     """Subclass edges implied by the compiled rule table: attribute classes
-    are children of their table class (DataPropExtractor semantics)."""
+    are children of their table class (DataPropExtractor semantics).
+
+    Uses ``rules.attr_props`` to identify attribute-class links — the
+    symmetric ``has_<Class>`` properties of objPropRules 6/7 share the
+    ``has_`` prefix but are NOT subclass edges."""
+    attr = getattr(rules, "attr_props", None)
     edges: list[tuple[str, str]] = []
     for piri, (dom, ran) in rules.object_props.items():
-        if piri.startswith("kg:has_"):  # attr-class link
+        is_attr = piri in attr if attr is not None else piri.startswith("kg:has_")
+        if is_attr:
             edges.append((ran, dom))
     return Hierarchy.build(edges)

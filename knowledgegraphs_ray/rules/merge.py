@@ -25,11 +25,18 @@ from knowledgegraphs_ray.rules.hierarchy import Hierarchy
 @dataclass
 class Matches:
     """Selected PO -> DO alignment (reference D_MappingGeneration/Matches.java):
-    src_iri -> (target iri(s), score)."""
+    src_iri -> (target iri(s), score).
+
+    ``paths``: PO property -> its selected DO mapping path (the Mapping
+    pathURIs of the reference's mappings file); ``do_classes``: the DO's
+    class IRIs (so the merge can tell a class-first path from a
+    property-first one, reference ontology.getOntClass)."""
 
     classes: dict[str, str] = field(default_factory=dict)
     object_props: dict[str, str] = field(default_factory=dict)
     data_props: dict[str, str] = field(default_factory=dict)
+    paths: dict[str, list[str]] = field(default_factory=dict)
+    do_classes: set[str] = field(default_factory=set)
 
 
 @dataclass
@@ -37,9 +44,15 @@ class MergeResult:
     rules: RuleTable
     subclass_edges: list[tuple[str, str]]
     pruned: list[str]
+    # E4 bridge synthesis output: (new_prop, inverse_prop) pairs and the
+    # someValuesFrom restrictions (class, onProperty, range)
+    bridges: list[tuple[str, str]] = field(default_factory=list)
+    restrictions: list[tuple[str, str, str]] = field(default_factory=list)
 
     def hierarchy(self) -> Hierarchy:
-        return Hierarchy.build(self.subclass_edges)
+        return Hierarchy.build(
+            self.subclass_edges, [(c, p) for c, p, _ in self.restrictions]
+        )
 
 
 def merge_po_into_do(rules: RuleTable, matches: Matches, *, rewrite_preds: bool = True) -> MergeResult:
@@ -74,6 +87,39 @@ def merge_po_into_do(rules: RuleTable, matches: Matches, *, rewrite_preds: bool 
             new_emits.append(e)
         plan.emits = new_emits
 
+    # E4 — SetPOasDOextension.java:537-590 (handleClassAsFirstPathNode):
+    # when a column's selected mapping path STARTS with a DO class, the
+    # reference mints a bridge property p_<TableClass>_<FirstClass>
+    # (domain table class, range first class), its inverse
+    # p_<FirstClass>_<TableClass> (set as inverseOf), and a someValuesFrom
+    # restriction  tableClass ⊑ (bridge some firstClass).
+    bridges: list[tuple[str, str]] = []
+    restrictions: list[tuple[str, str, str]] = []
+    from knowledgegraphs_ray.rules.compiler import KG
+
+    def _local(iri: str) -> str:
+        return iri.split("#")[-1].split("/")[-1].split(":")[-1]
+
+    for plan in rules.plans.values():
+        tbl_local = _local(plan.cls)
+        for e in plan.emits:
+            pred = getattr(e, "pred", None)
+            path = matches.paths.get(pred) if pred else None
+            if not path:
+                continue
+            first = path[0]
+            if first not in matches.do_classes:
+                continue  # first node is a property (or PO element): no bridge
+            new_name = KG + f"p_{tbl_local}_{_local(first)}"
+            inv_name = KG + f"p_{_local(first)}_{tbl_local}"
+            if new_name in rules.object_props:
+                continue  # already created (reference: property exists check)
+            rules.add_pure("e4", new_name, plan.cls, first)
+            rules.add_pure("e4 inv", inv_name, first, plan.cls)
+            bridges.append((new_name, inv_name))
+            restrictions.append((plan.cls, new_name, first))
+
+
     # E5 rewrite — selected matches replace the PO predicate in the compiled
     # plans (the kernels then emit DO IRIs directly; deterministic, so the
     # rewrite is a kernel_version bump, not a data migration)
@@ -103,4 +149,10 @@ def merge_po_into_do(rules: RuleTable, matches: Matches, *, rewrite_preds: bool 
                 new_emits.append(e)
             plan.emits = new_emits
 
-    return MergeResult(rules=rules, subclass_edges=edges, pruned=pruned)
+    return MergeResult(
+        rules=rules,
+        subclass_edges=edges,
+        pruned=pruned,
+        bridges=bridges,
+        restrictions=restrictions,
+    )

@@ -30,10 +30,23 @@ XSD_BY_DTYPE = {
 
 
 def ontology_triples(
-    rules: RuleTable, *, subclass_edges: list[tuple[str, str]] | None = None
+    rules: RuleTable,
+    *,
+    subclass_edges: list[tuple[str, str]] | None = None,
+    restrictions: list[tuple[str, str, str]] | None = None,
 ) -> pd.DataFrame:
-    """-> (subj, pred, obj) rows describing the ontology."""
+    """-> (subj, pred, obj) rows describing the ontology.
+
+    ``restrictions``: (class, onProperty, someValuesFrom-range) triples —
+    emitted as owl:Restriction blank nodes (E4 bridge output; round-trips
+    through sinks.ntriples / sources.ontology)."""
     rows: list[tuple[str, str, str]] = []
+    for i, (cls, prop, rng) in enumerate(sorted(restrictions or [])):
+        b = f"_:r{i}"
+        rows.append((cls, "rdfs:subClassOf", b))
+        rows.append((b, "rdf:type", "owl:Restriction"))
+        rows.append((b, "owl:onProperty", prop))
+        rows.append((b, "owl:someValuesFrom", rng))
     for ciri in sorted(rules.classes):
         rows.append((ciri, "rdf:type", OWL_CLASS))
     for piri, (dom, ran) in sorted(rules.object_props.items()):

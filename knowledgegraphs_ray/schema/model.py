@@ -206,6 +206,56 @@ def tpch_schema(tables: list[str] | None = None) -> SchemaGraph:
     return g
 
 
+def bridge_schema() -> SchemaGraph:
+    """Schema exercising objPropRules 3/4/6/7/8 (ObjectPropExtractor.java:62-134)
+    over VIRTUAL tables derived from the driver's testdata:
+
+    * ``orderpart`` — many-to-many join table (PK ⊆ FK): the (l_orderkey,
+      l_partkey, l_quantity) projection of ``lineitem``. Rules 3/4 mint the
+      pairwise p_orders_part / p_part_orders and p_orders_orderpart /
+      p_part_orderpart ontology properties; rule 2 gives the table its own
+      link properties (it has a non-key column).
+    * ``nation_sibling`` — self-referencing table: nation plus a derived
+      ``sibling_key = (n_nationkey + 1) % 25`` FK onto its own PK. Rule 7
+      mints the symmetric ``has_nation_sibling``.
+    """
+    g = SchemaGraph()
+    g.add(
+        TableSchema(
+            "orders",
+            {"o_orderkey": "int", "o_orderstatus": "varchar"},
+            pks=["o_orderkey"],
+        )
+    )
+    g.add(
+        TableSchema(
+            "part",
+            {"p_partkey": "int", "p_name": "varchar"},
+            pks=["p_partkey"],
+        )
+    )
+    g.add(
+        TableSchema(
+            "orderpart",
+            {"l_orderkey": "int", "l_partkey": "int", "l_quantity": "double"},
+            pks=["l_orderkey", "l_partkey"],
+            fks={
+                "l_orderkey": FKPointer("orders", "o_orderkey"),
+                "l_partkey": FKPointer("part", "p_partkey"),
+            },
+        )
+    )
+    g.add(
+        TableSchema(
+            "nation_sibling",
+            {"n_nationkey": "int", "n_name": "varchar", "sibling_key": "int"},
+            pks=["n_nationkey"],
+            fks={"sibling_key": FKPointer("nation_sibling", "n_nationkey")},
+        )
+    )
+    return g
+
+
 def transcript_schema() -> SchemaGraph:
     """Schema of the primary transcript input (BASELINE.json input_hint):
     (conv_id:string, turn_idx:int32, role:string, text:string, tool:string,

@@ -59,14 +59,24 @@ def _s(col) -> pa.Array:
 
 
 def to_ntriples_lines(batch: pa.Table) -> pa.Table:
-    subj = _expand(_s(batch["subj"]))
+    subj = _s(batch["subj"])
     pred = _expand(_s(batch["pred"]))
     obj = _s(batch["obj"])
+    # blank nodes (restriction bnodes, "_:r0") are written bare
+    subj_term = pc.if_else(
+        pc.starts_with(subj, "_:"),
+        subj,
+        pc.binary_join_element_wise("<", _expand(subj), ">", ""),
+    )
     iri_obj = pc.binary_join_element_wise("<", _expand(obj), ">", "")
     lit_obj = pc.binary_join_element_wise('"', _escape_literal(obj), '"', "")
-    obj_term = pc.if_else(_is_iri(obj), iri_obj, lit_obj)
+    obj_term = pc.if_else(
+        pc.starts_with(obj, "_:"),
+        obj,
+        pc.if_else(_is_iri(obj), iri_obj, lit_obj),
+    )
     line = pc.binary_join_element_wise(
-        "<", subj, "> <", pred, "> ", obj_term, " .", ""
+        subj_term, " <", pred, "> ", obj_term, " .", ""
     )
     return pa.table({"line": line})
 

@@ -16,7 +16,10 @@ from knowledgegraphs_ray.linking.index import AnnotationIndex
 from knowledgegraphs_ray.rules.hierarchy import Hierarchy
 from knowledgegraphs_ray.sinks.ntriples import PREFIXES
 
-_LINE = re.compile(r'^<([^>]*)>\s+<([^>]*)>\s+(?:<([^>]*)>|"((?:[^"\\]|\\.)*)")\s*\.\s*$')
+_LINE = re.compile(
+    r'^(?:<([^>]*)>|(_:\w+))\s+<([^>]*)>\s+'
+    r'(?:<([^>]*)>|(_:\w+)|"((?:[^"\\]|\\.)*)")\s*\.\s*$'
+)
 
 LABEL_PREDS = {
     "http://www.w3.org/2000/01/rdf-schema#label",
@@ -56,30 +59,51 @@ def parse_ntriples(paths: str | list[str]) -> list[tuple[str, str, str, bool]]:
                 m = _LINE.match(line)
                 if not m:
                     continue
-                s, p, o_iri, o_lit = m.groups()
-                if o_iri is not None:
-                    out.append((_compact(s), _compact(p), _compact(o_iri), False))
+                s_iri, s_bn, p, o_iri, o_bn, o_lit = m.groups()
+                s = s_bn if s_bn is not None else _compact(s_iri)
+                if o_lit is not None:
+                    out.append((s, _compact(p), _unescape(o_lit), True))
+                elif o_bn is not None:
+                    out.append((s, _compact(p), o_bn, False))
                 else:
-                    out.append((_compact(s), _compact(p), _unescape(o_lit), True))
+                    out.append((s, _compact(p), _compact(o_iri), False))
     return out
 
 
 def load_ontology(paths: str | list[str]) -> tuple[AnnotationIndex, Hierarchy]:
     """-> (AnnotationIndex from label annotations, Hierarchy from subclass
-    edges) — the two broadcast structures the linking/selection stages use."""
+    edges + owl:Restriction onProperty table) — the broadcast structures the
+    linking/selection stages use (the restriction table feeds H6
+    ``class_uses_data_props``)."""
     triples = parse_ntriples(paths)
     labels: dict[str, list[str]] = {}
     edges: list[tuple[str, str]] = []
+    sub_bnode: list[tuple[str, str]] = []  # (class, bnode)
+    bnode_type: dict[str, str] = {}
+    bnode_prop: dict[str, str] = {}
     for s, p, o, is_lit in triples:
         if is_lit and (p in LABEL_PREDS or p.split("#")[-1] in ("label", "prefLabel", "altLabel")):
             labels.setdefault(s, []).append(o)
         elif not is_lit and (p in SUBCLASS_PREDS or p.endswith("subClassOf")):
-            edges.append((s, o))
+            if o.startswith("_:"):
+                sub_bnode.append((s, o))
+            else:
+                edges.append((s, o))
+        elif not is_lit and s.startswith("_:"):
+            if p in ("rdf:type",) or p.endswith("#type"):
+                bnode_type[s] = o
+            elif p.endswith("onProperty") or p == "owl:onProperty":
+                bnode_prop[s] = o
         elif not is_lit:
             labels.setdefault(s, [])  # entity exists even without labels
+    restrictions = [
+        (cls, bnode_prop[b])
+        for cls, b in sub_bnode
+        if bnode_type.get(b, "").endswith("Restriction") and b in bnode_prop
+    ]
     # entities with no labels get their local name as label (Ontology.java
     # fallback: fragment of the IRI)
     for iri, labs in labels.items():
         if not labs:
             labs.append(iri.split("/")[-1].split("#")[-1].split(":")[-1])
-    return AnnotationIndex.build(labels), Hierarchy.build(edges)
+    return AnnotationIndex.build(labels), Hierarchy.build(edges, restrictions)

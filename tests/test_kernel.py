@@ -97,7 +97,7 @@ def test_inverse_link_emission():
     kern = TripleKernel(rt.plans["person"], g["person"].columns)
     trip = {(r["subj"], r["pred"], r["obj"]) for r in kern(_batch()).to_pylist()}
     assert ("kg:person/1", "kg:p_person_addr", "kg:addr/10") in trip
-    assert ("kg:addr/10", "kg:p_addr_person_inv", "kg:person/1") in trip
+    assert ("kg:addr/10", "kg:p_addr_person", "kg:person/1") in trip
     # null FK emits neither direction
     assert not any(s == "kg:addr/None" or o == "kg:person/2" and p.endswith("_inv")
                    for s, p, o in trip)

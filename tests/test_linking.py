@@ -146,3 +146,88 @@ def test_canonicalize_hot_block_bounded():
 def test_char_ngram_jaccard_symmetry():
     a, b = char_ngrams("order"), char_ngrams("orders")
     assert 0 < jaccard(a, b) < 1
+
+
+def test_overlap_ranking_reference_example():
+    """The documented example of mapping_prediction.py:343-356: ranks by
+    (overlap fraction desc, token length desc), score-0 unranked."""
+    from knowledgegraphs_ray.linking.select import overlap_ranking
+
+    labels = {
+        "t:rate": ["rate"],
+        "t:base_rate": ["base rate"],
+        "t:interest_rate": ["interest rate"],
+        "t:long": ["some other with interest rate"],
+        "t:unsuitable": ["unsuitable candidate"],
+    }
+    r = overlap_ranking(
+        "contribution interest rate", list(labels), labels
+    )
+    assert r["t:interest_rate"] == 1  # 2/2, longer beats rate's 1/1 (8.1)
+    assert r["t:rate"] == 2
+    assert r["t:base_rate"] == 3
+    assert r["t:long"] == 4
+    assert "t:unsuitable" not in r  # score 0 -> inf
+
+
+def test_salvage_retention_rules():
+    """mapping_prediction.py:405-450: within-perc-diff keep, improving-rank
+    keep, and the best-candidate gate."""
+    import pandas as pd
+
+    from knowledgegraphs_ray.linking.select import salvage
+
+    labels = {
+        "t:rate": ["rate"],
+        "t:base_rate": ["base rate"],
+        "t:interest_rate": ["interest rate"],
+        "t:unsuitable": ["unsuitable candidate"],
+    }
+    g = pd.DataFrame(
+        {
+            "mention": ["contribution interest rate"] * 4,
+            "cand_iri": ["t:unsuitable", "t:rate", "t:base_rate", "t:interest_rate"],
+            "bes": [0.40, 0.35, 0.10, 0.08],
+            "pj": [0.0] * 4,
+        }
+    )
+    out = salvage(g, labels=labels, num_raw_candidates=200)
+    kept = dict(zip(out["cand_iri"], out["salvage_rank"]))
+    # best by bes (unsuitable, 0.40) has no rank and bes < 0.5 -> dropped
+    assert "t:unsuitable" not in kept
+    # rate: perc_diff |0.35-0.40|/0.40 = 0.125 < 0.5 and ranked -> kept
+    assert kept["t:rate"] == 2
+    # base_rate: perc_diff 0.75 >= 0.5, rank 3 > best_rank 2 -> dropped
+    assert "t:base_rate" not in kept
+    # interest_rate: perc_diff 0.8 >= 0.5 BUT rank 1 <= best_rank 2 -> kept
+    assert kept["t:interest_rate"] == 1
+
+
+def test_salvage_high_score_passthrough_and_unranked_rank():
+    import pandas as pd
+
+    from knowledgegraphs_ray.linking.select import salvage
+
+    g = pd.DataFrame(
+        {
+            "mention": ["alpha"] * 2,
+            "cand_iri": ["t:a", "t:b"],
+            "bes": [0.9, 0.2],
+            "pj": [0.0, 0.0],
+        }
+    )
+    # a candidate clears hi -> untouched passthrough
+    assert salvage(g).equals(g)
+
+    # best has bes >= perc_thrs but no overlap rank -> kept with the
+    # sentinel rank num_raw_candidates + 1
+    g2 = pd.DataFrame(
+        {
+            "mention": ["zzz"] * 1,
+            "cand_iri": ["t:q"],
+            "bes": [0.6],
+            "pj": [0.0],
+        }
+    )
+    out = salvage(g2, labels={"t:q": ["unrelated words"]}, num_raw_candidates=50)
+    assert list(out["salvage_rank"]) == [51]
