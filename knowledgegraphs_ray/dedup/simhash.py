@@ -18,9 +18,34 @@ import ray.data
 _SEED = 7
 
 
+def _md5_token_hashes(tokens: np.ndarray) -> np.ndarray:
+    """uint64 token hashes = first 8 bytes of md5 (big-endian) — the
+    DuckDB-reproducible hash ('0x' || substr(md5(t),1,16))::UBIGINT. Hash
+    cost is paid per UNIQUE token, not per occurrence."""
+    import hashlib
+
+    uniq, inv = np.unique(tokens, return_inverse=True)
+    hu = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            for t in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return hu[inv]
+
+
 def simhash_batch(
-    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "polars",
 ) -> pd.DataFrame:
+    """hash_fn="polars" (default): seeded polars hash — the fast scale path.
+    hash_fn="md5": md5-derived token hashes, bit-for-bit reproducible in
+    DuckDB SQL (the value-oracle path; ~unique-token md5 cost per batch)."""
     df = pl.from_arrow(batch.select([id_col, text_col]))
     toks = df.select(
         pl.col(id_col),
@@ -28,13 +53,15 @@ def simhash_batch(
     )
     lens = toks["t"].list.len().to_numpy().astype(np.int64)
     # drop_nulls: exploding an empty list yields one null row (offset desync)
-    h = (
-        toks.explode("t")
-        .drop_nulls("t")
-        .select(pl.col("t").hash(seed=_SEED).alias("h"))["h"]
-        .to_numpy()
-        .astype(np.uint64)
-    )
+    flat = toks.explode("t").drop_nulls("t")
+    if hash_fn == "md5":
+        h = _md5_token_hashes(flat["t"].to_numpy())
+    else:
+        h = (
+            flat.select(pl.col("t").hash(seed=_SEED).alias("h"))["h"]
+            .to_numpy()
+            .astype(np.uint64)
+        )
     ids = df[id_col].to_numpy()
     n = len(ids)
     # (n_tokens, 64) ±1 votes
@@ -95,12 +122,13 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_distance: int = 3,
     max_bucket: int = 500,
+    hash_fn: str = "polars",
 ) -> ray.data.Dataset:
     """-> (doc_a, doc_b, distance) pairs with Hamming distance <= max_distance.
     n_bands = max_distance + 1 guarantees no false negatives (pigeonhole)."""
     n_bands = max_distance + 1
     fps = ds.map_batches(
-        lambda b: simhash_batch(b, id_col=id_col, text_col=text_col),
+        lambda b: simhash_batch(b, id_col=id_col, text_col=text_col, hash_fn=hash_fn),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )

@@ -357,9 +357,15 @@ def q_minhash_components(sf_dir: str):
 
 
 def q_simhash_pairs(sf_dir: str):
+    """SimHash pairs with the md5 token hash — every stage (fingerprint,
+    pigeonhole banding, first-band dedup, Hamming verify) value-checked
+    against a pure-SQL SimHash in DuckDB. The seeded-polars-hash fast path
+    is property-tested separately (tests/test_dedup.py)."""
     from knowledgegraphs_ray.dedup.simhash import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), max_distance=3)
+    return simhash_near_dup_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), max_distance=3, hash_fn="md5"
+    )
 
 
 def q_embedding_near_dups(sf_dir: str):
@@ -543,11 +549,21 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf_topk probes ALL lists (n_probe == n_list) -> exact: the
         # brute-force SQL is a true oracle for the full IVF path
         "ann_ivf_topk": _ANN_TOPK_SQL,
-        # doc_fingerprints: engine-defined rolling hash — no SQL twin (rows-only check)
+        # doc_fingerprints: the byte-level polynomial rolling hash IS
+        # SQL-expressible as a Horner fold over codepoints (== bytes for the
+        # ASCII testdata; a non-ASCII doc would surface as a value mismatch,
+        # not a silent pass). HUGEINT carries acc*BASE+byte < 2^104.
+        "doc_fingerprints": (
+            "SELECT doc_id, CAST(list_reduce(list_concat([0::HUGEINT], "
+            "  list_transform(regexp_extract_all(coalesce(text, ''), '.', 0, 's'), "
+            "    c -> unicode(c)::HUGEINT)), "
+            "  (acc, x) -> (acc * 1099511628211::HUGEINT + x) % 18446744073709551616::HUGEINT) "
+            "AS UBIGINT) AS fingerprint FROM documents"
+        ),
         # link_scored_documents: surrogate-model scoring — non-SQL (rows-only check)
-        # minhash_dedup_pairs / simhash_pairs: sketch-based (seeded-hash)
-        # candidate generation — non-SQL (rows-only; pytest checks recall vs
-        # exact pairs)
+        # minhash_dedup_pairs / minhash_components: seeded-permutation
+        # sketches — non-SQL (rows-only; pytest checks recall vs exact pairs)
+        "simhash_pairs": _simhash_sql(max_distance=3),
         "kg_triples_bridge": _bridge_sql(),
         "kg_triples_dedup": (
             "WITH kg AS ("
@@ -596,6 +612,7 @@ def oracle_sql() -> dict[str, str]:
             "o_custkey, total_cents, n_orders FROM a "
             "ORDER BY total_cents DESC, o_custkey LIMIT 10"
         ),
+        "pii_schema": _pii_schema_sql(),
         "pii_scan_documents": __import__(
             "knowledgegraphs_ray.pii.scan", fromlist=["pii_scan_oracle_sql"]
         ).pii_scan_oracle_sql(),
@@ -651,6 +668,58 @@ def oracle_sql() -> dict[str, str]:
         "link_exact_documents": _link_exact_sql(),
         "canonical_mentions": _canonical_mentions_sql(),
     }
+
+
+def _simhash_sql(*, max_distance: int = 3) -> str:
+    """Pure-SQL 64-bit SimHash twin of dedup.simhash with hash_fn='md5':
+    per-token hash = first 8 md5 bytes; each token votes ±1 per bit; the
+    fingerprint bit is sign(sum); pairs = Hamming distance <= max_distance
+    (banding is pigeonhole-complete, so the brute-force SQL is exact)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+  FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+        FROM documents)
+), bits AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM tok, (SELECT unnest(range(64)) AS b) b
+  GROUP BY doc_id, b.b
+), fp AS (
+  SELECT d.doc_id,
+         coalesce(SUM(CASE WHEN s > 0 THEN (1::HUGEINT << b) ELSE 0 END), 0)::UBIGINT AS f
+  FROM documents d LEFT JOIN bits ON d.doc_id = bits.doc_id
+  GROUP BY d.doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS distance
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= {max_distance}
+"""
+
+
+def _pii_schema_sql() -> str:
+    """Literal expected-table oracle for the schema-derived PII scan: the
+    output is a pure function of the DECLARED schema (no data), so the
+    expected rows are inlined as VALUES — the driver then verifies
+    determinism, column naming and value serialization end to end."""
+    df = q_pii_schema("")  # schema-only; sf_dir unused
+    rows = ", ".join(
+        "('%s', '%s', %s, %s, %s)"
+        % (
+            r["element"],
+            r["dpv_matches"],
+            "TRUE" if r["is_personal_data"] else "FALSE",
+            "TRUE" if r["is_identifying"] else "FALSE",
+            "TRUE" if r["is_special_category"] else "FALSE",
+        )
+        for r in df.to_dict("records")
+    )
+    return (
+        "SELECT * FROM (VALUES "
+        + rows
+        + ") AS t(element, dpv_matches, is_personal_data, is_identifying, is_special_category)"
+    )
 
 
 def _bridge_sql() -> str:
