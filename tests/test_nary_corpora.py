@@ -67,3 +67,62 @@ def test_build_corpora():
     assert c == build_corpora(idx, h, seed=1)
     # soft negatives never collide with synonyms
     assert not set(c["soft_nonsynonyms"]) & set(c["synonyms"])
+
+
+def test_text_semantics_corpora_structure():
+    """Full BERTMap corpus (text_semantics.py:486-584): intra-src + intra-tgt
+    + cross sub-corpora, labelled pairs, nonsyn − syn subtraction."""
+    from knowledgegraphs_ray.linking.corpora import text_semantics_corpora
+    from knowledgegraphs_ray.linking.index import AnnotationIndex
+    from knowledgegraphs_ray.rules.hierarchy import Hierarchy
+
+    src = AnnotationIndex.build(
+        {"po:A": ["alpha", "alpha form"], "po:B": ["beta"], "po:C": ["gamma"]}
+    )
+    tgt = AnnotationIndex.build(
+        {"do:X": ["alpha", "ex"], "do:Y": ["why"], "do:Z": ["zed"]}
+    )
+    h = Hierarchy.build([("do:Y", "do:X"), ("do:Z", "do:X")])
+    out = text_semantics_corpora(
+        src, tgt, tgt_hierarchy=h, class_mappings=[("po:A", "do:X"), ("po:B", "do:Y")]
+    )
+    syn = {(a, b) for a, b, _ in out["synonyms"]}
+    non = {(a, b) for a, b, _ in out["nonsynonyms"]}
+    # intra synonyms: within-class cartesian products
+    assert ("alpha", "alpha form") in syn
+    # cross synonyms: matched-class label products, both directions, no identity
+    assert ("alpha form", "ex") in syn and ("ex", "alpha form") in syn
+    assert ("alpha", "alpha") in syn  # identity from INTRA corpus
+    # labels carry 1/0
+    assert all(y == 1 for _, _, y in out["synonyms"])
+    assert all(y == 0 for _, _, y in out["nonsynonyms"])
+    # subtraction: no pair is both
+    assert not syn & non
+    # hard negatives exist (Y and Z are siblings under X)
+    assert out["summary"]["intra_tgt"]["num_hard_nonsynonyms"] > 0
+
+
+def test_corpora_deterministic_and_ratios():
+    from knowledgegraphs_ray.linking.corpora import intra_ontology_corpus
+    from knowledgegraphs_ray.linking.index import AnnotationIndex
+
+    idx = AnnotationIndex.build(
+        {f"po:C{i}": [f"label {i}", f"form {i}"] for i in range(10)}
+    )
+    a = intra_ontology_corpus(idx, seed=5)
+    b = intra_ontology_corpus(idx, seed=5)
+    assert a == b  # seeded determinism
+    s = a["summary"]
+    # soft compensates hard up to (2+2) x synonyms (text_semantics.py:300-310)
+    assert s["num_soft_nonsynonyms"] + s["num_hard_nonsynonyms"] <= 4 * s["num_synonyms"]
+
+
+def test_trainer_seam_raises_without_torch():
+    import pytest
+
+    from knowledgegraphs_ray.linking.trainer import _TORCH, train_synonym_classifier
+
+    if _TORCH:
+        pytest.skip("torch present")
+    with pytest.raises(RuntimeError, match="B2 seam"):
+        train_synonym_classifier("/nonexistent.json", "/tmp/out")
