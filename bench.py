@@ -177,6 +177,62 @@ def run_scaling_workload(which: str) -> dict:
     return {"workload": which, "sec": round(wall, 2), "rows": rows, "num_cpus": NUM_CPUS}
 
 
+def run_probe_leg(kind: str) -> dict:
+    """Single-box scaling ceiling probe (one leg, fresh process).
+
+    * ``compute`` — cache-resident transcendental math per batch: no DRAM
+      pressure, so efficiency ≈ 1 if the executor scales.
+    * ``membw`` — large out-of-cache array copies per batch: pure DRAM
+      traffic, bounded by the ONE memory bus all workers share on this box.
+
+    The pair brackets the map_path workload: its efficiency sits between the
+    two because triple/text kernels mix compute with allocation-heavy string
+    traffic. On a real multi-node cluster every node brings its own memory
+    bus, so the membw ceiling lifts with node count — which is exactly what
+    the two-cluster-size rule measures.
+    """
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    ray.data.range(NUM_CPUS * 4).map_batches(lambda b: b, batch_format="pyarrow").count()
+
+    n_tasks = 64
+
+    def compute_kernel(batch: dict) -> dict:
+        x = np.arange(200_000, dtype=np.float64) * 1e-6  # ~1.6MB, cache-warm
+        for _ in range(60):
+            x = np.sin(x) * 1.0000001 + 0.1
+        return {"s": np.array([float(x.sum())])}
+
+    def membw_kernel(batch: dict) -> dict:
+        x = np.empty(40_000_000, dtype=np.float64)  # 320MB >> LLC
+        x[:] = 1.0
+        y = x.copy()
+        y += x
+        return {"s": np.array([float(y[::1_000_000].sum())])}
+
+    fn = compute_kernel if kind == "compute" else membw_kernel
+    t0 = time.perf_counter()
+    ray.data.range(n_tasks, override_num_blocks=n_tasks).map_batches(
+        fn, batch_format="numpy"
+    ).count()
+    wall = time.perf_counter() - t0
+    ray.shutdown()
+    return {"workload": kind, "sec": round(wall, 2), "rows": n_tasks, "num_cpus": NUM_CPUS}
+
+
 def run_scaling() -> dict:
     import subprocess
 
@@ -214,10 +270,49 @@ def run_scaling() -> dict:
     return result
 
 
+def run_probe() -> dict:
+    import subprocess
+
+    lo_cpus = int(os.environ.get("GRAFT_SCALE_LO", "2"))
+    hi_cpus = int(os.environ.get("GRAFT_SCALE_HI", "8"))
+
+    def run(ncpu: int, which: str) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--probe-leg", which],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    result: dict = {
+        "metric": "single_box_ceiling_probe",
+        "unit": "ratio",
+        "num_cpus": [lo_cpus, hi_cpus],
+        "workloads": {},
+    }
+    for which in ("compute", "membw"):
+        lo, hi = run(lo_cpus, which), run(hi_cpus, which)
+        eff = (lo["sec"] / hi["sec"]) / (hi_cpus / lo_cpus)
+        result["workloads"][which] = {
+            f"sec_{lo_cpus}": lo["sec"],
+            f"sec_{hi_cpus}": hi["sec"],
+            "efficiency": round(eff, 3),
+        }
+    return result
+
+
 if __name__ == "__main__":
     if "--scaling-leg" in sys.argv:
         which = sys.argv[sys.argv.index("--scaling-leg") + 1]
         print(json.dumps(run_scaling_workload(which)))
+    elif "--probe-leg" in sys.argv:
+        which = sys.argv[sys.argv.index("--probe-leg") + 1]
+        print(json.dumps(run_probe_leg(which)))
+    elif "--probe" in sys.argv:
+        print(json.dumps(run_probe()))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:

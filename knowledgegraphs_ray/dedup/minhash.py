@@ -174,32 +174,42 @@ def minhash_candidate_pairs(
     # >= 2 members, filter band rows to those, and pair only there.
     # slim rows — fewer blocks, less scheduling; materialize so the two
     # consumers (bucket counting + hot filter) don't re-run the kernel.
-    # Partition count follows the cluster, not a single-node constant.
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    # Partition count grows with the cluster (CPU/4, floor 8): slim-row
+    # stages want FEWER blocks than cores on one node, more on a fleet.
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
     banded = banded.repartition(n_parts).materialize()
-    # bucket sizes: per-block partial counts (vectorized pandas) merged via
-    # util.fastagg.sum_partials — driver polars below its row limit, with the
-    # AUTO-FALLBACK to the distributed Dataset aggregate above it, so the
-    # partial rows (≤ one per distinct bucket per block, which scales with
-    # n_docs × n_bands) never land on the driver unbounded.
-    from knowledgegraphs_ray.util.fastagg import sum_partials
-
+    # bucket sizes: per-block partial counts (vectorized pandas), then the
+    # fastagg two-tier merge inlined with the ≥2 filter fused in: below the
+    # limit ONE polars pass on the driver; above it the distributed groupby
+    # aggregate with the filter applied BEFORE collecting. Either way the
+    # driver only ever holds the hot set (∝ duplicate groups), never the
+    # full n_docs × n_bands partial table.
     partials = banded.map_batches(
         lambda df: df.groupby(["band_id", "band_hash"], as_index=False).size(),
         batch_format="pandas",
-    )
-    bucket_sizes = sum_partials(
-        partials,
-        keys=["band_id", "band_hash"],
-        sum_cols=["size"],
-        driver_limit=bucket_driver_limit,
-    )
-    # hot buckets (≥2 members) are ∝ duplicate groups, not corpus size — the
-    # broadcast-small-side tier; collected as the lookup set for the filter
-    hot = bucket_sizes.map_batches(
-        lambda df: df[df["size"] >= 2], batch_format="pandas"
-    ).to_pandas()
-    hot_ref = ray.put(set(zip(hot["band_id"], hot["band_hash"])))
+    ).materialize()
+    if partials.count() <= bucket_driver_limit:
+        merged = (
+            pl.from_pandas(partials.to_pandas())
+            .group_by(["band_id", "band_hash"])
+            .agg(pl.col("size").sum())
+        )
+        hot_pairs = merged.filter(pl.col("size") >= 2)
+        hot_set = set(zip(hot_pairs["band_id"].to_list(), hot_pairs["band_hash"].to_list()))
+    else:  # distributed tier: aggregate + filter, collect only hot buckets
+        from ray.data.aggregate import Sum
+
+        n_parts2 = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        agg = (
+            partials.repartition(n_parts2)
+            .groupby(["band_id", "band_hash"])
+            .aggregate(Sum("size", alias_name="size"))
+        )
+        hot = agg.map_batches(
+            lambda df: df[df["size"] >= 2], batch_format="pandas"
+        ).to_pandas()
+        hot_set = set(zip(hot["band_id"], hot["band_hash"]))
+    hot_ref = ray.put(hot_set)
 
     class HotFilter:
         def __init__(self, ref):

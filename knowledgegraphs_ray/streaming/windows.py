@@ -67,10 +67,21 @@ def sessionize(
     ts_col: str = "ts",
     value_col: str = "value",
     gap_sec: int = 1800,
+    strategy: str = "scan",
 ) -> ray.data.Dataset:
     """Session windows: events of one key sorted by ts; a gap > gap_sec
     starts a new session. -> (key, session_idx, n_events, sum_value,
-    start_epoch, end_epoch)."""
+    start_epoch, end_epoch).
+
+    strategy="scan" (default): ONE distributed sort + vectorized per-block
+    session scan with O(num_blocks) boundary carry (``util.segrank``), then
+    combine-before-shuffle partial aggregates — no per-key Python at any
+    key count. strategy="group": the literal per-key pandas path, kept as
+    the semantic reference for tests."""
+    if strategy == "scan":
+        return _sessionize_scan(
+            ds, key=key, ts_col=ts_col, value_col=value_col, gap_sec=gap_sec
+        )
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([ts_col, "event_id"] if "event_id" in g else [ts_col], kind="mergesort")
@@ -100,3 +111,60 @@ def sessionize(
         return out
 
     return ds.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def _sessionize_scan(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+    gap_sec: int,
+) -> ray.data.Dataset:
+    from knowledgegraphs_ray.util.fastagg import merge_partials
+    from knowledgegraphs_ray.util.segrank import sorted_session_index
+
+    order = ["event_id"] if "event_id" in ds.schema().names else []
+    indexed = sorted_session_index(
+        ds,
+        key_cols=[key],
+        order_cols=[ts_col] + order,
+        ts_col=ts_col,
+        gap_us=gap_sec * 1_000_000,
+        idx_col="session_idx",
+    )
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ep_us = pc.cast(
+            batch[ts_col].combine_chunks().cast(pa.timestamp("us"), safe=False),
+            pa.int64(),
+        )
+        cents = pc.cast(pc.round(pc.multiply(batch[value_col], 100)), pa.int64())
+        df = pd.DataFrame(
+            {
+                key: batch[key].to_numpy(zero_copy_only=False),
+                "session_idx": batch["session_idx"].to_numpy(zero_copy_only=False),
+                "ep_us": ep_us.to_numpy(zero_copy_only=False),
+                "cents": cents.to_numpy(zero_copy_only=False),
+            }
+        )
+        return df.groupby([key, "session_idx"], as_index=False).agg(
+            n_events=("ep_us", "size"),
+            sum_cents=("cents", "sum"),
+            start_us=("ep_us", "min"),
+            end_us=("ep_us", "max"),
+        )
+
+    partials = indexed.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return merge_partials(
+        partials,
+        keys=[key, "session_idx"],
+        agg={
+            "n_events": "sum",
+            "sum_cents": "sum",
+            "start_us": "min",
+            "end_us": "max",
+        },
+    )

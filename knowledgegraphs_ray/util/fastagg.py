@@ -20,6 +20,44 @@ import ray
 import ray.data
 
 
+def merge_partials(
+    partials: ray.data.Dataset,
+    *,
+    keys: list[str],
+    agg: dict[str, str],
+    driver_limit: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Merge partial-aggregate rows (one per key per block) per ``keys``.
+    ``agg``: column -> "sum" | "min" | "max" (all three merge associatively,
+    so per-batch partials compose). Driver polars below ``driver_limit``
+    rows, distributed Ray aggregate above."""
+    parts = partials.materialize()
+    cols = list(agg)
+    if parts.count() <= driver_limit:
+        pdf = parts.to_pandas()
+        if pdf.empty:
+            return ray.data.from_pandas(pd.DataFrame(columns=keys + cols))
+        ops = {
+            "sum": lambda c: pl.col(c).sum(),
+            "min": lambda c: pl.col(c).min(),
+            "max": lambda c: pl.col(c).max(),
+        }
+        merged = (
+            pl.from_pandas(pdf)
+            .group_by(keys)
+            .agg([ops[op](c).alias(c) for c, op in agg.items()])
+            .sort(keys)
+        )
+        return ray.data.from_arrow(merged.to_arrow())
+    from ray.data.aggregate import Max, Min, Sum
+
+    ray_ops = {"sum": Sum, "min": Min, "max": Max}
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return parts.repartition(n_parts).groupby(keys).aggregate(
+        *[ray_ops[op](c, alias_name=c) for c, op in agg.items()]
+    )
+
+
 def sum_partials(
     partials: ray.data.Dataset,
     *,
@@ -30,21 +68,9 @@ def sum_partials(
     """Merge partial-sum rows (one per key per block) by summing ``sum_cols``
     per ``keys``. Driver polars below ``driver_limit`` rows, Ray aggregate
     above."""
-    parts = partials.materialize()
-    if parts.count() <= driver_limit:
-        pdf = parts.to_pandas()
-        if pdf.empty:
-            return ray.data.from_pandas(pd.DataFrame(columns=keys + sum_cols))
-        merged = (
-            pl.from_pandas(pdf)
-            .group_by(keys)
-            .agg([pl.col(c).sum().alias(c) for c in sum_cols])
-            .sort(keys)
-        )
-        return ray.data.from_arrow(merged.to_arrow())
-    from ray.data.aggregate import Sum
-
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)))
-    return parts.repartition(n_parts).groupby(keys).aggregate(
-        *[Sum(c, alias_name=c) for c in sum_cols]
+    return merge_partials(
+        partials,
+        keys=keys,
+        agg={c: "sum" for c in sum_cols},
+        driver_limit=driver_limit,
     )

@@ -83,6 +83,108 @@ def _offset_first_run(
     )
 
 
+@ray.remote(num_returns=2)
+def _session_block(
+    block: pa.Table, key_cols: list[str], ts_col: str, gap_us: int, idx_col: str
+):
+    """-> (block + LOCAL session index (row 0 treated as session 0), meta).
+    meta carries what the driver needs to thread the cross-block carry:
+    first/last key, first/last epoch-µs, session count of the first run and
+    of the last run."""
+    n = block.num_rows
+    if n == 0:
+        return block.append_column(idx_col, pa.array([], pa.int64())), {"n": 0}
+    change = _run_bounds(block, key_cols)
+    starts = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    ep = (
+        block[ts_col]
+        .combine_chunks()
+        .cast(pa.timestamp("us"), safe=False)
+        .cast(pa.int64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    brk = np.zeros(n, dtype=np.int64)
+    brk[1:] = ((ep[1:] - ep[:-1]) > gap_us) & ~change[1:]
+    # session idx = cumsum of breaks within each key run (brk at a run
+    # start is 0 by construction, so subtracting the run-start cumsum
+    # resets the counter per run)
+    cum = np.cumsum(brk)
+    sess = cum - cum[starts[run_id]]
+    first_run_end = int(starts[1] if len(starts) > 1 else n)
+    meta = {
+        "n": n,
+        "first_key": tuple(block[c][0].as_py() for c in key_cols),
+        "last_key": tuple(block[c][n - 1].as_py() for c in key_cols),
+        "first_ep": int(ep[0]),
+        "last_ep": int(ep[-1]),
+        "first_run_end": first_run_end,
+        "last_run_sessions": int(sess[-1]),
+    }
+    return block.append_column(idx_col, pa.array(sess, pa.int64())), meta
+
+
+@ray.remote
+def _offset_sessions(
+    block: pa.Table, idx_col: str, first_run_end: int, offset: int
+) -> pa.Table:
+    sess = block[idx_col].to_numpy(zero_copy_only=False).copy()
+    sess[:first_run_end] += offset
+    i = block.schema.get_field_index(idx_col)
+    return block.set_column(i, idx_col, pa.array(sess, pa.int64()))
+
+
+def sorted_session_index(
+    ds: ray.data.Dataset,
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    ts_col: str,
+    gap_us: int,
+    idx_col: str = "session_idx",
+) -> ray.data.Dataset:
+    """Distributed sessionization index: sort by ``key_cols + order_cols``,
+    then ``idx_col`` = number of within-key gaps > ``gap_us`` before the row
+    (SQL: SUM(gap > g) OVER (PARTITION BY key ORDER BY ...)). Same
+    sort-plus-boundary-carry construction as ``sorted_segment_rank`` — one
+    vectorized pass, fix-up tasks only for runs straddling block boundaries
+    (the boundary gap itself is evaluated on the driver from O(1) per-block
+    metadata)."""
+    sorted_ds = ds.sort(key_cols + order_cols)
+    refs = sorted_ds.to_arrow_refs()
+    blocks: list = []
+    meta_refs: list = []
+    for r in refs:
+        b, m = _session_block.remote(r, key_cols, ts_col, gap_us, idx_col)
+        blocks.append(b)
+        meta_refs.append(m)
+    metas = ray.get(meta_refs)
+
+    carry_key: tuple | None = None
+    carry_ep = 0
+    carry_sessions = 0
+    for i, m in enumerate(metas):
+        if m["n"] == 0:
+            continue
+        if m["first_key"] == carry_key:
+            boundary_brk = 1 if (m["first_ep"] - carry_ep) > gap_us else 0
+            off = carry_sessions + boundary_brk
+        else:
+            off = 0
+        if off:
+            blocks[i] = _offset_sessions.remote(
+                blocks[i], idx_col, m["first_run_end"], off
+            )
+        if m["first_key"] == m["last_key"]:
+            carry_sessions = off + m["last_run_sessions"]
+        else:
+            carry_sessions = m["last_run_sessions"]
+        carry_key = m["last_key"]
+        carry_ep = m["last_ep"]
+    return ray.data.from_arrow_refs(blocks)
+
+
 def sorted_segment_rank(
     ds: ray.data.Dataset,
     *,

@@ -120,3 +120,27 @@ def test_tumbling_window():
     # events at +0s, +600s land in one hour bucket; +3600s in the next
     assert u1["n_events"].tolist() == [2, 1]
     assert u1["sum_cents"].tolist() == [350, 400]
+
+
+def test_sessionize_scan_matches_group_strategy(sf_dir):
+    """The sort+scan sessionizer (no per-key Python) is row-identical to the
+    literal per-key pandas path, including cross-block session boundaries."""
+    import pandas as pd
+    import ray.data
+
+    from knowledgegraphs_ray.streaming.windows import sessionize
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    ).repartition(13)
+    key = ["user_id", "session_idx"]
+    a = sessionize(ds, gap_sec=1800).to_pandas().sort_values(key).reset_index(drop=True)
+    b = (
+        sessionize(ds, gap_sec=1800, strategy="group")
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)].astype("int64"), b[sorted(b.columns)].astype("int64")
+    )
