@@ -3,61 +3,203 @@ tier (Dataset API -> actor-pool map_batches -> raw actors) for semantics the
 Dataset API can't express: state that must SURVIVE across batches in event
 order, e.g. open sessions while a log streams in.
 
-Shape: N shard actors, each owning a hash range of keys. The driver streams
-ts-sorted batches (one distributed sort up front — the same ordering
-assumption every log consumer makes), routes rows to shards, and actors fold
-them into per-key open-session state; closed sessions are emitted
-incrementally, the final flush closes the rest. Equivalent to the batch
-``sessionize`` (asserted in tests) but with bounded memory per actor: state
-is O(open keys), never O(events).
+Shape: N shard actors, each owning a hash range of keys. After one
+distributed sort by ts (the same ordering assumption every log consumer
+makes), a routing TASK per block splits it by key hash and hands each shard
+its slice tagged with the block's sequence number — data moves object-store
+to actor, never through the driver. Shards buffer out-of-order slices and
+fold them in sequence with a VECTORIZED per-batch sessionizer (numpy break
+scan + pandas aggregate; Python only per DISTINCT KEY for the open-state
+stitch, never per row). State is O(open keys), never O(events).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 import ray.data
 
 
-@ray.remote
+def _sessionize_frame(frame: pd.DataFrame, gap_us: int) -> pd.DataFrame:
+    """Vectorized local sessionization of (key, ep_us, cents) rows that are
+    ts-ordered per key -> (key, local_idx, n_events, sum_cents, start_us,
+    end_us), local_idx 0-based per key within this frame."""
+    df = frame.sort_values(["key", "ep_us"], kind="mergesort")
+    keys = df["key"].to_numpy()
+    ep = df["ep_us"].to_numpy()
+    new_key = np.zeros(len(df), dtype=bool)
+    new_key[0] = True
+    new_key[1:] = keys[1:] != keys[:-1]
+    brk = np.zeros(len(df), dtype=np.int64)
+    brk[1:] = ((ep[1:] - ep[:-1]) > gap_us) & ~new_key[1:]
+    cum = np.cumsum(brk)
+    starts = np.flatnonzero(new_key)
+    run_id = np.cumsum(new_key) - 1
+    local_idx = cum - cum[starts[run_id]]
+    out = (
+        pd.DataFrame(
+            {
+                "key": keys,
+                "local_idx": local_idx,
+                "ep_us": ep,
+                "cents": df["cents"].to_numpy(),
+            }
+        )
+        .groupby(["key", "local_idx"], as_index=False)
+        .agg(
+            n_events=("ep_us", "size"),
+            sum_cents=("cents", "sum"),
+            start_us=("ep_us", "min"),
+            end_us=("ep_us", "max"),
+        )
+    )
+    return out
+
+
+@ray.remote(num_cpus=0)
 class SessionShard:
-    """Owns the open-session state for one key-hash shard."""
+    """Owns the open-session state for one key-hash shard. Slices arrive
+    tagged with a global sequence number; processing is deferred until the
+    sequence is contiguous (routing tasks run in parallel).
+
+    num_cpus=0: the routing tasks carry the CPU accounting — reserving a
+    core per shard would starve them on small clusters, and the per-slice
+    fold is brief relative to the route's hash/split work."""
 
     def __init__(self, gap_us: int):
         self.gap_us = gap_us
         # key -> [session_idx, n_events, sum_cents, start_us, end_us]
         self.open: dict = {}
+        self.closed: list[pd.DataFrame] = []
+        self.buffer: dict[int, pd.DataFrame] = {}
+        self.next_seq = 0
 
-    def ingest(self, df: pd.DataFrame) -> pd.DataFrame:
-        """Rows MUST arrive in non-decreasing ts order per key. Returns the
-        sessions this batch closed."""
-        closed = []
-        for key, ep, cents in zip(df["key"], df["ep_us"], df["cents"]):
+    def ingest(self, seq: int, df: pd.DataFrame) -> None:
+        self.buffer[seq] = df
+        while self.next_seq in self.buffer:
+            frame = self.buffer.pop(self.next_seq)
+            self.next_seq += 1
+            if len(frame):
+                self._fold(frame)
+
+    def _fold(self, frame: pd.DataFrame) -> None:
+        local = _sessionize_frame(frame, self.gap_us)
+        closed_rows = []
+        # stitch per key (Python per DISTINCT key in the batch, not per row)
+        for key, g in local.groupby("key", sort=False):
+            g = g.sort_values("local_idx")
+            rows = list(
+                zip(g["n_events"], g["sum_cents"], g["start_us"], g["end_us"])
+            )
             st = self.open.get(key)
-            if st is None:
-                self.open[key] = [0, 1, int(cents), int(ep), int(ep)]
-            elif ep - st[4] > self.gap_us:
-                closed.append((key, st[0], st[1], st[2], st[3], st[4]))
-                self.open[key] = [st[0] + 1, 1, int(cents), int(ep), int(ep)]
+            first_n, first_c, first_s, first_e = rows[0]
+            if st is not None and first_s - st[4] <= self.gap_us:
+                # first local session continues the open one
+                st[1] += int(first_n)
+                st[2] += int(first_c)
+                st[4] = int(first_e)
+                merged = st
+                rest = rows[1:]
             else:
-                st[1] += 1
-                st[2] += int(cents)
-                st[4] = int(ep)
-        return pd.DataFrame(
-            closed,
-            columns=["key", "session_idx", "n_events", "sum_cents", "start_us", "end_us"],
-        )
+                if st is not None:
+                    closed_rows.append((key, st[0], st[1], st[2], st[3], st[4]))
+                    nxt = st[0] + 1
+                else:
+                    nxt = 0
+                merged = [nxt, int(first_n), int(first_c), int(first_s), int(first_e)]
+                rest = rows[1:]
+            for n, c, s, e in rest:
+                closed_rows.append(
+                    (key, merged[0], merged[1], merged[2], merged[3], merged[4])
+                )
+                merged = [merged[0] + 1, int(n), int(c), int(s), int(e)]
+            self.open[key] = merged
+        if closed_rows:
+            self.closed.append(
+                pd.DataFrame(
+                    closed_rows,
+                    columns=[
+                        "key", "session_idx", "n_events", "sum_cents",
+                        "start_us", "end_us",
+                    ],
+                )
+            )
 
-    def flush(self) -> pd.DataFrame:
+    def finalize(self) -> pd.DataFrame:
+        assert not self.buffer, f"gaps in sequence at {self.next_seq}"
         rows = [
-            (k, st[0], st[1], st[2], st[3], st[4]) for k, st in sorted(self.open.items())
+            (k, st[0], st[1], st[2], st[3], st[4])
+            for k, st in sorted(self.open.items())
         ]
         self.open.clear()
-        return pd.DataFrame(
-            rows,
-            columns=["key", "session_idx", "n_events", "sum_cents", "start_us", "end_us"],
+        parts = self.closed + [
+            pd.DataFrame(
+                rows,
+                columns=[
+                    "key", "session_idx", "n_events", "sum_cents",
+                    "start_us", "end_us",
+                ],
+            )
+        ]
+        self.closed = []
+        nonempty = [p for p in parts if len(p)]
+        if not nonempty:
+            return parts[-1]  # typed empty frame (consistent columns)
+        return pd.concat(nonempty, ignore_index=True)
+
+
+@ray.remote
+def _route(
+    seq: int,
+    block: pa.Table,
+    shards: list,
+    *,
+    key: str,
+    ts_col: str,
+    value_col: str,
+) -> int:
+    """Split one sorted block by key hash and hand every shard its slice
+    (empty slices included, so each shard sees a contiguous sequence).
+    Blocks until the shards have ACCEPTED (buffered) the slices."""
+    df = (
+        block.to_pandas()
+        if isinstance(block, pa.Table)
+        else block
+    )
+    if len(df) == 0 or ts_col not in df.columns:
+        # empty sort partitions carry no columns; still send empty slices so
+        # every shard's sequence stays contiguous
+        frame = pd.DataFrame(
+            {
+                "key": pd.Series([], dtype="int64"),
+                "ep_us": pd.Series([], dtype="int64"),
+                "cents": pd.Series([], dtype="int64"),
+            }
         )
+    else:
+        ep = df[ts_col].astype("datetime64[us]").astype("int64")
+        frame = pd.DataFrame(
+            {
+                "key": df[key].to_numpy(),
+                "ep_us": ep.to_numpy(),
+                "cents": (df[value_col] * 100).round().astype("int64").to_numpy(),
+            }
+        )
+    n_shards = len(shards)
+    shard_of = (
+        pd.util.hash_array(frame["key"].to_numpy()) % n_shards
+        if len(frame)
+        else np.empty(0, dtype=np.int64)
+    )
+    ray.get(
+        [
+            shards[s].ingest.remote(seq, frame[shard_of == s])
+            for s in range(n_shards)
+        ]
+    )
+    return len(frame)
 
 
 def incremental_sessionize(
@@ -68,33 +210,28 @@ def incremental_sessionize(
     value_col: str = "value",
     gap_sec: int = 1800,
     n_shards: int = 4,
-    batch_size: int = 65536,
+    batch_size: int = 65536,  # kept for API compat; blocks route whole
 ) -> pd.DataFrame:
     """Stream-shaped sessionization with per-shard incremental state.
 
-    One distributed sort by ts establishes event order; batches then stream
-    through shard actors keyed by hash(key) % n_shards. Output matches the
+    One distributed sort by ts establishes event order; per-block routing
+    tasks then fan the blocks out to shard actors (sequence-tagged — the
+    shards restore order), with no driver data path. Output matches the
     batch ``sessionize`` exactly (same integer-cents sums, µs epochs)."""
     shards = [SessionShard.remote(gap_sec * 1_000_000) for _ in range(n_shards)]
-    ordered = ds.sort([ts_col] + (["event_id"] if "event_id" in ds.schema().names else []))
-
-    pending = []
-    for batch in ordered.iter_batches(batch_size=batch_size, batch_format="pandas"):
-        ep = batch[ts_col].astype("datetime64[us]").astype("int64")
-        frame = pd.DataFrame(
-            {
-                "key": batch[key].to_numpy(),
-                "ep_us": ep.to_numpy(),
-                "cents": (batch[value_col] * 100).round().astype("int64").to_numpy(),
-            }
-        )
-        shard_of = pd.util.hash_array(frame["key"].to_numpy()) % n_shards
-        for s in range(n_shards):
-            part = frame[shard_of == s]
-            if len(part):
-                pending.append(shards[s].ingest.remote(part))
-    results = ray.get(pending) + ray.get([s.flush.remote() for s in shards])
-    out = pd.concat([r for r in results if len(r)], ignore_index=True) if results else pd.DataFrame()
+    ordered = ds.sort(
+        [ts_col] + (["event_id"] if "event_id" in ds.schema().names else [])
+    )
+    refs = ordered.to_arrow_refs()  # blocks stay in the object store
+    ray.get(
+        [
+            _route.remote(i, r, shards, key=key, ts_col=ts_col, value_col=value_col)
+            for i, r in enumerate(refs)
+        ]
+    )
+    results = ray.get([s.finalize.remote() for s in shards])
+    frames = [r for r in results if len(r)]
+    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
     if out.empty:
         return out
     out = out.rename(columns={"key": key}).sort_values([key, "session_idx"])
