@@ -41,9 +41,11 @@ def asof_join(
     out_name[ts_col] = ts_col + suffix
     out_cols = left_cols + [out_name[c] for c in rvalue_cols] + [ts_col + suffix]
 
-    # dtype templates from the Arrow schemas — constant across groups
-    l_template = left.schema().base_schema.empty_table().to_pandas()
-    r_template = rsel.schema().base_schema.empty_table().to_pandas()
+    # dtype templates from the input schemas — constant across groups
+    from knowledgegraphs_ray.util.blocks import empty_pandas_template
+
+    l_template = empty_pandas_template(left)
+    r_template = empty_pandas_template(rsel)
     out_template = l_template.copy()
     for c in rvalue_cols:
         out_template[out_name[c]] = r_template[c]

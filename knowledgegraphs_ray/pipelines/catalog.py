@@ -306,6 +306,15 @@ def q_events_tumbling(sf_dir: str):
     return tumbling_window_agg(ds, window_sec=3600)
 
 
+def q_events_hopping(sf_dir: str):
+    from knowledgegraphs_ray.streaming.windows import hopping_window_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+    return hopping_window_agg(ds, window_sec=3600, hop_sec=900)
+
+
 def q_events_sessionize(sf_dir: str):
     from knowledgegraphs_ray.streaming.windows import sessionize
 
@@ -324,6 +333,47 @@ def q_events_sessionize_incremental(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
     return incremental_sessionize(ds, gap_sec=1800, n_shards=4)
+
+
+def q_purchase_sessions(sf_dir: str):
+    """Keyed interval (range) join: each purchase event matched to the
+    session window that contains its timestamp — binned-replication range
+    join (extract/rangejoin.py) over the sessionize output."""
+    import numpy as np
+    import pandas as pd
+
+    from knowledgegraphs_ray.extract.rangejoin import interval_join
+    from knowledgegraphs_ray.streaming.windows import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"],
+    )
+
+    def purchases(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"] == "purchase"]
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].astype("int64"),
+                "user_id": df["user_id"].astype("int64"),
+                "ep_us": df["ts"].astype("datetime64[us]").astype("int64"),
+            }
+        )
+
+    points = ev.map_batches(purchases, batch_format="pandas")
+    intervals = sessionize(
+        ev.drop_columns(["event_type"]), gap_sec=1800
+    )
+    out = interval_join(
+        points,
+        intervals,
+        point_col="ep_us",
+        lo_col="start_us",
+        hi_col="end_us",
+        key="user_id",
+        bin_width=1800 * 1_000_000,
+    )
+    return out.select_columns(["event_id", "user_id", "session_idx"])
 
 
 def q_json_triples_events(sf_dir: str):
@@ -461,8 +511,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_schema": q_pii_schema,
         "pii_scan_documents": q_pii_scan_documents,
         "events_tumbling": q_events_tumbling,
+        "events_hopping": q_events_hopping,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_incremental": q_events_sessionize_incremental,
+        "purchase_sessions": q_purchase_sessions,
         "json_triples_events": q_json_triples_events,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
@@ -484,6 +536,20 @@ def _plan_sql(tables: list[str], **kw) -> str:
 # DuckDB single-quoted strings keep backslashes literal — pass regexes as-is.
 _STOP_RE_SQL = ta.STOP_RE
 _TOKEN_RE_SQL = ta.TOKEN_RE
+
+_SESSIONIZE_SQL = (
+    "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ep, "
+    "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+    "s AS (SELECT *, CASE WHEN ep - lag(ep) OVER "
+    "  (PARTITION BY user_id ORDER BY ep, event_id) > 1800 * 1000000 "
+    "  THEN 1 ELSE 0 END AS brk FROM e), "
+    "t AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ep, event_id "
+    "  ROWS UNBOUNDED PRECEDING) AS session_idx FROM s) "
+    "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
+    "count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents, "
+    "min(ep) AS start_us, max(ep) AS end_us "
+    "FROM t GROUP BY user_id, session_idx"
+)
 
 _ANN_TOPK_SQL = (
     "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2)), "
@@ -622,31 +688,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents "
             "FROM events GROUP BY user_id, window_start"
         ),
-        "events_sessionize": (
-            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ep, "
-            "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
-            "s AS (SELECT *, CASE WHEN ep - lag(ep) OVER "
-            "  (PARTITION BY user_id ORDER BY ep, event_id) > 1800 * 1000000 "
-            "  THEN 1 ELSE 0 END AS brk FROM e), "
-            "t AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ep, event_id "
-            "  ROWS UNBOUNDED PRECEDING) AS session_idx FROM s) "
-            "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
-            "count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents, "
-            "min(ep) AS start_us, max(ep) AS end_us "
-            "FROM t GROUP BY user_id, session_idx"
+        "events_hopping": (
+            "SELECT user_id, k * 900 AS window_start, "
+            "count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents FROM ("
+            "  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents, "
+            "  unnest(range((ep_s - 3600) // 900 + 1, ep_s // 900 + 1)) AS k "
+            "  FROM (SELECT user_id, value, epoch_us(ts) // 1000000 AS ep_s FROM events)"
+            ") GROUP BY user_id, k"
         ),
-        "events_sessionize_incremental": (
-            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ep, "
-            "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
-            "s AS (SELECT *, CASE WHEN ep - lag(ep) OVER "
-            "  (PARTITION BY user_id ORDER BY ep, event_id) > 1800 * 1000000 "
-            "  THEN 1 ELSE 0 END AS brk FROM e), "
-            "t AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ep, event_id "
-            "  ROWS UNBOUNDED PRECEDING) AS session_idx FROM s) "
-            "SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, "
-            "count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS sum_cents, "
-            "min(ep) AS start_us, max(ep) AS end_us "
-            "FROM t GROUP BY user_id, session_idx"
+        "events_sessionize": _SESSIONIZE_SQL,
+        "events_sessionize_incremental": _SESSIONIZE_SQL,
+        "purchase_sessions": (
+            "WITH sess AS (" + _SESSIONIZE_SQL + ") "
+            "SELECT e.event_id, e.user_id, s.session_idx "
+            "FROM events e JOIN sess s ON e.user_id = s.user_id "
+            "AND epoch_us(e.ts) BETWEEN s.start_us AND s.end_us "
+            "WHERE e.event_type = 'purchase'"
         ),
         "json_triples_events": (
             "SELECT 'kg:json/' || CAST(event_id AS VARCHAR) AS subj, 'rdf:type' AS pred, "

@@ -60,6 +60,63 @@ def tumbling_window_agg(
     )
 
 
+def hopping_window_agg(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_sec: int = 3600,
+    hop_sec: int = 900,
+) -> ray.data.Dataset:
+    """Hopping (sliding) windows: length ``window_sec``, advancing by
+    ``hop_sec``; an event at second t lands in every window
+    [k*hop, k*hop + window) containing it (window/hop of them). Map-only
+    vectorized replication + per-batch partial aggregation — the shuffle
+    moves one row per (key, window, block), not per event copy."""
+    assert window_sec % hop_sec == 0 or window_sec > hop_sec
+
+    def assign_and_partial(batch: pa.Table) -> pd.DataFrame:
+        import numpy as np
+
+        ts_us = batch[ts_col].combine_chunks().cast(pa.timestamp("us"), safe=False)
+        ep_s = pc.divide(pc.cast(ts_us, pa.int64()), 1_000_000).to_numpy(
+            zero_copy_only=False
+        )
+        cents = (
+            pc.cast(pc.round(pc.multiply(batch[value_col], 100)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        keys = batch[key].to_numpy(zero_copy_only=False)
+        k_min = (ep_s - window_sec) // hop_sec + 1
+        k_max = ep_s // hop_sec
+        reps = (k_max - k_min + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(ep_s)), reps)
+        offsets = np.concatenate([[0], np.cumsum(reps)])[:-1]
+        ks = np.arange(int(reps.sum())) - np.repeat(offsets, reps) + np.repeat(
+            k_min, reps
+        )
+        df = pd.DataFrame(
+            {
+                key: keys[idx],
+                "window_start": ks * hop_sec,
+                "cents": cents[idx],
+            }
+        )
+        return df.groupby([key, "window_start"], as_index=False).agg(
+            n_events=("cents", "size"), sum_cents=("cents", "sum")
+        )
+
+    from knowledgegraphs_ray.util.fastagg import sum_partials
+
+    partials = ds.map_batches(
+        assign_and_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return sum_partials(
+        partials, keys=[key, "window_start"], sum_cols=["n_events", "sum_cents"]
+    )
+
+
 def sessionize(
     ds: ray.data.Dataset,
     *,

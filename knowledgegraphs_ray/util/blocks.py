@@ -16,6 +16,25 @@ import ray
 import ray.data
 
 
+def empty_pandas_template(ds: ray.data.Dataset):
+    """0-row pandas DataFrame with the dataset's column dtypes — works for
+    both Arrow-backed schemas and PandasBlockSchema (pandas-born datasets,
+    whose ``schema()`` has no ``base_schema``)."""
+    import pandas as pd
+
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base.empty_table().to_pandas()
+
+    def _dtype(t):
+        return t.to_pandas_dtype() if isinstance(t, pa.DataType) else t
+
+    return pd.DataFrame(
+        {n: pd.Series([], dtype=_dtype(t)) for n, t in zip(sch.names, sch.types)}
+    )
+
+
 @ray.remote
 def _num_rows(block) -> int:
     # len() covers both pa.Table (== num_rows) and pandas DataFrame blocks —

@@ -73,3 +73,60 @@ def test_asof_join_strict_and_missing():
     out2 = asof_join(left, right, key="k", ts_col="ts", right_cols=["view"], strict=False)
     df2 = out2.to_pandas().set_index("event")
     assert df2.loc["p1", "view"] == "v0"  # inclusive
+
+
+def test_interval_join_matches_naive_and_bin_invariant():
+    """Binned-replication range join == naive cross filter; identical at
+    different bin widths (a pair surfaces only in the point's bin)."""
+    import numpy as np
+
+    from knowledgegraphs_ray.extract.rangejoin import interval_join
+
+    rng = np.random.default_rng(4)
+    pts = pd.DataFrame(
+        {
+            "pid": np.arange(200, dtype="int64"),
+            "k": rng.integers(0, 5, 200).astype("int64"),
+            "t": rng.integers(0, 10_000, 200).astype("int64"),
+        }
+    )
+    lo = rng.integers(0, 9_000, 40).astype("int64")
+    iv = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 40).astype("int64"),
+            "lo": lo,
+            "hi": lo + rng.integers(1, 3_000, 40).astype("int64"),
+            "iid": np.arange(40, dtype="int64"),
+        }
+    )
+    naive = pts.merge(iv, on="k").query("lo <= t <= hi")[["pid", "iid"]]
+    expect = set(map(tuple, naive.itertuples(index=False)))
+
+    for width in (500, 1700):
+        got = interval_join(
+            ray.data.from_pandas(pts).repartition(4),
+            ray.data.from_pandas(iv).repartition(3),
+            point_col="t",
+            lo_col="lo",
+            hi_col="hi",
+            key="k",
+            bin_width=width,
+            n_buckets=8,
+        ).to_pandas()
+        assert set(zip(got["pid"], got["iid"])) == expect, width
+
+
+def test_hopping_window_counts():
+    """Every event lands in exactly window/hop hopping windows."""
+    from knowledgegraphs_ray.streaming.windows import hopping_window_agg
+
+    ts = pd.to_datetime([1_000_000_000 + x for x in (0, 10, 1800, 3599, 3600)], unit="s")
+    ds = ray.data.from_pandas(
+        pd.DataFrame({"user_id": [1, 1, 1, 2, 2], "ts": ts, "value": 1.0})
+    )
+    out = hopping_window_agg(ds, window_sec=3600, hop_sec=900).to_pandas()
+    # total (event, window) memberships = n_events * window/hop
+    assert out["n_events"].sum() == 5 * 4
+    # an event at second s is in windows s-3600 < w <= s (w multiple of 900)
+    e0 = out[(out["user_id"] == 1)]
+    assert set(e0["window_start"]) >= {999997200, 999998100, 999999000, 999999900}
