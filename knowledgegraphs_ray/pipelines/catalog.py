@@ -437,6 +437,18 @@ def q_embedding_near_dups(sf_dir: str):
     return df[["doc_a", "doc_b"]]
 
 
+def q_embedding_pairs_exact(sf_dir: str):
+    """Exact tiled all-pairs cosine (guaranteed recall) at a threshold the
+    random testdata actually crosses — the verifier tier next to the LSH
+    near-dup pass."""
+    from knowledgegraphs_ray.sim.allpairs import exact_cosine_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return exact_cosine_pairs(ds, threshold=0.4).select_columns(["doc_a", "doc_b"])
+
+
 def q_mentions_documents(sf_dir: str):
     return lp.document_mentions(sf_dir)
 
@@ -521,6 +533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_components": q_minhash_components,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_pairs_exact": q_embedding_pairs_exact,
     }
 
 
@@ -720,6 +733,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95"
+        ),
+        "embedding_pairs_exact": (
+            "SELECT a.vec_id AS doc_a, b.vec_id AS doc_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4"
         ),
         "mentions_documents": _mentions_sql(),
         "link_exact_documents": _link_exact_sql(),

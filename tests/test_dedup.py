@@ -140,3 +140,44 @@ def test_propagation_matches_union_find_on_random_graph():
     expect = {x: rep_min[c] for x, c in comp_of.items()}
     got = dict(zip(lp["node"], lp["label"]))
     assert got == expect
+
+
+def test_exact_cosine_pairs_vs_numpy_and_lsh_recall():
+    """Tiled all-pairs == numpy brute force; the LSH near-dup pass recalls
+    planted near-identical pairs that the exact pass confirms."""
+    import numpy as np
+
+    from knowledgegraphs_ray.sim.allpairs import exact_cosine_pairs
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((40, 16))
+    # plant 5 near-identical pairs: vec 100+i ~ vec i
+    planted = base[:5] + rng.standard_normal((5, 16)) * 0.01
+    mat = np.vstack([base, planted])
+    ids = np.concatenate([np.arange(40), np.arange(100, 105)])
+    ds = ray.data.from_items(
+        [
+            {"vec_id": int(i), "embedding": v.tolist()}
+            for i, v in zip(ids, mat)
+        ]
+    ).repartition(4)
+
+    got = exact_cosine_pairs(ds, threshold=0.95).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+
+    m = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = m @ m.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    keep = sims[iu, ju] >= 0.95
+    expect = {
+        (min(a, b), max(a, b)) for a, b in zip(ids[iu[keep]], ids[ju[keep]])
+    }
+    assert got_pairs == expect
+    assert {(i, 100 + i) for i in range(5)} <= got_pairs
+
+    lsh = embedding_near_dup_pairs(ds, dim=16, threshold=0.95).to_pandas()
+    lsh_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    # LSH is approximate but must recall most planted near-identical pairs...
+    assert len(lsh_pairs & expect) >= 4
+    # ...and never emit a pair the exact pass rejects (verification is exact)
+    assert lsh_pairs <= expect
