@@ -197,16 +197,26 @@ def extract_transcript_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def with_context_window(ds: ray.data.Dataset, *, k: int = 2) -> ray.data.Dataset:
+def with_context_window(
+    ds: ray.data.Dataset, *, k: int = 2, strategy: str = "halo"
+) -> ray.data.Dataset:
     """X2 analogue: per-turn context = concatenated text of the ±k
     neighbouring turns within the SAME conversation (reference: AAExpansion
     context scoring against the ±2 header window, InterpretHeaders.py:163-298;
     for transcripts the window is the conversation — north_star's
     'within-conversation window').
 
-    groupby(conv_id).map_groups — the designated per-group custom-logic
-    path; pays Python per conversation, so feed it conversations that
-    actually need context (e.g. only convs containing mentions)."""
+    strategy="halo" (default): ONE distributed sort on (conv_id, turn_idx),
+    then each block computes contexts vectorized using k-row halos sliced
+    from its neighbour blocks (object-store refs; no driver data path, no
+    per-conversation Python). strategy="group": the literal per-conversation
+    pandas path, kept as the semantic reference for tests."""
+    if strategy == "halo":
+        from knowledgegraphs_ray.util.segrank import with_neighbor_context
+
+        return with_neighbor_context(
+            ds, key_cols=["conv_id"], order_cols=["turn_idx"], text_col="text", k=k
+        )
 
     def per_conv(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("turn_idx", kind="mergesort").reset_index(drop=True)

@@ -27,6 +27,7 @@ VERDICT.md round 1.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
@@ -183,6 +184,109 @@ def sorted_session_index(
         carry_key = m["last_key"]
         carry_ep = m["last_ep"]
     return ray.data.from_arrow_refs(blocks)
+
+
+@ray.remote(num_returns=2)
+def _halo_slices(block: pa.Table, k: int):
+    """-> (first k rows, last k rows) of a block — the halos its neighbour
+    blocks need. Zero-copy Arrow slices."""
+    n = block.num_rows
+    return block.slice(0, min(k, n)), block.slice(max(0, n - k))
+
+
+@ray.remote
+def _context_block(
+    block: pa.Table, key_cols: list[str], text_col: str, k: int, *halo_parts
+) -> pa.Table:
+    """Vectorized ±k neighbour-text context within key groups. The
+    separator logic matches the per-group reference exactly: included
+    neighbours join with single spaces (empty texts included as empty
+    strings), out-of-key/out-of-range positions excluded entirely.
+
+    ``halo_parts`` = (n_prev, prev_tables..., next_tables...): the k rows
+    preceding and following this block, possibly gathered across several
+    tiny neighbour blocks."""
+    n_prev = halo_parts[0]
+    prevs = [t for t in halo_parts[1 : 1 + n_prev] if t.num_rows]
+    nexts = [t for t in halo_parts[1 + n_prev :] if t.num_rows]
+    n = block.num_rows
+    if n == 0:
+        return block.append_column("context", pa.array([], pa.string()))
+    parts = prevs + [block] + nexts
+    ext = pa.concat_tables(parts, promote_options="permissive")
+    off0 = sum(t.num_rows for t in prevs)
+    text = np.asarray(
+        ["" if v is None else str(v) for v in ext[text_col].to_pylist()], dtype=object
+    )
+    keys = list(
+        zip(*(ext[c].to_pylist() for c in key_cols))
+    )  # row key tuples (halo rows included)
+    keys = np.asarray(keys, dtype=object)
+    m = len(ext)
+    center = np.arange(off0, off0 + n)
+    acc = np.full(n, "", dtype=object)
+    own_key = keys[center]
+    for off in [*range(-k, 0), *range(1, k + 1)]:
+        idx = center + off
+        valid = (idx >= 0) & (idx < m)
+        safe = np.clip(idx, 0, m - 1)
+        same = valid & (keys[safe] == own_key).all(axis=1)
+        contrib = np.where(same, " " + text[safe], "")
+        acc = acc + contrib
+    ctx = pd.Series(acc).str.slice(1).fillna("").to_numpy()
+    return block.append_column("context", pa.array(ctx, pa.string()))
+
+
+def with_neighbor_context(
+    ds: ray.data.Dataset,
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    text_col: str,
+    k: int = 2,
+) -> ray.data.Dataset:
+    """Sort by key+order, then add a ``context`` column = texts of the ±k
+    neighbouring rows within the same key. Halo exchange: each block gets
+    the k-row tail/head slices of its neighbours via object-store refs —
+    no per-group Python, no driver data path."""
+    from knowledgegraphs_ray.util.blocks import _num_rows
+
+    sorted_ds = ds.sort(key_cols + order_cols)
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([_num_rows.remote(r) for r in refs])
+    halos = [_halo_slices.remote(r, k) for r in refs]
+    heads = [h for h, _ in halos]
+    tails = [t for _, t in halos]
+
+    def gather_prev(i: int) -> list:
+        """Tail slices of preceding blocks covering >= k rows (in order)."""
+        need, out = k, []
+        j = i - 1
+        while j >= 0 and need > 0:
+            out.append(tails[j])
+            need -= min(counts[j], k)
+            j -= 1
+        return list(reversed(out))
+
+    def gather_next(i: int) -> list:
+        need, out = k, []
+        j = i + 1
+        while j < len(refs) and need > 0:
+            out.append(heads[j])
+            need -= min(counts[j], k)
+            j += 1
+        return out
+
+    out = []
+    for i, r in enumerate(refs):
+        prevs = gather_prev(i)
+        nexts = gather_next(i)
+        out.append(
+            _context_block.remote(
+                r, key_cols, text_col, k, len(prevs), *prevs, *nexts
+            )
+        )
+    return ray.data.from_arrow_refs(out)
 
 
 def sorted_segment_rank(

@@ -114,3 +114,32 @@ def test_sorted_segment_rank_straddling_blocks():
     expect["r"] = expect.groupby("k").cumcount()
     got = out.sort_values(["k", "o", "u"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["k", "o", "u", "r"]].astype({"r": "int64"}), expect)
+
+
+def test_context_window_halo_matches_group_strategy():
+    """Halo-exchange context == per-conversation reference, across block
+    boundaries and with blocks smaller than the window."""
+    import pandas as pd
+
+    from knowledgegraphs_ray.pipelines.transcripts import (
+        synth_transcripts,
+        with_context_window,
+    )
+
+    ds = synth_transcripts(12, seed=3).repartition(17)  # tiny straddling blocks
+    key = ["conv_id", "turn_idx"]
+    a = (
+        with_context_window(ds, k=2)
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (
+        with_context_window(ds, k=2, strategy="group")
+        .to_pandas()
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    cols = sorted(a.columns)
+    assert "context" in cols
+    pd.testing.assert_frame_equal(a[cols], b[cols])
