@@ -86,19 +86,61 @@ def bucket_join(
     right_on: str,
     n_buckets: int = 32,
     how: str = "inner",
+    salt_threshold: int | None = None,
+    n_salts: int = 8,
 ) -> ray.data.Dataset:
     """Partitioned hash join: both sides bucketed on the key hash, buckets
-    co-located via groupby, merged per bucket. Salt hot keys upstream if one
-    key dominates (the bucket of a hot key is that key's full row set)."""
+    co-located via groupby, merged per bucket.
 
-    def add_bucket(df: pd.DataFrame, col: str) -> pd.DataFrame:
-        h = pd.util.hash_array(df[col].to_numpy()) % n_buckets
+    ``salt_threshold``: automatic hot-key salting (inner/left joins) — keys
+    whose LEFT-side frequency exceeds the threshold get a per-row salt
+    (spreading the hot key over ``n_salts`` sub-buckets) while the right
+    side's hot rows replicate once per salt. A hot left row meets each right
+    match in exactly one salt, so results are identical to the unsalted
+    join; only the bucket sizes change. Leave ``None`` to salt manually
+    upstream via ``canon.skew``."""
+    salt_hot: set = set()
+    if salt_threshold is not None:
+        assert how in ("inner", "left"), "auto-salting supports inner/left joins"
+        from knowledgegraphs_ray.canon.skew import hot_keys
+
+        salt_hot = hot_keys(left, key=left_on, threshold=salt_threshold)
+
+    def add_bucket(df: pd.DataFrame, col: str, replicate: bool) -> pd.DataFrame:
+        import numpy as np
+
         df = df.copy()
+        if salt_hot:
+            is_hot = df[col].isin(salt_hot).to_numpy()
+            if replicate:  # right side: hot rows appear once per salt
+                cold = df[~is_hot]
+                cold = cold.assign(__salt=np.int64(0))
+                hot = df[is_hot]
+                if len(hot):
+                    hot = hot.loc[hot.index.repeat(n_salts)].copy()
+                    hot["__salt"] = np.tile(
+                        np.arange(n_salts, dtype=np.int64), len(hot) // n_salts
+                    )
+                df = pd.concat([cold, hot], ignore_index=True)
+            else:  # left side: hot rows fan out round-robin
+                salt = np.zeros(len(df), dtype=np.int64)
+                salt[is_hot] = np.arange(int(is_hot.sum())) % n_salts
+                df["__salt"] = salt
+        else:
+            df["__salt"] = np.int64(0)
+        h = (
+            pd.util.hash_array(df[col].to_numpy())
+            + df["__salt"].to_numpy().astype("uint64") * np.uint64(0x9E3779B97F4A7C15)
+        ) % n_buckets
         df["__bucket"] = h.astype("int64")
         return df
 
-    lb = left.map_batches(lambda d: add_bucket(d, left_on), batch_format="pandas")
-    rb = right.map_batches(lambda d: add_bucket(d, right_on), batch_format="pandas")
+    lb = left.map_batches(
+        lambda d: add_bucket(d, left_on, False), batch_format="pandas"
+    )
+    rb = right.map_batches(
+        lambda d: add_bucket(d, right_on, True), batch_format="pandas"
+    )
     lb = lb.map_batches(lambda d: d.assign(__side=0), batch_format="pandas")
     rb = rb.map_batches(lambda d: d.assign(__side=1), batch_format="pandas")
     both = lb.union(rb)
@@ -111,6 +153,14 @@ def bucket_join(
         # drop the all-null columns the union introduced from the other side
         l = l.dropna(axis=1, how="all")
         r = r.dropna(axis=1, how="all")
-        return l.merge(r, how=how, left_on=left_on, right_on=right_on)
+        # __salt joins too: a hot left row must meet each right match in
+        # exactly ONE salt even when two (key, salt) combos share a bucket
+        out = l.merge(
+            r,
+            how=how,
+            left_on=[left_on, "__salt"],
+            right_on=[right_on, "__salt"],
+        )
+        return out.drop(columns=["__salt"])
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -133,3 +133,87 @@ def test_ntriples_escape_roundtrip_concrete(tmp_path):
     got = {s: o for s, p, o, lit in parsed if lit}
     for i, t in enumerate(nasty):
         assert got[f"kg:s{i}"] == t, (t, got.get(f"kg:s{i}"))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(1, 9),
+)
+def test_segment_rank_block_scan_matches_pandas(rows, nblocks):
+    """Pure-block math of the segment-rank scan: local cumcount + the
+    driver carry over arbitrary block splits == pandas groupby cumcount."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["k", "o"]).assign(u=range(len(rows)))
+    df = df.sort_values(["k", "o", "u"]).reset_index(drop=True)
+    expect = df.groupby("k").cumcount().to_numpy()
+
+    # simulate the block scan without Ray: split into nblocks chunks
+    bounds = np.linspace(0, len(df), nblocks + 1).astype(int)
+    got = np.empty(len(df), dtype=np.int64)
+    carry_key, carry_cum = None, 0
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        chunk = df.iloc[s:e]
+        if not len(chunk):
+            continue
+        k = chunk["k"].to_numpy()
+        change = np.zeros(len(k), dtype=bool)
+        change[0] = True
+        change[1:] = k[1:] != k[:-1]
+        starts = np.flatnonzero(change)
+        run_id = np.cumsum(change) - 1
+        rank = np.arange(len(k)) - starts[run_id]
+        first_run = starts[1] if len(starts) > 1 else len(k)
+        off = carry_cum if (k[0],) == carry_key else 0
+        rank[:first_run] += off
+        got[s:e] = rank
+        if (k[0],) == ((k[-1],)):
+            carry_cum = off + len(k)
+        else:
+            carry_cum = int(len(k) - starts[-1])
+        carry_key = (k[-1],)
+    assert (got == expect).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500)),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(1, 200),
+)
+def test_session_index_matches_sql_window_semantics(rows, gap):
+    """Session index = SUM(gap-break) OVER (PARTITION BY key ORDER BY ts)
+    — the scan's per-key cumulative-break definition agrees with DuckDB."""
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["k", "t"]).assign(u=range(len(rows)))
+    sql = (
+        "WITH l AS (SELECT k, t, u, CASE WHEN t - lag(t) OVER "
+        "(PARTITION BY k ORDER BY t, u) > ? THEN 1 ELSE 0 END AS brk FROM df) "
+        "SELECT k, t, u, CAST(SUM(brk) OVER "
+        "(PARTITION BY k ORDER BY t, u ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s "
+        "FROM l ORDER BY k, t, u"
+    )
+    expect = _con.execute(sql, [gap]).df()["s"].to_numpy()
+
+    d = df.sort_values(["k", "t", "u"]).reset_index(drop=True)
+    k = d["k"].to_numpy()
+    t = d["t"].to_numpy()
+    change = np.zeros(len(d), dtype=bool)
+    change[0] = True
+    change[1:] = k[1:] != k[:-1]
+    brk = np.zeros(len(d), dtype=np.int64)
+    brk[1:] = ((t[1:] - t[:-1]) > gap) & ~change[1:]
+    cum = np.cumsum(brk)
+    starts = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    got = cum - cum[starts[run_id]]
+    assert (got == expect).all()

@@ -32,3 +32,32 @@ def test_two_phase_counts_exact():
     got = dict(zip(out["base_key"], out["n"]))
     assert got["user"] == 777
     assert all(got[f"rare{i}"] == 1 for i in range(5))
+
+
+def test_bucket_join_auto_salting_identical_results():
+    """Auto-salted bucket join == unsalted join on skewed data; the hot key's
+    rows spread across multiple buckets."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from knowledgegraphs_ray.extract.joins import bucket_join
+
+    rng = np.random.default_rng(6)
+    # one key (7) holds 80% of the left side
+    keys = np.where(rng.random(2000) < 0.8, 7, rng.integers(0, 50, 2000))
+    left = pd.DataFrame({"k": keys.astype("int64"), "lv": np.arange(2000, dtype="int64")})
+    right = pd.DataFrame(
+        {"k": np.arange(0, 50, dtype="int64"), "rv": np.arange(100, 150, dtype="int64")}
+    )
+    lds = ray.data.from_pandas(left).repartition(6)
+    rds = ray.data.from_pandas(right)
+
+    plain = bucket_join(lds, rds, left_on="k", right_on="k", n_buckets=16).to_pandas()
+    salted = bucket_join(
+        lds, rds, left_on="k", right_on="k", n_buckets=16,
+        salt_threshold=100, n_salts=4,
+    ).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["k", "lv", "rv"]].itertuples(index=False)))
+    assert key(plain) == key(salted)
+    assert len(salted) == 2000  # every left row matched exactly once
