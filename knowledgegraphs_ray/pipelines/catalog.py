@@ -263,6 +263,20 @@ def q_candidate_keys_customer(sf_dir: str):
     return candidate_keys(ds)
 
 
+def q_discovered_fks(sf_dir: str):
+    """S3/J5: FK discovery from DATA — name-gated candidate pairs tested
+    with the broadcast containment join; edges where every non-null source
+    value appears in the referenced key column."""
+    from knowledgegraphs_ray.schema.keys import discover_fks
+
+    g = tpch_schema(STAR_TABLES)
+    tables = {
+        t: ray.data.read_parquet(f"{sf_dir}/{t}.parquet") for t in STAR_TABLES
+    }
+    keys = {t: list(g[t].pks) for t in STAR_TABLES if len(g[t].pks) == 1}
+    return discover_fks(tables, keys)
+
+
 def q_pricing_summary(sf_dir: str):
     from knowledgegraphs_ray.pipelines.analytics import lineitem_pricing_summary
 
@@ -517,6 +531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchases_last_view": q_purchases_last_view,
         "lineitem_orders_join": q_lineitem_orders_join,
         "candidate_keys_customer": q_candidate_keys_customer,
+        "discovered_fks": q_discovered_fks,
         "pricing_summary": q_pricing_summary,
         "orders_customer_join": q_orders_customer_join,
         "top_customers": q_top_customers,
@@ -674,6 +689,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM customer"
             for c in tpch_schema(["customer"])["customer"].columns
         ),
+        "discovered_fks": _discovered_fks_sql(),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
             "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
@@ -771,6 +787,27 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM fp a JOIN fp b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.f, b.f)) <= {max_distance}
 """
+
+
+def _discovered_fks_sql() -> str:
+    """Oracle twin of q_discovered_fks: the SAME name-gated candidate pairs
+    (shared helper), each emitting its edge row iff containment holds in SQL
+    (no non-null dangling source value) and the source table is non-empty."""
+    from knowledgegraphs_ray.schema.keys import fk_candidate_pairs
+
+    g = tpch_schema(STAR_TABLES)
+    cols_by_table = {t: list(g[t].columns) for t in STAR_TABLES}
+    keys = {t: list(g[t].pks) for t in STAR_TABLES if len(g[t].pks) == 1}
+    selects = []
+    for tname, col, ref, rk in fk_candidate_pairs(cols_by_table, keys):
+        selects.append(
+            f"SELECT '{tname}' AS src_table, '{col}' AS src_column, "
+            f"'{ref}' AS ref_table, '{rk}' AS ref_column "
+            f"WHERE NOT EXISTS (SELECT 1 FROM {tname} s LEFT JOIN {ref} r "
+            f"ON s.{col} = r.{rk} WHERE s.{col} IS NOT NULL AND r.{rk} IS NULL) "
+            f"AND EXISTS (SELECT 1 FROM {tname})"
+        )
+    return " UNION ALL ".join(selects)
 
 
 def _pii_schema_sql() -> str:

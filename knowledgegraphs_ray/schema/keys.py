@@ -168,38 +168,50 @@ def candidate_keys(ds: ray.data.Dataset, columns: list[str] | None = None) -> pd
     return dc.astype({"n_distinct": "int64", "n_rows": "int64"})
 
 
-def discover_fks(
-    tables: dict[str, ray.data.Dataset],
+def fk_candidate_pairs(
+    columns_by_table: dict[str, list[str]],
     keys: dict[str, list[str]],
-) -> pd.DataFrame:
-    """For every (table.column, ref_table.key) pair with compatible names or
-    types, test containment; emit discovered FK edges.
-
-    ``keys``: ref_table -> its candidate key columns (from candidate_keys).
-    """
-    rows = []
-    for tname, ds in tables.items():
-        cols = ds.schema().names
+) -> list[tuple[str, str, str, str]]:
+    """Name-compatibility gate before any data check — the deterministic
+    (src_table, src_col, ref_table, ref_key) candidate list shared by
+    ``discover_fks`` and its SQL oracle."""
+    pairs = []
+    for tname, cols in columns_by_table.items():
         for ref_name, ref_keys in keys.items():
             if ref_name == tname:
                 continue
             for rk in ref_keys:
                 for col in cols:
-                    # cheap name-compatibility gate before the data check
                     if col == rk or col.endswith(rk) or rk.endswith(col.split("_")[-1]):
-                        res = containment_check(
-                            ds.select_columns([col]), col,
-                            tables[ref_name].select_columns([rk]), rk,
-                        )
-                        if res["contained"] and res["n_src_rows"] > 0:
-                            rows.append(
-                                {
-                                    "src_table": tname,
-                                    "src_column": col,
-                                    "ref_table": ref_name,
-                                    "ref_column": rk,
-                                }
-                            )
+                        pairs.append((tname, col, ref_name, rk))
+    return pairs
+
+
+def discover_fks(
+    tables: dict[str, ray.data.Dataset],
+    keys: dict[str, list[str]],
+) -> pd.DataFrame:
+    """For every (table.column, ref_table.key) pair with compatible names,
+    test containment; emit discovered FK edges.
+
+    ``keys``: ref_table -> its candidate key columns (from candidate_keys).
+    """
+    rows = []
+    cols_by_table = {t: ds.schema().names for t, ds in tables.items()}
+    for tname, col, ref_name, rk in fk_candidate_pairs(cols_by_table, keys):
+        res = containment_check(
+            tables[tname].select_columns([col]), col,
+            tables[ref_name].select_columns([rk]), rk,
+        )
+        if res["contained"] and res["n_src_rows"] > 0:
+            rows.append(
+                {
+                    "src_table": tname,
+                    "src_column": col,
+                    "ref_table": ref_name,
+                    "ref_column": rk,
+                }
+            )
     return pd.DataFrame(
         rows, columns=["src_table", "src_column", "ref_table", "ref_column"]
     ).sort_values(["src_table", "src_column", "ref_table"]).reset_index(drop=True)
