@@ -192,6 +192,18 @@ def q_clean_corpus(sf_dir: str):
     return clean_corpus(_docs(sf_dir, ["doc_id", "text", "lang"]))
 
 
+def q_corpus_sample(sf_dir: str):
+    """Deterministic per-language stratified sample (corpus mixing) —
+    exact-integer md5 thresholds, value-checked against the identical SQL."""
+    from knowledgegraphs_ray.pipelines.training_data import stratified_sample
+
+    return stratified_sample(
+        _docs(sf_dir, ["doc_id", "lang"]),
+        rates={"en": 0.5, "de": 0.25, "es": 1.0},
+        default_rate=0.1,
+    )
+
+
 def q_kg_pred_stats(sf_dir: str):
     import pandas as pd
     from knowledgegraphs_ray.util.fastagg import sum_partials
@@ -527,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_bridge": q_kg_triples_bridge,
         "kg_triples_dedup": q_kg_triples_dedup,
         "clean_corpus": q_clean_corpus,
+        "corpus_sample": q_corpus_sample,
         "kg_pred_stats": q_kg_pred_stats,
         "purchases_last_view": q_purchases_last_view,
         "lineitem_orders_join": q_lineitem_orders_join,
@@ -668,6 +681,12 @@ def oracle_sql() -> dict[str, str]:
         "clean_corpus": __import__(
             "knowledgegraphs_ray.pipelines.training_data", fromlist=["clean_corpus_oracle_sql"]
         ).clean_corpus_oracle_sql(),
+        "corpus_sample": __import__(
+            "knowledgegraphs_ray.pipelines.training_data",
+            fromlist=["stratified_sample_oracle_sql"],
+        ).stratified_sample_oracle_sql(
+            rates={"en": 0.5, "de": 0.25, "es": 1.0}, default_rate=0.1
+        ),
         "kg_pred_stats": (
             "WITH kg AS (" + _plan_sql(STAR_TABLES) + ") "
             "SELECT pred, count(*) AS n_triples FROM kg GROUP BY pred"

@@ -87,3 +87,148 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
        CAST(len(regexp_extract_all(min(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens
 FROM f GROUP BY text
 """
+
+
+def _u64_threshold(rate: float) -> int:
+    """Exact integer sampling threshold: floor(clamp(rate) * 2^64)."""
+    r = min(max(rate, 0.0), 1.0)
+    return int(r * (1 << 64)) if r < 1.0 else (1 << 64)
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+) -> ray.data.Dataset:
+    """Deterministic per-stratum sampling for corpus mixing: a row survives
+    iff md5_u64(id) < floor(rate(stratum) * 2^64) — an EXACT integer
+    compare. Map-only, seedless and reproducible at any parallelism, and
+    bit-for-bit reproducible in SQL (('0x' || substr(md5(id), 1, 16))
+    ::UBIGINT against the same integer threshold), so the sample itself is
+    value-oracle-checkable. The md5 cost is per row; for hot paths swap in a
+    splitmix of an integer id (same pipeline shape, no SQL twin)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        ids = df[id_col].astype(str).to_numpy()
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                for s in ids
+            ),
+            dtype=np.uint64,
+            count=len(ids),
+        )
+        strata = df[stratum_col].astype(str).to_numpy()
+        keep = np.zeros(len(df), dtype=bool)
+        for stratum in pd.unique(strata):
+            t = _u64_threshold(rates.get(stratum, default_rate))
+            mask = strata == stratum
+            if t >= (1 << 64):
+                keep[mask] = True
+            else:
+                keep[mask] = h[mask] < np.uint64(t)
+        return df[keep]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def stratified_sample_oracle_sql(
+    *,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    table: str = "documents",
+    out_cols: str = "doc_id, lang",
+) -> str:
+    """SQL twin: HUGEINT compare against the SAME integer thresholds (the
+    UBIGINT hash promotes to HUGEINT — exact, no float rounding)."""
+    case = " ".join(
+        f"WHEN '{s}' THEN {_u64_threshold(r)}" for s, r in sorted(rates.items())
+    )
+    return (
+        f"SELECT {out_cols} FROM {table} WHERE "
+        f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 16))::UBIGINT AS HUGEINT) "
+        f"< CAST(CASE {stratum_col} {case} ELSE {_u64_threshold(default_rate)} END AS HUGEINT)"
+    )
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+) -> ray.data.Dataset:
+    """Sequence packing for training batches: assign documents to packs so
+    each pack's token sum stays <= ``budget`` (first-fit-decreasing per
+    block — packing is a block-local decision, so the operator is map-only
+    and scales embarrassingly; cross-block packing would buy ~nothing and
+    cost a shuffle). Documents longer than the budget become single-doc
+    packs flagged ``oversize``.
+
+    -> (id, n_tokens, pack_id, pack_slot, oversize); ``pack_id`` is the
+    pack's first (largest) document id — globally unique and deterministic
+    at any parallelism given the same blocks."""
+    import numpy as np
+    import pandas as pd
+
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="int64"),
+                    token_col: pd.Series([], dtype="int64"),
+                    "pack_id": pd.Series([], dtype="int64"),
+                    "pack_slot": pd.Series([], dtype="int64"),
+                    "oversize": pd.Series([], dtype="bool"),
+                }
+            )
+        d = df[[id_col, token_col]].sort_values(
+            [token_col, id_col], ascending=[False, True], kind="mergesort"
+        )
+        ids = d[id_col].to_numpy()
+        toks = d[token_col].to_numpy().astype(np.int64)
+        pack_first: list[int] = []  # first doc id per open pack
+        pack_free: list[int] = []  # remaining budget per open pack
+        assign = np.empty(len(d), dtype=np.int64)
+        slot = np.empty(len(d), dtype=np.int64)
+        for i in range(len(d)):  # FFD: first open pack that fits
+            t = int(toks[i])
+            placed = False
+            if t <= budget:
+                for p, free in enumerate(pack_free):
+                    if t <= free:
+                        pack_free[p] = free - t
+                        assign[i] = p
+                        placed = True
+                        break
+            if not placed:
+                pack_first.append(int(ids[i]))
+                pack_free.append(max(budget - t, 0))
+                assign[i] = len(pack_first) - 1
+        counts = np.zeros(len(pack_first), dtype=np.int64)
+        for i in range(len(d)):
+            slot[i] = counts[assign[i]]
+            counts[assign[i]] += 1
+        first = np.array(pack_first, dtype=np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                token_col: toks,
+                "pack_id": first[assign],
+                "pack_slot": slot,
+                "oversize": toks > budget,
+            }
+        )
+
+    return ds.map_batches(pack, batch_format="pandas")

@@ -86,3 +86,57 @@ def test_containment_check(sf_dir):
         "c_custkey",
     )
     assert res["contained"] is True and res["n_dangling"] == 0
+
+
+def test_stratified_sample_deterministic_and_rate():
+    import ray.data
+
+    from knowledgegraphs_ray.pipelines.training_data import stratified_sample
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "lang"]
+    )
+    a = stratified_sample(ds, rates={"en": 0.5}, default_rate=0.2).to_pandas()
+    b = stratified_sample(
+        ds.repartition(7), rates={"en": 0.5}, default_rate=0.2
+    ).to_pandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])  # parallelism-invariant
+    n_en = ds.to_pandas().query("lang == 'en'").shape[0]
+    got_en = (a["lang"] == "en").sum()
+    assert abs(got_en / max(n_en, 1) - 0.5) < 0.15  # rate roughly honored
+    # rate 1.0 keeps everything, 0.0 keeps nothing
+    full = stratified_sample(ds, rates={}, default_rate=1.0).to_pandas()
+    assert len(full) == ds.count()
+    none = stratified_sample(ds, rates={}, default_rate=0.0).to_pandas()
+    assert len(none) == 0
+
+
+def test_pack_sequences_invariants():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from knowledgegraphs_ray.pipelines.training_data import pack_sequences
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(500, dtype="int64"),
+            "n_tokens": rng.integers(10, 900, 500).astype("int64"),
+        }
+    )
+    df.loc[0, "n_tokens"] = 5000  # oversize doc
+    out = pack_sequences(
+        ray.data.from_pandas(df).repartition(4), budget=2048
+    ).to_pandas()
+    # every doc packed exactly once
+    assert sorted(out["doc_id"]) == sorted(df["doc_id"])
+    sums = out.groupby("pack_id")["n_tokens"].sum()
+    over = out[out["oversize"]]
+    assert set(over["doc_id"]) == {0}
+    ok_packs = sums[~sums.index.isin(over["pack_id"])]
+    assert (ok_packs <= 2048).all()
+    # packing efficiency: within 30% of the per-partition lower bound
+    total = df.loc[df["n_tokens"] <= 2048, "n_tokens"].sum()
+    n_packs = out.loc[~out["oversize"], "pack_id"].nunique()
+    assert n_packs <= np.ceil(total / 2048) * 1.3 + 4
