@@ -102,14 +102,17 @@ def stratified_sample(
     stratum_col: str = "lang",
     rates: dict[str, float],
     default_rate: float = 0.0,
+    hash_fn: str = "md5",
 ) -> ray.data.Dataset:
     """Deterministic per-stratum sampling for corpus mixing: a row survives
-    iff md5_u64(id) < floor(rate(stratum) * 2^64) — an EXACT integer
-    compare. Map-only, seedless and reproducible at any parallelism, and
-    bit-for-bit reproducible in SQL (('0x' || substr(md5(id), 1, 16))
-    ::UBIGINT against the same integer threshold), so the sample itself is
-    value-oracle-checkable. The md5 cost is per row; for hot paths swap in a
-    splitmix of an integer id (same pipeline shape, no SQL twin)."""
+    iff hash_u64(id) < floor(rate(stratum) * 2^64) — an EXACT integer
+    compare. Map-only, seedless and reproducible at any parallelism.
+
+    hash_fn="md5" (default): bit-for-bit reproducible in SQL
+    (('0x' || substr(md5(id), 1, 16))::UBIGINT against the same integer
+    threshold) — the value-oracle tier; md5 costs ~1µs/row.
+    hash_fn="splitmix": fully vectorized splitmix64 over INTEGER ids — the
+    100-TB tier (no SQL twin; parallelism-invariance tested instead)."""
     import hashlib
 
     import numpy as np
@@ -118,15 +121,20 @@ def stratified_sample(
     def pick(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return df
-        ids = df[id_col].astype(str).to_numpy()
-        h = np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
-                for s in ids
-            ),
-            dtype=np.uint64,
-            count=len(ids),
-        )
+        if hash_fn == "splitmix":
+            from knowledgegraphs_ray.pipelines.transcripts import _splitmix64
+
+            h = _splitmix64(df[id_col].to_numpy().astype(np.uint64))
+        else:
+            ids = df[id_col].astype(str).to_numpy()
+            h = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                    for s in ids
+                ),
+                dtype=np.uint64,
+                count=len(ids),
+            )
         strata = df[stratum_col].astype(str).to_numpy()
         keep = np.zeros(len(df), dtype=bool)
         for stratum in pd.unique(strata):

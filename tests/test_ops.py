@@ -140,3 +140,21 @@ def test_pack_sequences_invariants():
     total = df.loc[df["n_tokens"] <= 2048, "n_tokens"].sum()
     n_packs = out.loc[~out["oversize"], "pack_id"].nunique()
     assert n_packs <= np.ceil(total / 2048) * 1.3 + 4
+
+
+def test_stratified_sample_splitmix_fast_path():
+    import ray.data
+
+    from knowledgegraphs_ray.pipelines.training_data import stratified_sample
+
+    ds = ray.data.read_parquet(
+        "/root/testdata/sf0.01/documents.parquet", columns=["doc_id", "lang"]
+    )
+    a = stratified_sample(
+        ds, rates={"en": 0.5}, default_rate=0.2, hash_fn="splitmix"
+    ).to_pandas()
+    b = stratified_sample(
+        ds.repartition(5), rates={"en": 0.5}, default_rate=0.2, hash_fn="splitmix"
+    ).to_pandas()
+    assert set(a["doc_id"]) == set(b["doc_id"])
+    assert 0 < len(a) < ds.count()
