@@ -18,7 +18,21 @@ from knowledgegraphs_ray.schema.model import SchemaGraph, tpch_schema
 
 
 def read_table(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    """Pruned parquet read. Small files read as ONE block: Ray's default
+    split fans even a 5-row dimension table into 64 blocks, and a multi-way
+    union of such reads schedules hundreds of near-empty blocks for nothing
+    (measured: ~0.5s/table of pure overhead at sf0.1). Files above the
+    threshold keep Ray's size-based parallelism."""
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    kwargs = {}
+    try:
+        if os.path.getsize(path) < 4 << 20:
+            kwargs["override_num_blocks"] = 1
+    except OSError:
+        pass  # globs / remote paths: let Ray decide
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
 def extract_table_triples(
