@@ -27,10 +27,21 @@ def asof_join(
     right_cols: list[str] | None = None,
     suffix: str = "_right",
     strict: bool = True,
+    strategy: str = "scan",
 ) -> ray.data.Dataset:
     """For every left row: columns of the latest right row of the same key
     with right.ts < left.ts (strict) or <= (not strict). Left rows with no
-    match get nulls (left-join semantics)."""
+    match get nulls (left-join semantics).
+
+    strategy="scan" (default): merge-scan — ONE distributed sort of the
+    widened union on (key, ts, side) and a vectorized per-block
+    last-right-row forward fill with O(num_blocks) boundary carries
+    (same construction as ``util.segrank``); no per-key Python at any key
+    count, no one-key-per-worker assumption. strategy="group": the
+    per-key ``pd.merge_asof`` path, kept as the semantic reference.
+    Ties (several right rows at one timestamp) pick an arbitrary equal-ts
+    row under "scan" vs right-input order under "group" — identical
+    whenever (key, ts) is unique on the right."""
 
     left_cols = list(left.schema().names)
     rsel_cols = sorted(set([key, ts_col] + (right_cols or [])))
@@ -94,6 +105,22 @@ def asof_join(
     rmark = rsel.map_batches(widen(1), batch_format="pandas")
     both = lmark.union(rmark)
 
+    if strategy == "scan":
+        return _asof_scan(
+            both,
+            key=key,
+            ts_col=ts_col,
+            left_cols=left_cols,
+            rvalue_cols=rvalue_cols,
+            out_name=out_name,
+            out_cols=out_cols,
+            out_template=out_template,
+            nullable=_nullable,
+            null_value=_null_value,
+            strict=strict,
+            suffix=suffix,
+        )
+
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["__side"] == 0, left_cols]
         r = g.loc[g["__side"] == 1, rsel_cols]
@@ -136,3 +163,147 @@ def asof_join(
         return out[out_cols]
 
     return both.groupby(key).map_groups(per_key, batch_format="pandas")
+
+
+def _asof_scan(
+    both: ray.data.Dataset,
+    *,
+    key: str,
+    ts_col: str,
+    left_cols: list[str],
+    rvalue_cols: list[str],
+    out_name: dict[str, str],
+    out_cols: list[str],
+    out_template: pd.DataFrame,
+    nullable,
+    null_value,
+    strict: bool,
+    suffix: str,
+) -> ray.data.Dataset:
+    """Merge-scan as-of join over the widened union.
+
+    Sort by (key, ts, side-order) — side-order puts left BEFORE right at
+    equal ts when strict (the equal-ts right row must not match) and right
+    first otherwise. Each block then computes, fully vectorized, the index
+    of the last right row per position with key-run resets (the run-base
+    max-accumulate trick) and gathers the right payload; left rows before
+    their run's first right row resolve from the driver-threaded carry
+    (last right row of the preceding blocks' trailing key)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from knowledgegraphs_ray.util.blocks import compact_nonempty
+
+    payload_src = {out_name[c]: c for c in rvalue_cols}
+    payload_src[ts_col + suffix] = ts_col
+    out_dtypes = {
+        c: (
+            out_template[c].dtype
+            if c in left_cols
+            else nullable(out_template[c].dtype)
+        )
+        for c in out_cols
+    }
+
+    def add_order(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        side = df["__side"].to_numpy()
+        df["__o"] = side if strict else 1 - side  # strict: left(0) first
+        return df
+
+    ordered = both.map_batches(add_order, batch_format="pandas").sort(
+        [key, ts_col, "__o"]
+    )
+    ARROW = pa.schema([])  # placeholder; compact only drops empties
+    refs = compact_nonempty(
+        ordered, pa.schema([(key, pa.int64())])
+    ).to_arrow_refs()
+
+    @ray.remote(num_returns=2)
+    def scan_block(block):
+        df = block.to_pandas() if not isinstance(block, pd.DataFrame) else block
+        n = len(df)
+        k = df[key].to_numpy()
+        is_right = (df["__side"].to_numpy() == 1)
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        change[1:] = k[1:] != k[:-1]
+        run_id = np.cumsum(change) - 1
+        base = run_id * (n + 1)
+        r = np.where(is_right, np.arange(n), -1)
+        acc = np.maximum.accumulate(r + base)
+        last_right = acc - base  # -1 where the run has no right row yet
+
+        left_mask = ~is_right
+        lr = last_right[left_mask]
+        out = pd.DataFrame(index=np.arange(int(left_mask.sum())))
+        for c in left_cols:
+            out[c] = df.loc[left_mask, c].to_numpy()
+        safe = np.clip(lr, 0, max(n - 1, 0))
+        for oc, src in payload_src.items():
+            vals = df[src].to_numpy()
+            got = vals[safe]
+            miss = lr < 0
+            got = np.where(miss, null_value(np.asarray(got).dtype), got)
+            out[oc] = got
+        # unresolved prefix: left rows of the FIRST run with no right yet
+        first_run_left = (run_id[left_mask] == 0) & (lr < 0)
+        n_unresolved = int(first_run_left.sum())
+        # last-run carry payload
+        last_run = run_id == run_id[-1]
+        rights_in_last = np.flatnonzero(last_run & is_right)
+        if len(rights_in_last):
+            j = rights_in_last[-1]
+            payload = {oc: df[src].iloc[j] for oc, src in payload_src.items()}
+            has_right = True
+        else:
+            payload, has_right = None, False
+        meta = {
+            "n": n,
+            "first_key": k[0],
+            "last_key": k[-1],
+            "payload": payload,
+            "last_run_has_right": has_right,
+            "n_unresolved": n_unresolved,
+        }
+        out = out[out_cols].astype(out_dtypes)
+        return out, meta
+
+    @ray.remote
+    def fill_prefix(df: pd.DataFrame, n_unresolved: int, payload: dict) -> pd.DataFrame:
+        df = df.copy()
+        for oc, v in payload.items():
+            col = df[oc].copy()
+            col.iloc[:n_unresolved] = v
+            df[oc] = col
+        return df
+
+    outs, metas_r = [], []
+    for rref in refs:
+        o, m = scan_block.remote(rref)
+        outs.append(o)
+        metas_r.append(m)
+    metas = ray.get(metas_r)
+
+    carry_key, carry_payload = None, None
+    for i, m in enumerate(metas):
+        if m["n"] == 0:
+            continue
+        if (
+            m["first_key"] == carry_key
+            and carry_payload is not None
+            and m["n_unresolved"] > 0
+        ):
+            outs[i] = fill_prefix.remote(outs[i], m["n_unresolved"], carry_payload)
+        if m["last_run_has_right"]:
+            carry_payload = m["payload"]
+        elif m["last_key"] != carry_key:
+            carry_payload = None
+        carry_key = m["last_key"]
+
+    @ray.remote
+    def to_arrow(df: pd.DataFrame) -> pa.Table:
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return ray.data.from_arrow_refs([to_arrow.remote(o) for o in outs])

@@ -130,3 +130,55 @@ def test_hopping_window_counts():
     # an event at second s is in windows s-3600 < w <= s (w multiple of 900)
     e0 = out[(out["user_id"] == 1)]
     assert set(e0["window_start"]) >= {999997200, 999998100, 999999000, 999999900}
+
+
+def test_asof_scan_matches_group_strategy_randomized():
+    """Merge-scan as-of == per-key merge_asof on random keyed data with
+    unique (key, ts) and straddling blocks."""
+    import numpy as np
+
+    from knowledgegraphs_ray.extract.asof import asof_join
+
+    rng = np.random.default_rng(12)
+    n_l, n_r = 400, 300
+    lt = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n_l).astype("int64"),
+            "ts": pd.to_datetime(
+                1_000_000_000 + rng.choice(50_000, n_l, replace=False), unit="s"
+            ),
+            "lv": np.arange(n_l, dtype="int64"),
+        }
+    )
+    rt = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n_r).astype("int64"),
+            "ts": pd.to_datetime(
+                1_000_000_000 + rng.choice(50_000, n_r, replace=False) + 100_000,
+                unit="s",
+            ),
+            "rv": np.arange(n_r, dtype="int64") + 1000,
+        }
+    )
+    # overlap the ranges so some rows match and some don't
+    rt.loc[: n_r // 2, "ts"] -= pd.Timedelta(seconds=100_000)
+    lds = ray.data.from_pandas(lt).repartition(7)
+    rds = ray.data.from_pandas(rt).repartition(5)
+    for strict in (True, False):
+        a = (
+            asof_join(lds, rds, key="k", ts_col="ts", right_cols=["rv"], strict=strict)
+            .to_pandas()
+            .sort_values(["k", "ts"])
+            .reset_index(drop=True)
+        )
+        b = (
+            asof_join(
+                lds, rds, key="k", ts_col="ts", right_cols=["rv"],
+                strict=strict, strategy="group",
+            )
+            .to_pandas()
+            .sort_values(["k", "ts"])
+            .reset_index(drop=True)
+        )
+        cols = sorted(a.columns)
+        pd.testing.assert_frame_equal(a[cols], b[cols], check_dtype=False)
