@@ -205,6 +205,9 @@ def _asof_scan(
         )
         for c in out_cols
     }
+    empty_out = pd.DataFrame(
+        {c: pd.Series([], dtype=out_dtypes[c]) for c in out_cols}
+    )
 
     def add_order(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -212,18 +215,22 @@ def _asof_scan(
         df["__o"] = side if strict else 1 - side  # strict: left(0) first
         return df
 
-    ordered = both.map_batches(add_order, batch_format="pandas").sort(
-        [key, ts_col, "__o"]
+    # bound the scan-task count: sort output blocks track input blocks, and
+    # the widened union often carries many small ones
+    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    ordered = (
+        both.repartition(n_parts)
+        .map_batches(add_order, batch_format="pandas")
+        .sort([key, ts_col, "__o"])
     )
-    ARROW = pa.schema([])  # placeholder; compact only drops empties
-    refs = compact_nonempty(
-        ordered, pa.schema([(key, pa.int64())])
-    ).to_arrow_refs()
+    refs = ordered.to_arrow_refs()
 
     @ray.remote(num_returns=2)
     def scan_block(block):
         df = block.to_pandas() if not isinstance(block, pd.DataFrame) else block
         n = len(df)
+        if n == 0 or key not in df.columns:
+            return pa.Table.from_pandas(empty_out, preserve_index=False), {"n": 0}
         k = df[key].to_numpy()
         is_right = (df["__side"].to_numpy() == 1)
         change = np.zeros(n, dtype=bool)
@@ -268,16 +275,16 @@ def _asof_scan(
             "n_unresolved": n_unresolved,
         }
         out = out[out_cols].astype(out_dtypes)
-        return out, meta
+        return pa.Table.from_pandas(out, preserve_index=False), meta
 
     @ray.remote
-    def fill_prefix(df: pd.DataFrame, n_unresolved: int, payload: dict) -> pd.DataFrame:
-        df = df.copy()
+    def fill_prefix(tbl: pa.Table, n_unresolved: int, payload: dict) -> pa.Table:
+        df = tbl.to_pandas()
         for oc, v in payload.items():
             col = df[oc].copy()
             col.iloc[:n_unresolved] = v
             df[oc] = col
-        return df
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     outs, metas_r = [], []
     for rref in refs:
@@ -302,8 +309,4 @@ def _asof_scan(
             carry_payload = None
         carry_key = m["last_key"]
 
-    @ray.remote
-    def to_arrow(df: pd.DataFrame) -> pa.Table:
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    return ray.data.from_arrow_refs([to_arrow.remote(o) for o in outs])
+    return ray.data.from_arrow_refs(outs)
