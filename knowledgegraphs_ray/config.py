@@ -40,6 +40,10 @@ class PipelineConfig:
     # scorer stage sizing
     scorer_concurrency: int = 2
     scorer_batch_size: int = 4096
+    # context-aware transcript linking (X2): ±k-turn window blended into the
+    # candidate score; None = plain per-mention linking
+    context_window: int | None = None
+    context_weight: float = 0.3
     # extension hooks
     extra_rules: list[Callable] = field(default_factory=list)
     scorer_cls: type | None = None

@@ -79,6 +79,24 @@ def flagship_run(
     def build_links():
         from ray.data.aggregate import Count
 
+        if cfg.context_window is not None:
+            # X2 wired in: ±k-turn context blended into the candidate score;
+            # selection then runs per (mention, context) via the standard
+            # cascade (linking_pipeline.link_transcripts_with_context)
+            from knowledgegraphs_ray.pipelines.linking_pipeline import (
+                link_transcripts_with_context,
+            )
+
+            sel = link_transcripts_with_context(
+                p.dataset("ingest"),
+                index=idx,
+                window=cfg.context_window,
+                ctx_weight=cfg.context_weight,
+                concurrency=cfg.scorer_concurrency,
+            )
+            cols = [c for c in ("mention", "cand_iri", "bes", "pj") if c in (sel.schema().names or [])]
+            return sel.select_columns(cols) if cols else sel
+
         mentions = p.dataset("mentions")
         schema = mentions.schema()
         if schema is None or "mention" not in schema.names:

@@ -45,3 +45,23 @@ def test_flagship_partial_resume(tmp_path, sf_dir):
     assert m["ingest"]["resumed"] and m["triples"]["resumed"]
     assert not m["links"]["resumed"]  # rebuilt
     assert m["links"]["rows"] > 0
+
+
+def test_flagship_with_context_window(tmp_path):
+    """PipelineConfig.context_window routes the links stage through the
+    context-aware linking path; the run still completes and checkpoints."""
+    from knowledgegraphs_ray.config import PipelineConfig
+    from knowledgegraphs_ray.pipelines.flagship import flagship_run
+    from knowledgegraphs_ray.pipelines.transcripts import synth_transcripts
+
+    p = flagship_run(
+        str(tmp_path / "ctx"),
+        ingest=lambda: synth_transcripts(30, seed=4),
+        write_nt=False,
+        config=PipelineConfig(context_window=2, scorer_concurrency=1),
+    )
+    edges = p.dataset("edges")
+    assert edges.count() > 0
+    links = p.dataset("links")
+    schema = links.schema()
+    assert schema is None or "cand_iri" in schema.names or links.count() == 0
