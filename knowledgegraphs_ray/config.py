@@ -37,6 +37,9 @@ class PipelineConfig:
     num_best_predictions: int = 20
     # abbreviation expansion on/off (Config.java applyMedicalAbbreviationExpansion)
     expand_abbreviations: bool = False
+    # abbreviation dictionary (full-form vocabulary), the MedicalDictionary
+    # analogue; required when expand_abbreviations is on
+    abbrev_dictionary: dict | None = None
     # scorer stage sizing
     scorer_concurrency: int = 2
     scorer_batch_size: int = 4096

@@ -114,6 +114,53 @@ def flagship_run(
                 )
             )
         distinct = mentions.groupby("mention").aggregate(Count(alias_name="n_srcs"))
+
+        # X3/X5 wired in: abbreviated surface forms expand against the
+        # dictionary before candidate generation (AAExpansion analogue);
+        # selections map back to every original abbreviation afterwards
+        inv_map: dict[str, list[str]] = {}
+        if cfg.expand_abbreviations and cfg.abbrev_dictionary:
+            import pandas as pd
+
+            from knowledgegraphs_ray.linking.abbrev import expand_abbreviations
+
+            exp = expand_abbreviations(distinct, cfg.abbrev_dictionary).to_pandas()
+            fwd = (
+                dict(zip(exp["abbrev"], exp["expansion"]))  # vocabulary-sized
+                if not exp.empty and "abbrev" in exp.columns
+                else {}
+            )
+            for a, e in fwd.items():
+                inv_map.setdefault(e, []).append(a)
+
+            def swap(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.copy()
+                df["mention"] = df["mention"].map(lambda m: fwd.get(m, m))
+                return df
+
+            distinct = distinct.map_batches(swap, batch_format="pandas")
+
+        if cfg.mapper == "exact":
+            # ExactMapper path: label == mention, no scorer pool
+            import pandas as pd
+
+            label2iri = single_token_class_labels(idx)
+
+            def exact_map(df: pd.DataFrame) -> pd.DataFrame:
+                df = df[df["mention"].isin(label2iri)]
+                return pd.DataFrame(
+                    {
+                        "mention": df["mention"],
+                        "cand_iri": df["mention"].map(label2iri),
+                        "bes": 1.0,
+                        "pj": 1.0,
+                    }
+                )
+
+            return _backmap_links(
+                distinct.map_batches(exact_map, batch_format="pandas"), inv_map
+            )
+
         cands = generate_candidates(distinct, idx, k=cfg.num_raw_candidates)
         if cfg.scorer_cls is not None:
             import ray as _ray
@@ -133,13 +180,14 @@ def flagship_run(
                 concurrency=cfg.scorer_concurrency,
                 batch_size=cfg.scorer_batch_size,
             )
-        return select_links(
+        sel = select_links(
             scored,
             mode="optimal",
             bes_hi=cfg.bes_hi,
             bes_lo=cfg.bes_lo,
             pj_hi=cfg.pj_hi,
         )
+        return _backmap_links(sel, inv_map)
 
     p.stage("links", build_links, kernel_version=kernel_version)
     def build_canonical():
@@ -197,6 +245,38 @@ def flagship_run(
 
         write_ntriples(p.dataset("edges"), root + "/edges_nt")
     return p
+
+
+def _backmap_links(sel: ray.data.Dataset, inv_map: dict[str, list[str]]) -> ray.data.Dataset:
+    """After selection over EXPANDED surface forms, re-emit each selection
+    under every original abbreviation that expanded to it (broadcast
+    inverse multimap), keeping the expanded rows too."""
+    if not inv_map:
+        return sel
+
+    import pandas as pd
+
+    def back(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "mention" not in df.columns:
+            return df
+        extra = []
+        for m in df["mention"]:
+            extra.append(inv_map.get(m, []))
+        rows = [df]
+        exploded = df.assign(__origs=extra).explode("__origs").dropna(
+            subset=["__origs"]
+        )
+        if len(exploded):
+            exploded = exploded.assign(mention=exploded["__origs"]).drop(
+                columns="__origs"
+            )
+            rows.append(exploded)
+        return pd.concat(
+            [r.drop(columns="__origs", errors="ignore") for r in rows],
+            ignore_index=True,
+        )
+
+    return sel.map_batches(back, batch_format="pandas")
 
 
 def _add_turn_iri(batch: pa.Table) -> pa.Table:

@@ -65,3 +65,29 @@ def test_flagship_with_context_window(tmp_path):
     links = p.dataset("links")
     schema = links.schema()
     assert schema is None or "cand_iri" in schema.names or links.count() == 0
+
+
+def test_flagship_exact_mapper_and_abbrev_expansion(tmp_path):
+    """mapper='exact' skips the scorer pool; abbreviation expansion maps
+    abbreviated mentions to dictionary full forms and selections re-emit
+    under the original abbreviations."""
+    from knowledgegraphs_ray.config import PipelineConfig
+    from knowledgegraphs_ray.pipelines.flagship import flagship_run
+    from knowledgegraphs_ray.pipelines.transcripts import synth_transcripts
+
+    cfg = PipelineConfig(
+        mapper="exact",
+        expand_abbreviations=True,
+        abbrev_dictionary={"customer": ["customer"], "supplier": ["supplier"]},
+    )
+    p = flagship_run(
+        str(tmp_path / "exact"),
+        ingest=lambda: synth_transcripts(30, seed=6),
+        write_nt=False,
+        config=cfg,
+    )
+    links = p.dataset("links").to_pandas()
+    if len(links):
+        assert (links["bes"] == 1.0).all()  # exact mapper: no surrogate scores
+        assert set(links.columns) >= {"mention", "cand_iri", "bes", "pj"}
+    assert p.dataset("edges").count() > 0
