@@ -46,3 +46,52 @@ def pii_scan_oracle_sql(*, table: str = "documents", column: str = "text", id_co
         for name, pat in PII_PATTERNS.items()
     )
     return f"SELECT {id_col}, {cols} FROM {table}"
+
+
+# redaction order: specific patterns first (card/SSN would otherwise be
+# swallowed by the broad phone detector)
+REDACT_ORDER = ["card", "ssn_like", "email", "ipv4", "phone"]
+
+
+def redact_pii(
+    ds: ray.data.Dataset,
+    *,
+    column: str = "text",
+    id_col: str = "doc_id",
+    kinds: list[str] | None = None,
+    token_fmt: str = "[{kind}]",
+) -> ray.data.Dataset:
+    """Mask every detected PII span with a typed placeholder — the
+    curation-side complement of the scan (find -> redact -> train). Pure
+    ``pc.replace_substring_regex`` per pattern, map-only; detectors run
+    most-specific-first (REDACT_ORDER) so the broad phone pattern cannot
+    eat card/SSN spans. -> (id, redacted) rows."""
+    kinds = kinds or REDACT_ORDER
+
+    def redact(batch: pa.Table) -> pa.Table:
+        text = batch[column].combine_chunks()
+        for name in kinds:
+            text = pc.replace_substring_regex(
+                text, PII_PATTERNS[name], token_fmt.format(kind=name)
+            )
+        return pa.table({id_col: batch[id_col], "redacted": text})
+
+    return ds.map_batches(redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pii_redact_oracle_sql(
+    *,
+    table: str = "documents",
+    column: str = "text",
+    id_col: str = "doc_id",
+    kinds: list[str] | None = None,
+    token_fmt: str = "[{kind}]",
+) -> str:
+    kinds = kinds or REDACT_ORDER
+    expr = column
+    for name in kinds:  # same detector order as the kernel
+        expr = (
+            f"regexp_replace({expr}, '{PII_PATTERNS[name]}', "
+            f"'{token_fmt.format(kind=name)}', 'g')"
+        )
+    return f"SELECT {id_col}, {expr} AS redacted FROM {table}"

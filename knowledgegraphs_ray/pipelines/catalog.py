@@ -323,6 +323,12 @@ def q_pii_scan_documents(sf_dir: str):
     return scan_value_pii(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_pii_redact_documents(sf_dir: str):
+    from knowledgegraphs_ray.pii.scan import redact_pii
+
+    return redact_pii(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_events_tumbling(sf_dir: str):
     from knowledgegraphs_ray.streaming.windows import tumbling_window_agg
 
@@ -550,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q_top_customers,
         "pii_schema": q_pii_schema,
         "pii_scan_documents": q_pii_scan_documents,
+        "pii_redact_documents": q_pii_redact_documents,
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_events_hopping,
         "events_sessionize": q_events_sessionize,
@@ -730,6 +737,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_scan_documents": __import__(
             "knowledgegraphs_ray.pii.scan", fromlist=["pii_scan_oracle_sql"]
         ).pii_scan_oracle_sql(),
+        "pii_redact_documents": __import__(
+            "knowledgegraphs_ray.pii.scan", fromlist=["pii_redact_oracle_sql"]
+        ).pii_redact_oracle_sql(),
         "events_tumbling": (
             "SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS window_start, "
             "count(*) AS n_events, "

@@ -144,3 +144,26 @@ def test_sessionize_scan_matches_group_strategy(sf_dir):
     pd.testing.assert_frame_equal(
         a[sorted(a.columns)].astype("int64"), b[sorted(b.columns)].astype("int64")
     )
+
+
+def test_pii_redaction_masks_all_kinds():
+    import ray.data
+
+    from knowledgegraphs_ray.pii.scan import redact_pii, scan_value_pii
+
+    rows = [
+        {"doc_id": 0, "text": "mail a@b.com call +1 (555) 123-4567 ip 10.0.0.1"},
+        {"doc_id": 1, "text": "card 1234 5678 9012 3456 ssn 123-45-6789 clean"},
+        {"doc_id": 2, "text": "nothing sensitive here"},
+    ]
+    ds = ray.data.from_items(rows)
+    red = redact_pii(ds).to_pandas().set_index("doc_id")["redacted"]
+    assert "[email]" in red[0] and "[phone]" in red[0] and "[ipv4]" in red[0]
+    assert "[card]" in red[1] and "[ssn_like]" in red[1]
+    assert red[2] == "nothing sensitive here"
+    # re-scanning the redacted text finds nothing
+    red_ds = redact_pii(ds).map_batches(
+        lambda df: df.rename(columns={"redacted": "text"}), batch_format="pandas"
+    )
+    counts = scan_value_pii(red_ds).to_pandas()
+    assert counts.drop(columns="doc_id").to_numpy().sum() == 0
