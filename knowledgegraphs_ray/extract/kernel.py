@@ -42,7 +42,38 @@ TRIPLE_SCHEMA = pa.schema(
     [("subj", pa.string()), ("pred", pa.string()), ("obj", pa.string())]
 )
 
+# Native edge-table form: predicates are drawn from the compiled rule set
+# (~dozens of distinct values), so the kernels emit them dictionary-encoded
+# — a 1-value dictionary per emitted chunk costs 4 bytes/row in the object
+# store instead of the ~20-byte materialized string (measured 5× smaller
+# pickled blocks). Parquet sinks keep the dictionary encoding; the DuckDB
+# oracle path decodes at the boundary via ``decode_triples``.
+PRED_TYPE = pa.dictionary(pa.int32(), pa.string())
+TRIPLE_SCHEMA_ENC = pa.schema(
+    [("subj", pa.string()), ("pred", PRED_TYPE), ("obj", pa.string())]
+)
+
 _SENTINEL_SET = pa.array(list(NULL_SENTINELS), type=pa.string())
+
+
+def decode_triples(ds):
+    """Encoded (dictionary-pred) triples -> plain-string TRIPLE_SCHEMA.
+
+    The decode fuses into the upstream kernel task, so the oracle-facing
+    queries pay exactly the one string materialization per block the
+    pre-encoding kernels paid per emit."""
+
+    def _decode(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "subj": batch["subj"].combine_chunks().cast(pa.string()),
+                "pred": batch["pred"].combine_chunks().cast(pa.string()),
+                "obj": batch["obj"].combine_chunks().cast(pa.string()),
+            },
+            schema=TRIPLE_SCHEMA,
+        )
+
+    return ds.map_batches(_decode, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def format_literal(arr: pa.ChunkedArray | pa.Array, dtype: str) -> pa.Array:
@@ -81,6 +112,20 @@ def _const(value: str, n: int) -> pa.Array:
     ).cast(pa.string())
 
 
+def _const_dict(value: str, n: int) -> pa.DictionaryArray:
+    """Constant column kept dictionary-encoded (4 bytes/row, never
+    materialized as repeated strings)."""
+    return pa.DictionaryArray.from_arrays(
+        pa.array(np.zeros(n, dtype=np.int32)), pa.array([value])
+    )
+
+
+def _all_true(mask: pa.Array) -> bool:
+    """True iff the (non-null boolean) mask selects every row — lets emit()
+    skip the filter copy for the common all-valid case."""
+    return mask.null_count == 0 and pc.min(mask).as_py() is True
+
+
 def row_iris(batch: pa.Table, plan: TablePlan, coltypes: dict[str, str]) -> pa.Array:
     """kg:<table>/<pk1>[_<pk2>...] — deterministic subject IRIs."""
     parts: list[pa.Array | str] = [KG + plan.table + "/"]
@@ -107,7 +152,9 @@ class TripleKernel:
     """Compiled per-table kernel: Arrow batch -> (subj, pred, obj) table.
 
     A plain callable (stateless task) — plan compilation happened on the
-    driver; per-batch work is pure pyarrow.compute.
+    driver; per-batch work is pure pyarrow.compute. Emits the ENCODED form
+    (``TRIPLE_SCHEMA_ENC``: dictionary pred); oracle-facing callers append
+    ``decode_triples``.
     """
 
     def __init__(self, plan: TablePlan, coltypes: dict[str, str]):
@@ -118,16 +165,16 @@ class TripleKernel:
         plan = self.plan
         n = batch.num_rows
         if n == 0:
-            return TRIPLE_SCHEMA.empty_table()
+            return TRIPLE_SCHEMA_ENC.empty_table()
         subj = row_iris(batch, plan, self.coltypes)
         out: list[pa.Table] = []
 
         def emit(s: pa.Array, pred_const: str, o: pa.Array, mask: pa.Array | None):
             t = pa.table(
-                {"subj": s, "pred": _const(pred_const, len(s)), "obj": o},
-                schema=TRIPLE_SCHEMA,
+                {"subj": s, "pred": _const_dict(pred_const, len(s)), "obj": o},
+                schema=TRIPLE_SCHEMA_ENC,
             )
-            if mask is not None:
+            if mask is not None and not _all_true(mask):
                 t = t.filter(mask)
             out.append(t)
 

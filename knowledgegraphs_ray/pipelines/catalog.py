@@ -16,6 +16,7 @@ import ray.data
 
 from knowledgegraphs_ray.dedup.exact import dedup_exact
 from knowledgegraphs_ray.extract.containment import containment_check
+from knowledgegraphs_ray.extract.kernel import decode_triples
 from knowledgegraphs_ray.oracle import sqlgen
 from knowledgegraphs_ray.pipelines.relational import extract_kg
 from knowledgegraphs_ray.pipelines.transcripts import (
@@ -39,23 +40,23 @@ def _docs(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
 
 
 def q_kg_triples_customer(sf_dir: str):
-    return extract_kg(sf_dir, ["customer"])
+    return decode_triples(extract_kg(sf_dir, ["customer"]))
 
 
 def q_kg_triples_orders(sf_dir: str):
-    return extract_kg(sf_dir, ["orders"])
+    return decode_triples(extract_kg(sf_dir, ["orders"]))
 
 
 def q_kg_triples_star(sf_dir: str):
-    return extract_kg(sf_dir, STAR_TABLES)
+    return decode_triples(extract_kg(sf_dir, STAR_TABLES))
 
 
 def q_kg_attr_classes_customer(sf_dir: str):
-    return extract_kg(sf_dir, ["customer"], attrs_to_classes=True)
+    return decode_triples(extract_kg(sf_dir, ["customer"], attrs_to_classes=True))
 
 
 def q_kg_transcripts(sf_dir: str):
-    return extract_transcript_triples(transcripts_from_events(sf_dir))
+    return decode_triples(extract_transcript_triples(transcripts_from_events(sf_dir)))
 
 
 def q_fk_containment(sf_dir: str):
@@ -183,7 +184,7 @@ def q_kg_triples_bridge(sf_dir: str):
         batch_format="pyarrow",
         batch_size=32768,
     )
-    return t_op.union(t_ns)
+    return decode_triples(t_op.union(t_ns))
 
 
 def q_clean_corpus(sf_dir: str):
@@ -211,7 +212,10 @@ def q_kg_pred_stats(sf_dir: str):
     trips = extract_kg(sf_dir, STAR_TABLES)
 
     def partial(batch: pa.Table) -> pd.DataFrame:
-        df = pd.DataFrame({"pred": batch["pred"].to_numpy(zero_copy_only=False)})
+        # pred arrives dictionary-encoded (TRIPLE_SCHEMA_ENC) — decode per
+        # partial; the grouped output is tiny either way
+        pred = batch["pred"].combine_chunks().cast(pa.string())
+        df = pd.DataFrame({"pred": pred.to_numpy(zero_copy_only=False)})
         out = df.groupby("pred", as_index=False).size()
         return out.rename(columns={"size": "n_triples"})
 

@@ -223,16 +223,20 @@ def flagship_run(
         def mention_edges(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            from knowledgegraphs_ray.extract.kernel import _const
+            from knowledgegraphs_ray.extract.kernel import TRIPLE_SCHEMA_ENC, _const_dict
 
             idx = pc.index_in(batch["mention"].combine_chunks(), value_set=link_keys)
             ent = pc.take(link_vals, idx)  # null where the mention has no link
+            # dictionary pred matches the checkpointed triples' encoded schema
+            # (parquet round-trips preserve TRIPLE_SCHEMA_ENC), so the union
+            # below is type-consistent
             t = pa.table(
                 {
                     "subj": batch["turn_iri"].combine_chunks(),
-                    "pred": _const("kg:mentions", batch.num_rows),
+                    "pred": _const_dict("kg:mentions", batch.num_rows),
                     "obj": ent,
-                }
+                },
+                schema=TRIPLE_SCHEMA_ENC,
             )
             return t.filter(pc.is_valid(t["obj"]))
 

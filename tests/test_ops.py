@@ -53,6 +53,47 @@ def test_rolling_fingerprint_matches_python():
     assert out[0] == out[3]  # duplicates share fingerprints
 
 
+def test_enrich_stats_matches_sequential_kernels():
+    """Fused enrich kernel == the four separate kernels applied in order."""
+    b = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["the cat, and dog!", "", "el gato es la cosa", "zzz qqq."],
+        }
+    )
+    seq = ta.fingerprint(ta.lang_scores(ta.quality_stats(ta.token_stats(b))))
+    fused = ta.enrich_stats(b)
+    assert fused.schema.names == seq.schema.names
+    for name in seq.schema.names:
+        assert fused[name].to_pylist() == seq[name].to_pylist(), name
+
+
+def test_triple_kernel_encoded_and_decoded_forms():
+    """Kernels emit dictionary-encoded pred (TRIPLE_SCHEMA_ENC); decode_triples
+    restores the plain-string TRIPLE_SCHEMA with identical values."""
+    import pyarrow.types as pt
+
+    from knowledgegraphs_ray.extract.kernel import TRIPLE_SCHEMA, decode_triples
+    from knowledgegraphs_ray.pipelines.transcripts import (
+        extract_transcript_triples,
+        synth_transcripts,
+    )
+
+    ds = synth_transcripts(10, seed=3, parallelism=2)
+    enc = extract_transcript_triples(ds)
+    enc_batch = next(iter(enc.iter_batches(batch_size=50, batch_format="pyarrow")))
+    assert pt.is_dictionary(enc_batch.schema.field("pred").type)
+    dec = decode_triples(extract_transcript_triples(ds))
+    assert dec.schema().base_schema == TRIPLE_SCHEMA
+    enc_set = {
+        (r["subj"], r["pred"], r["obj"]) for r in enc.take_all()
+    }
+    dec_set = {
+        (r["subj"], r["pred"], r["obj"]) for r in dec.take_all()
+    }
+    assert enc_set == dec_set and len(dec_set) > 0
+
+
 def test_brute_force_topk_exact():
     rng = np.random.default_rng(0)
     vecs = rng.standard_normal((50, 8)).astype(np.float32)
