@@ -62,7 +62,15 @@ class MinHashKernel:
         self.band_a = bp.integers(1, 1 << 62, size=self.rows_per_band, dtype=np.uint64) | np.uint64(1)
 
     def signatures(self, batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
-        """-> (ids, (n_docs, n_perm) uint64 signature matrix)."""
+        """-> (ids, (n_docs, n_perm) uint64 signature matrix).
+
+        Token hash = the byte-level polynomial rolling hash
+        (``text.analysis.rolling_hashes``) rather than an engine-private
+        hash: the identical fold is expressible in DuckDB (HUGEINT Horner,
+        see ``doc_fingerprints``), which makes the WHOLE minhash pipeline
+        SQL-oracle-checkable (``minhash_oracle_sql``)."""
+        from knowledgegraphs_ray.text.analysis import rolling_hashes
+
         df = pl.from_arrow(batch.select([self.id_col, self.text_col]))
         toks = df.select(
             pl.col(self.id_col),
@@ -74,12 +82,12 @@ class MinHashKernel:
         lens = toks["t"].list.len().to_numpy().astype(np.int64)
         # drop_nulls: exploding an EMPTY list yields one null row, which would
         # desynchronize the flat hash stream from the length offsets
-        flat = (
-            toks.explode("t")
-            .drop_nulls("t")
-            .select(pl.col("t").hash(seed=_SEED).alias("h"))
-        )
-        h = flat["h"].to_numpy().astype(np.uint64)
+        flat_tok = toks.explode("t").drop_nulls("t")["t"].to_arrow()
+        if isinstance(flat_tok, pa.ChunkedArray):
+            flat_tok = flat_tok.combine_chunks()
+        # polars emits large_string (int64 offsets); rolling_hashes reads
+        # int32-offset utf8 buffers
+        h = rolling_hashes(flat_tok.cast(pa.string()))
         ids = df[self.id_col].to_numpy()
         n = len(ids)
         # k-shingle combine: s[i] = h[i]*C^2 + h[i+1]*C + h[i+2] (uint64 wrap)
@@ -138,6 +146,51 @@ class MinHashKernel:
         ids, sigs = self.signatures(batch)
         return pd.DataFrame({"doc_id": ids, "sig": list(sigs)})
 
+    def signature_table(self, batch: pa.Table) -> pa.Table:
+        """(doc_id int64, sig fixed_size_binary(n_perm*8)) — the joinable
+        signature representation (fixed-width binary hash-joins natively;
+        a list<uint64> column would not)."""
+        ids, sigs = self.signatures(batch)
+        sig_arr = pa.FixedSizeBinaryArray.from_buffers(
+            pa.binary(self.n_perm * 8), len(ids), [None, pa.py_buffer(sigs.tobytes())]
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids).cast(pa.int64()), "sig": sig_arr}
+        )
+
+
+def _sig_matrix(col: pa.ChunkedArray | pa.Array, n_perm: int) -> np.ndarray:
+    """fixed_size_binary signature column -> (n, n_perm) uint64 matrix."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    buf = arr.buffers()[1]
+    full = np.frombuffer(buf, dtype=np.uint64).reshape(-1, n_perm)
+    return full[arr.offset : arr.offset + len(arr)]
+
+
+def _verify_pairs(
+    sa: np.ndarray,
+    sb: np.ndarray,
+    band: np.ndarray,
+    *,
+    band_a: np.ndarray,
+    n_bands: int,
+    rows_per_band: int,
+    threshold: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared verify semantics for both tiers: keep a pair only in the row of
+    its FIRST colliding band (recomputed from signatures — global pair dedup
+    with no pair shuffle) and only if slot agreement >= threshold.
+    -> (keep mask, est_jaccard)."""
+    eq = sa == sb
+    est = eq.mean(axis=1)
+    with np.errstate(over="ignore"):
+        ba = (sa.reshape(-1, n_bands, rows_per_band) * band_a).sum(axis=2).view(np.int64)
+        bb = (sb.reshape(-1, n_bands, rows_per_band) * band_a).sum(axis=2).view(np.int64)
+    collide = ba == bb  # (n_pairs, n_bands)
+    first = collide.argmax(axis=1)  # first colliding band
+    keep = (est >= threshold) & (first == band) & collide.any(axis=1)
+    return keep, est
+
 
 def minhash_candidate_pairs(
     ds: ray.data.Dataset,
@@ -150,8 +203,24 @@ def minhash_candidate_pairs(
     shingle_k: int = 3,
     max_bucket: int = 200,
     bucket_driver_limit: int = 5_000_000,
+    verify_strategy: str = "auto",
+    verify_driver_limit: int = 1_000_000,
 ) -> ray.data.Dataset:
-    """-> verified pair rows (doc_a, doc_b, est_jaccard)."""
+    """-> verified pair rows (doc_a, doc_b, est_jaccard).
+
+    ``verify_strategy``: how pair members get their signatures for the
+    verification step.
+
+    * ``"broadcast"`` — collect the candidate-pair id set on the driver,
+      semi-filter a second signature pass, broadcast one id->sig dict.
+      Memory ∝ near-dup documents — fine for moderate duplication, NOT for
+      crawl-like duplication rates on a 100 TB corpus.
+    * ``"join"`` — keep pairs distributed and hash-join the (doc_id, sig)
+      table onto them twice (doc_a then doc_b); verify per joined batch.
+      Nothing corpus-sized ever lands on one node.
+    * ``"auto"`` (default) — broadcast while the candidate-pair count is
+      ≤ ``verify_driver_limit``, else join.
+    """
     import ray
 
     kern = MinHashKernel(
@@ -241,11 +310,28 @@ def minhash_candidate_pairs(
         pairs, batch_format="pandas"
     ).materialize()
 
-    # ----- signatures, but only for candidate-pair members -----------------
-    # The signature table is corpus-sized (n_docs × n_perm × 8B); candidate
-    # pairs after LSH are near-dup-sized. Collect signatures ONLY for ids
-    # appearing in pairs (broadcast id-set semi-filter over a second
-    # signature pass) — memory ∝ pairs, never ∝ corpus.
+    use_join = verify_strategy == "join" or (
+        verify_strategy == "auto" and cand.count() > verify_driver_limit
+    )
+    if use_join:
+        return _verify_by_join(ds, cand, kern, threshold=threshold)
+    return _verify_by_broadcast(ds, cand, kern, threshold=threshold)
+
+
+def _verify_by_broadcast(
+    ds: ray.data.Dataset,
+    cand: ray.data.Dataset,
+    kern: MinHashKernel,
+    *,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Driver-bounded tier: signatures ONLY for candidate-pair members
+    (broadcast id-set semi-filter over a second signature pass) broadcast as
+    one id->sig dict. Memory ∝ pairs, never ∝ corpus — but pair members at
+    crawl-like duplication ARE corpus-scale; ``_verify_by_join`` is the
+    scale path."""
+    import ray
+
     cdf = cand.to_pandas()
     needed = set(cdf["doc_a"]).union(cdf["doc_b"]) if len(cdf) else set()
     needed_ref = ray.put(needed)
@@ -270,11 +356,6 @@ def minhash_candidate_pairs(
     sig_map_ref = ray.put({i: s for i, s in zip(sig_df["doc_id"], sig_df["sig"])})
 
     class Verify:
-        """Stateless broadcast-lookup stage doing BOTH dedupe and verify:
-        a pair survives only in the row of its FIRST colliding band (computed
-        from the signatures — no global pair shuffle needed) and only if the
-        signature-slot agreement >= threshold."""
-
         def __init__(self, ref, band_a, n_bands, rows_per_band):
             self.ref = ref
             self.band_a = band_a
@@ -283,15 +364,8 @@ def minhash_candidate_pairs(
             self._m = None
 
         def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            out_empty = pd.DataFrame(
-                {
-                    "doc_a": np.empty(0, "int64"),
-                    "doc_b": np.empty(0, "int64"),
-                    "est_jaccard": np.empty(0, "float64"),
-                }
-            )
             if batch.num_rows == 0 or "doc_a" not in batch.schema.names:
-                return out_empty
+                return _EMPTY_VERIFIED.copy()
             if self._m is None:
                 self._m = ray.get(self.ref)
             a = batch["doc_a"].to_numpy(zero_copy_only=False)
@@ -299,14 +373,15 @@ def minhash_candidate_pairs(
             band = batch["band_id"].to_numpy(zero_copy_only=False)
             sa = np.stack([self._m[x] for x in a])
             sb = np.stack([self._m[x] for x in b])
-            eq = sa == sb
-            est = eq.mean(axis=1)
-            with np.errstate(over="ignore"):
-                ba = (sa.reshape(-1, self.n_bands, self.r) * self.band_a).sum(axis=2).view(np.int64)
-                bb = (sb.reshape(-1, self.n_bands, self.r) * self.band_a).sum(axis=2).view(np.int64)
-            collide = ba == bb  # (n_pairs, n_bands)
-            first = collide.argmax(axis=1)  # first colliding band
-            keep = (est >= threshold) & (first == band) & collide.any(axis=1)
+            keep, est = _verify_pairs(
+                sa,
+                sb,
+                band,
+                band_a=self.band_a,
+                n_bands=self.n_bands,
+                rows_per_band=self.r,
+                threshold=threshold,
+            )
             return pd.DataFrame(
                 {
                     "doc_a": a[keep],
@@ -319,6 +394,201 @@ def minhash_candidate_pairs(
         Verify(sig_map_ref, kern.band_a, kern.n_bands, kern.rows_per_band),
         batch_format="pyarrow",
     )
+
+
+_EMPTY_VERIFIED = pd.DataFrame(
+    {
+        "doc_a": np.empty(0, "int64"),
+        "doc_b": np.empty(0, "int64"),
+        "est_jaccard": np.empty(0, "float64"),
+    }
+)
+
+
+def _verify_by_join(
+    ds: ray.data.Dataset,
+    cand: ray.data.Dataset,
+    kern: MinHashKernel,
+    *,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Scale tier (no corpus-sized driver state): hash-join the distributed
+    (doc_id, sig) table onto the distributed pair table twice — once per
+    side — then verify per joined batch. Signatures travel as
+    fixed_size_binary(n_perm*8), which Ray's hash join shuffles natively;
+    the per-pair Python dict lookups of the broadcast tier disappear (the
+    signature matrix is a zero-copy buffer view per batch)."""
+    from knowledgegraphs_ray.extract.joins import native_join
+    from knowledgegraphs_ray.util.blocks import compact_nonempty
+
+    PAIR_SCHEMA = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("band_id", pa.int64())]
+    )
+    cand = compact_nonempty(cand, PAIR_SCHEMA)
+    if cand.count() == 0:
+        return ray.data.from_pandas(_EMPTY_VERIFIED.copy())
+
+    sigs = ds.map_batches(
+        kern.signature_table, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def rename(col_from: str, col_to: dict[str, str]):
+        def _r(b: pa.Table) -> pa.Table:
+            return b.rename_columns([col_to.get(c, c) for c in b.schema.names])
+
+        return _r
+
+    sig_a = sigs.map_batches(
+        rename("", {"doc_id": "doc_a", "sig": "sig_a"}), batch_format="pyarrow"
+    )
+    sig_b = sigs.map_batches(
+        rename("", {"doc_id": "doc_b", "sig": "sig_b"}), batch_format="pyarrow"
+    )
+    # partition count scaled to the cluster, and the first join MATERIALIZED
+    # before the second starts: each hash join spins up num_partitions
+    # aggregator actors, and two concurrent joins' worth can starve a small
+    # cluster's task slots (observed deadlock at 2×16 actors on 4 CPUs)
+    import ray
+
+    nparts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+    j = native_join(
+        cand, sig_a, left_on="doc_a", right_on="doc_a", num_partitions=nparts
+    ).materialize()
+    j = native_join(j, sig_b, left_on="doc_b", right_on="doc_b", num_partitions=nparts)
+
+    n_perm, band_a = kern.n_perm, kern.band_a
+    n_bands, r = kern.n_bands, kern.rows_per_band
+
+    def verify(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0 or "doc_a" not in batch.schema.names:
+            return _EMPTY_VERIFIED.copy()
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        band = batch["band_id"].to_numpy(zero_copy_only=False)
+        sa = _sig_matrix(batch["sig_a"], n_perm)
+        sb = _sig_matrix(batch["sig_b"], n_perm)
+        keep, est = _verify_pairs(
+            sa, sb, band, band_a=band_a, n_bands=n_bands,
+            rows_per_band=r, threshold=threshold,
+        )
+        return pd.DataFrame(
+            {
+                "doc_a": a[keep],
+                "doc_b": b[keep],
+                "est_jaccard": est[keep].astype("float64"),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+def minhash_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_perm: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+) -> str:
+    """Generate the exact DuckDB oracle for ``minhash_candidate_pairs``.
+
+    Possible because every hash in the pipeline is SQL-expressible: token
+    hash = the byte-polynomial Horner fold (HUGEINT mod 2^64 — same trick as
+    the ``doc_fingerprints`` oracle), shingles = the same fold over token
+    hashes, permutations = (a*x+b) mod 2^64 min-folds with the IDENTICAL
+    seeded constants, band hashes = the same weighted sums viewed as int64.
+    Pair set = DISTINCT bucket collisions with slot-agreement >= threshold —
+    equal to the kernel's first-colliding-band emission whenever no bucket
+    exceeds ``max_bucket`` (the cap binds only on pathological hot buckets;
+    see the kernel docstring).
+    """
+    assert shingle_k == 3, "oracle generated for the default shingle_k=3"
+    a, b = _perm_params(n_perm)
+    bp = np.random.default_rng(_SEED + 1)
+    r = n_perm // n_bands
+    band_a = bp.integers(1, 1 << 62, size=r, dtype=np.uint64) | np.uint64(1)
+
+    M = "18446744073709551616::HUGEINT"  # 2^64
+    M1 = "18446744073709551615::HUGEINT"  # 2^64 - 1 (empty-signature slot)
+    C = "1099511628211::HUGEINT"
+
+    sig_exprs = ", ".join(
+        f"coalesce(list_min(list_transform(s, x -> ({int(a[j])}::HUGEINT * x "
+        f"+ {int(b[j])}::HUGEINT) % {M})), {M1})"
+        for j in range(n_perm)
+    )
+    band_terms = " + ".join(
+        f"(sig[band_id*{r}+{j + 1}] * {int(band_a[j])}::HUGEINT) % {M}"
+        for j in range(r)
+    )
+    return f"""
+WITH tok AS (
+  SELECT {id_col} AS doc_id, list_transform(
+    regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9_]+'),
+    t -> list_reduce(list_concat([0::HUGEINT],
+           list_transform(regexp_extract_all(t, '.', 0, 's'),
+                          c -> unicode(c)::HUGEINT)),
+         (acc, x) -> (acc * {C} + x) % {M})
+  ) AS th
+  FROM {table}
+), sh AS (
+  SELECT doc_id, CASE WHEN len(th) >= 3 THEN
+    list_transform(range(1, len(th) - 1), i ->
+      ((((th[i] * {C}) % {M} + th[i+1]) * {C}) % {M} + th[i+2]) % {M})
+  ELSE th END AS s
+  FROM tok
+), sigs AS (
+  SELECT doc_id, [{sig_exprs}] AS sig FROM sh
+), bands AS (
+  SELECT doc_id, band_id,
+    CAST(CASE WHEN bh >= 9223372036854775808::HUGEINT
+         THEN bh - {M} ELSE bh END AS BIGINT) AS band_hash
+  FROM (
+    SELECT doc_id, band_id, ({band_terms}) % {M} AS bh
+    FROM sigs, range({n_bands}) t(band_id)
+  )
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+   AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+    len(list_filter(range(1, {n_perm + 1}), i -> sa.sig[i] = sb.sig[i]))
+      / {float(n_perm)} AS est_jaccard
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.doc_a
+  JOIN sigs sb ON sb.doc_id = c.doc_b
+)
+WHERE est_jaccard >= {threshold}
+"""
+
+
+def minhash_components_oracle_sql(**kwargs) -> str:
+    """DuckDB oracle for ``components_from_pairs`` over the minhash pairs:
+    undirected reachability via a recursive CTE, component representative =
+    min reachable doc_id (the UnionFind's smaller-value-becomes-root rule)."""
+    pairs_sql = minhash_oracle_sql(**kwargs)
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+nodes AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL SELECT doc_b FROM pairs
+  )
+), edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL SELECT doc_b AS u, doc_a AS v FROM pairs
+), walk(node, label) AS (
+  SELECT doc_id, doc_id FROM nodes
+  UNION
+  SELECT e.u, w.label FROM edges e JOIN walk w ON w.node = e.v
+)
+SELECT node AS doc_id, min(label) AS component FROM walk GROUP BY node
+"""
 
 
 def components_from_pairs(

@@ -678,9 +678,27 @@ def oracle_sql() -> dict[str, str]:
             "  (acc, x) -> (acc * 1099511628211::HUGEINT + x) % 18446744073709551616::HUGEINT) "
             "AS UBIGINT) AS fingerprint FROM documents"
         ),
-        # link_scored_documents: surrogate-model scoring — non-SQL (rows-only check)
-        # minhash_dedup_pairs / minhash_components: seeded-permutation
-        # sketches — non-SQL (rows-only; pytest checks recall vs exact pairs)
+        # link_scored_documents: the surrogate scorer's selected links are a
+        # pure function of the LABEL VOCABULARY present in the corpus (scores
+        # depend on mention/candidate strings, not corpus size) — verified
+        # identical at sf0.001/0.01/0.1 — so the expected rows are inlined as
+        # VALUES, same technique as pii_schema
+        "link_scored_documents": (
+            "SELECT * FROM (VALUES "
+            "('customer', 'kg:Customer', 1.0, 1.0), "
+            "('part', 'kg:Part', 1.0, 1.0)"
+            ") AS t(mention, cand_iri, bes, pj)"
+        ),
+        # minhash: every hash in the pipeline is the SQL-expressible
+        # byte-polynomial fold, so the FULL seeded sketch admits an exact
+        # DuckDB oracle (generated with the identical permutation constants)
+        "minhash_dedup_pairs": __import__(
+            "knowledgegraphs_ray.dedup.minhash", fromlist=["minhash_oracle_sql"]
+        ).minhash_oracle_sql(threshold=0.7),
+        "minhash_components": __import__(
+            "knowledgegraphs_ray.dedup.minhash",
+            fromlist=["minhash_components_oracle_sql"],
+        ).minhash_components_oracle_sql(threshold=0.7),
         "simhash_pairs": _simhash_sql(max_distance=3),
         "kg_triples_bridge": _bridge_sql(),
         "kg_triples_dedup": (

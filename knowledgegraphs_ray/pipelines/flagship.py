@@ -59,6 +59,7 @@ def flagship_run(
     forms = set(single_token_class_labels(idx))
     p = CheckpointedPipeline(root)
 
+    ingest_is_sorted = ingest is None  # events-derived path: segrank-sorted
     if ingest is None:
         assert sf_dir is not None, "need sf_dir or an ingest builder"
         ingest = lambda: transcripts_from_events(sf_dir)
@@ -93,6 +94,11 @@ def flagship_run(
                 window=cfg.context_window,
                 ctx_weight=cfg.context_weight,
                 concurrency=cfg.scorer_concurrency,
+                # the default events-derived ingest was written already
+                # sorted by (conv_id, turn_idx) (segrank) and parquet reads
+                # preserve file/row order — skip the second sort; custom
+                # ingest builders (arbitrary order) keep it
+                assume_sorted=ingest_is_sorted,
             )
             cols = [c for c in ("mention", "cand_iri", "bes", "pj") if c in (sel.schema().names or [])]
             return sel.select_columns(cols) if cols else sel

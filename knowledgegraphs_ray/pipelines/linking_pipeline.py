@@ -108,6 +108,7 @@ def link_transcripts_with_context(
     window: int = 2,
     ctx_weight: float = 0.3,
     concurrency: int = 2,
+    assume_sorted: bool = False,
 ) -> ray.data.Dataset:
     """Context-aware transcript linking (X2 integrated):
 
@@ -130,7 +131,10 @@ def link_transcripts_with_context(
 
     idx = index or star_ontology_index()
     forms = set(single_token_class_labels(idx))
-    ctx_ds = with_context_window(transcripts, k=window)
+    # assume_sorted: the events-derived ingest is already globally ordered by
+    # (conv_id, turn_idx) (segrank's sort), so the flagship pays ONE sort for
+    # the whole ordering+context chain (VERDICT r2 sort-churn item)
+    ctx_ds = with_context_window(transcripts, k=window, assume_sorted=assume_sorted)
 
     class MentionWithContext:
         """Vectorized: normalize with pandas .str kernels, explode tokens,

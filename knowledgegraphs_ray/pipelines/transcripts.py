@@ -204,7 +204,11 @@ def extract_transcript_triples(ds: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def with_context_window(
-    ds: ray.data.Dataset, *, k: int = 2, strategy: str = "halo"
+    ds: ray.data.Dataset,
+    *,
+    k: int = 2,
+    strategy: str = "halo",
+    assume_sorted: bool = False,
 ) -> ray.data.Dataset:
     """X2 analogue: per-turn context = concatenated text of the ±k
     neighbouring turns within the SAME conversation (reference: AAExpansion
@@ -221,7 +225,12 @@ def with_context_window(
         from knowledgegraphs_ray.util.segrank import with_neighbor_context
 
         return with_neighbor_context(
-            ds, key_cols=["conv_id"], order_cols=["turn_idx"], text_col="text", k=k
+            ds,
+            key_cols=["conv_id"],
+            order_cols=["turn_idx"],
+            text_col="text",
+            k=k,
+            assume_sorted=assume_sorted,
         )
 
     def per_conv(g: pd.DataFrame) -> pd.DataFrame:

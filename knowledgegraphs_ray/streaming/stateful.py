@@ -68,11 +68,14 @@ class SessionShard:
     core per shard would starve them on small clusters, and the per-slice
     fold is brief relative to the route's hash/split work."""
 
-    def __init__(self, gap_us: int):
+    def __init__(self, gap_us: int, closed_flush_rows: int = 250_000):
         self.gap_us = gap_us
         # key -> [session_idx, n_events, sum_cents, start_us, end_us]
         self.open: dict = {}
         self.closed: list[pd.DataFrame] = []
+        self.closed_rows = 0
+        self.closed_flush_rows = closed_flush_rows
+        self.closed_refs: list = []  # Arrow tables already in the object store
         self.buffer: dict[int, pd.DataFrame] = {}
         self.next_seq = 0
 
@@ -126,28 +129,45 @@ class SessionShard:
                     ],
                 )
             )
+            self.closed_rows += len(closed_rows)
+            if self.closed_rows >= self.closed_flush_rows:
+                self._flush_closed()
 
-    def finalize(self) -> pd.DataFrame:
+    _COLS = ["key", "session_idx", "n_events", "sum_cents", "start_us", "end_us"]
+    _DTYPES = {c: "int64" for c in _COLS}
+
+    def _flush_closed(self) -> None:
+        """Move buffered closed sessions into the object store (which spills
+        to disk under pressure) — actor heap stays O(open keys), never
+        O(closed sessions)."""
+        if not self.closed:
+            return
+        df = pd.concat(self.closed, ignore_index=True).astype(self._DTYPES)
+        self.closed_refs.append(ray.put(pa.Table.from_pandas(df, preserve_index=False)))
+        self.closed = []
+        self.closed_rows = 0
+
+    def finalize_stream(self):
+        """Generator: yields this shard's session Arrow tables (each closed
+        flush, then one final table with the remaining closed + open
+        sessions). Yielded objects are owned by the CALLER — they outlive
+        the shard actor — and stream through the object store one at a time,
+        so nothing output-sized lands on the driver or in the actor heap."""
         assert not self.buffer, f"gaps in sequence at {self.next_seq}"
+        for ref in self.closed_refs:
+            yield ray.get(ref)  # re-emit under caller ownership
+        self.closed_refs = []
         rows = [
             (k, st[0], st[1], st[2], st[3], st[4])
             for k, st in sorted(self.open.items())
         ]
         self.open.clear()
-        parts = self.closed + [
-            pd.DataFrame(
-                rows,
-                columns=[
-                    "key", "session_idx", "n_events", "sum_cents",
-                    "start_us", "end_us",
-                ],
-            )
-        ]
+        parts = self.closed + [pd.DataFrame(rows, columns=self._COLS)]
         self.closed = []
-        nonempty = [p for p in parts if len(p)]
-        if not nonempty:
-            return parts[-1]  # typed empty frame (consistent columns)
-        return pd.concat(nonempty, ignore_index=True)
+        self.closed_rows = 0
+        nonempty = [p for p in parts if len(p)] or parts[-1:]
+        final = pd.concat(nonempty, ignore_index=True).astype(self._DTYPES)
+        yield pa.Table.from_pandas(final, preserve_index=False)
 
 
 @ray.remote
@@ -211,14 +231,22 @@ def incremental_sessionize(
     gap_sec: int = 1800,
     n_shards: int = 4,
     batch_size: int = 65536,  # kept for API compat; blocks route whole
-) -> pd.DataFrame:
+    closed_flush_rows: int = 250_000,
+) -> ray.data.Dataset:
     """Stream-shaped sessionization with per-shard incremental state.
 
     One distributed sort by ts establishes event order; per-block routing
     tasks then fan the blocks out to shard actors (sequence-tagged — the
-    shards restore order), with no driver data path. Output matches the
-    batch ``sessionize`` exactly (same integer-cents sums, µs epochs)."""
-    shards = [SessionShard.remote(gap_sec * 1_000_000) for _ in range(n_shards)]
+    shards restore order), with no driver data path IN OR OUT: shards flush
+    closed sessions to the object store every ``closed_flush_rows`` rows and
+    finalize by returning Arrow refs, which are rewrapped as a Dataset
+    (``from_arrow_refs``) — sessions are output-sized and never concatenate
+    on the driver (VERDICT r2 item 4). Values match the batch ``sessionize``
+    exactly (same integer-cents sums, µs epochs)."""
+    shards = [
+        SessionShard.remote(gap_sec * 1_000_000, closed_flush_rows)
+        for _ in range(n_shards)
+    ]
     ordered = ds.sort(
         [ts_col] + (["event_id"] if "event_id" in ds.schema().names else [])
     )
@@ -229,12 +257,10 @@ def incremental_sessionize(
             for i, r in enumerate(refs)
         ]
     )
-    results = ray.get([s.finalize.remote() for s in shards])
-    frames = [r for r in results if len(r)]
-    out = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
-    if out.empty:
-        return out
-    out = out.rename(columns={"key": key}).sort_values([key, "session_idx"])
-    return out.reset_index(drop=True).astype(
-        {key: "int64", "session_idx": "int64", "n_events": "int64", "sum_cents": "int64"}
-    )
+    gens = [s.finalize_stream.remote() for s in shards]
+    out = ray.data.from_arrow_refs([ref for g in gens for ref in g])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns([key if c == "key" else c for c in b.schema.names])
+
+    return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

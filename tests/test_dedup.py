@@ -109,6 +109,30 @@ def test_minhash_distributed_bucket_count_path():
     assert key(fast)  # non-trivial
 
 
+def test_minhash_join_verify_matches_broadcast():
+    """verify_strategy='join' (distributed hash-join signature delivery, the
+    100 TB tier) must produce exactly the broadcast tier's verified pairs,
+    including est_jaccard values."""
+    bc = minhash_candidate_pairs(
+        _corpus(), threshold=0.5, verify_strategy="broadcast"
+    ).to_pandas()
+    jn = minhash_candidate_pairs(
+        _corpus(), threshold=0.5, verify_strategy="join"
+    ).to_pandas()
+    key = lambda df: {
+        (a, b): round(e, 12)
+        for a, b, e in zip(df["doc_a"], df["doc_b"], df["est_jaccard"])
+    }
+    assert key(bc) == key(jn)
+    assert key(bc)  # non-trivial
+
+    # auto tier flips to join at the limit
+    auto = minhash_candidate_pairs(
+        _corpus(), threshold=0.5, verify_driver_limit=0
+    ).to_pandas()
+    assert key(auto) == key(bc)
+
+
 def test_propagation_matches_union_find_on_random_graph():
     """Distributed label propagation (hash-join rounds, no driver collect)
     agrees with exact union-find on a multi-component random graph spread

@@ -17,6 +17,9 @@ SUBSET = [
     "text_quality",         # text analysis
     "pricing_summary",      # aggregation pushdown
     "canonical_mentions",   # union-find canonicalization
+    "minhash_dedup_pairs",  # full seeded-sketch SQL oracle (r3)
+    "minhash_components",   # recursive-CTE connected components (r3)
+    "link_scored_documents",  # vocabulary-derived literal oracle (r3)
 ]
 
 

@@ -25,6 +25,15 @@ def _events(n_users=6, n_events=300):
     return ray.data.from_items(rows)
 
 
+def _frame(ds) -> pd.DataFrame:
+    """Dataset -> deterministic frame (the operator emits a DATASET — closed
+    sessions never concatenate on the driver; materializing is test-only)."""
+    assert isinstance(ds, ray.data.Dataset)
+    return (
+        ds.to_pandas().sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+    )
+
+
 def test_incremental_matches_batch_sessionize():
     ds = _events()
     batch = (
@@ -33,7 +42,7 @@ def test_incremental_matches_batch_sessionize():
         .sort_values(["user_id", "session_idx"])
         .reset_index(drop=True)
     )
-    inc = incremental_sessionize(ds, gap_sec=1800, n_shards=3, batch_size=37)
+    inc = _frame(incremental_sessionize(ds, gap_sec=1800, n_shards=3, batch_size=37))
     cols = ["user_id", "session_idx", "n_events", "sum_cents", "start_us", "end_us"]
     pd.testing.assert_frame_equal(
         batch[cols].astype("int64"), inc[cols].astype("int64")
@@ -42,7 +51,20 @@ def test_incremental_matches_batch_sessionize():
 
 def test_incremental_batch_size_invariance():
     ds = _events(n_users=3, n_events=90)
-    a = incremental_sessionize(ds, gap_sec=1800, n_shards=2, batch_size=7)
-    b = incremental_sessionize(ds, gap_sec=1800, n_shards=4, batch_size=64)
+    a = _frame(incremental_sessionize(ds, gap_sec=1800, n_shards=2, batch_size=7))
+    b = _frame(incremental_sessionize(ds, gap_sec=1800, n_shards=4, batch_size=64))
     cols = ["user_id", "session_idx", "n_events", "sum_cents"]
     pd.testing.assert_frame_equal(a[cols], b[cols])
+
+
+def test_incremental_flush_path_identical():
+    """closed_flush_rows=1 forces a mid-run object-store flush after every
+    fold — the multi-ref finalize path must produce the same sessions as the
+    single-table path."""
+    ds = _events()
+    normal = _frame(incremental_sessionize(ds, gap_sec=1800, n_shards=2))
+    flushed = _frame(
+        incremental_sessionize(ds, gap_sec=1800, n_shards=2, closed_flush_rows=1)
+    )
+    pd.testing.assert_frame_equal(normal, flushed)
+    assert len(normal) > 0

@@ -116,6 +116,32 @@ def test_sorted_segment_rank_straddling_blocks():
     pd.testing.assert_frame_equal(got[["k", "o", "u", "r"]].astype({"r": "int64"}), expect)
 
 
+def test_context_window_assume_sorted_matches_default():
+    """assume_sorted=True on a pre-sorted input (the flagship's one-sort
+    chain) must equal the sorting path bit-for-bit — including nulls in the
+    text column and runs straddling tiny blocks."""
+    import pandas as pd
+
+    from knowledgegraphs_ray.pipelines.transcripts import (
+        synth_transcripts,
+        with_context_window,
+    )
+
+    ds = synth_transcripts(12, seed=3).repartition(17)
+    pre = ds.sort(["conv_id", "turn_idx"])
+    key = ["conv_id", "turn_idx"]
+    a = (
+        with_context_window(pre, k=2, assume_sorted=True)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    b = (
+        with_context_window(ds, k=2)
+        .to_pandas().sort_values(key).reset_index(drop=True)
+    )
+    cols = sorted(a.columns)
+    pd.testing.assert_frame_equal(a[cols], b[cols])
+
+
 def test_context_window_halo_matches_group_strategy():
     """Halo-exchange context == per-conversation reference, across block
     boundaries and with blocks smaller than the window."""
