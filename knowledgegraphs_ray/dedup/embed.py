@@ -36,13 +36,29 @@ def embedding_near_dup_pairs(
     def bucketize(batch: pa.Table) -> pd.DataFrame:
         mat = _normalize(_batch_matrix(batch, column))
         ids = batch[id_col].to_numpy(zero_copy_only=False)
+        # one signature matrix per row, computed ONCE and carried through the
+        # shuffle (n_tables int64s/row): recomputing signatures downstream on
+        # the bucket-subset matrix can flip the sign of a ~0 dot product in
+        # the last ulp (BLAS reductions differ by shape/stride), making the
+        # first-collision dedup nondeterministic (ADVICE r2)
+        all_sigs = np.stack(
+            [
+                (((mat @ P) > 0) * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+                for P in planes
+            ],
+            axis=1,
+        )  # (n, n_tables)
         out = []
-        for t, P in enumerate(planes):
-            bits = (mat @ P) > 0
-            sig = (bits * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int64)
+        for t in range(n_tables):
             out.append(
                 pd.DataFrame(
-                    {"table_id": t, "bucket": sig, id_col: ids, "vec": list(mat)}
+                    {
+                        "table_id": t,
+                        "bucket": all_sigs[:, t],
+                        id_col: ids,
+                        "vec": list(mat),
+                        "sigs": list(all_sigs),
+                    }
                 )
             )
         return pd.concat(out, ignore_index=True)
@@ -59,10 +75,12 @@ def embedding_near_dup_pairs(
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         """Emit a pair ONLY from the bucket of its FIRST colliding table —
-        global dedup without a pair shuffle (signatures are recomputed from
-        the carried vectors, deterministically: same floats, same planes).
+        global dedup without a pair shuffle, decided from the CARRIED
+        signature vectors (bit-identical to bucketing — no recompute).
         Caveat: a pair whose first-collision bucket was truncated by
-        max_bucket is dropped rather than recovered from a later table."""
+        max_bucket is dropped rather than recovered from a later table, so
+        the no-false-negatives property of multi-table LSH holds only while
+        every colliding bucket stays under the cap."""
         g = g.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
         ids = g[id_col].to_numpy()
         if len(ids) < 2:
@@ -75,9 +93,7 @@ def embedding_near_dup_pairs(
         iu, ju = iu[keep], ju[keep]
         if not len(iu):
             return empty
-        sigs = np.stack(
-            [((m @ P) > 0) @ (1 << np.arange(n_planes)) for P in planes], axis=1
-        )  # (n_members, n_tables)
+        sigs = np.stack(g["sigs"].to_numpy())  # (n_members, n_tables), carried
         first = (sigs[iu] == sigs[ju]).argmax(axis=1)  # this bucket guarantees a hit
         keep2 = first == table_id
         return pd.DataFrame(

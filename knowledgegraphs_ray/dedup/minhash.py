@@ -673,6 +673,7 @@ def components_by_propagation(
     labels = group_min(init)  # group_min materializes (compact_nonempty)
     prev_sum = labels.sum("label")
 
+    converged = False
     for _ in range(max_iter):
         # labels keyed by peer: rename, then hash-join onto the edges
         by_peer = labels.map_batches(
@@ -685,6 +686,28 @@ def components_by_propagation(
         new_sum = labels_new.sum("label")
         labels = labels_new
         if new_sum == prev_sum:  # monotone potential unchanged -> fixpoint
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # one more round to distinguish "converged exactly at max_iter" from
+        # a truly unfinished propagation (graph diameter > max_iter — silent
+        # under-merging would over-count components downstream)
+        by_peer = labels.map_batches(
+            lambda df: df.rename(columns={"node": "peer"}), batch_format="pandas"
+        )
+        via_peers = native_join(
+            edges, by_peer, left_on="peer", right_on="peer"
+        ).select_columns(["node", "label"])
+        probe = group_min(via_peers.union(labels))
+        if probe.sum("label") == prev_sum:
+            converged = True
+        else:
+            labels = probe  # keep the strictly-better labels
+            raise RuntimeError(
+                f"components_by_propagation did not converge in {max_iter} "
+                "rounds (pair-graph diameter exceeds max_iter); raise "
+                "max_iter — returning partial labels would over-count "
+                "components"
+            )
     return labels

@@ -125,7 +125,13 @@ def simhash_near_dup_pairs(
     hash_fn: str = "polars",
 ) -> ray.data.Dataset:
     """-> (doc_a, doc_b, distance) pairs with Hamming distance <= max_distance.
-    n_bands = max_distance + 1 guarantees no false negatives (pigeonhole)."""
+
+    n_bands = max_distance + 1 guarantees no false negatives (pigeonhole)
+    PROVIDED no colliding bucket exceeds ``max_bucket``: the first-collision
+    dedup in ``pairs`` permanently drops a pair whose first-colliding bucket
+    was truncated (ADVICE r2), so under heavy bucket skew raise
+    ``max_bucket`` (or pre-split hot fingerprint bands) to keep the
+    exactness guarantee."""
     n_bands = max_distance + 1
     fps = ds.map_batches(
         lambda b: simhash_batch(b, id_col=id_col, text_col=text_col, hash_fn=hash_fn),

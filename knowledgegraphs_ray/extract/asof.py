@@ -70,10 +70,17 @@ def asof_join(
 
     def _nullable(dtype):
         # placeholder dtype that can hold a null for the absent side; per_key
-        # casts each side back to its template dtype (values are non-null)
+        # casts each side back to its template dtype (values are non-null).
+        # Integers widen to pandas NULLABLE Int64 — NOT float64, which would
+        # silently lose precision above 2^53 (snowflake-style ids, ns epochs;
+        # ADVICE r2)
+        if isinstance(dtype, pd.api.extensions.ExtensionDtype):
+            return dtype  # already null-capable
         if np.issubdtype(dtype, np.datetime64):
             return dtype
-        if np.issubdtype(dtype, np.integer) or np.issubdtype(dtype, np.floating):
+        if np.issubdtype(dtype, np.integer):
+            return pd.Int64Dtype()
+        if np.issubdtype(dtype, np.floating):
             return np.dtype("float64")
         return np.dtype("object")
 
@@ -85,6 +92,8 @@ def asof_join(
     }
 
     def _null_value(dtype):
+        if isinstance(dtype, pd.api.extensions.ExtensionDtype):
+            return pd.NA
         return pd.NaT if np.issubdtype(dtype, np.datetime64) else np.nan
 
     def widen(side: int):
@@ -162,7 +171,15 @@ def asof_join(
         )
         return out[out_cols]
 
-    return both.groupby(key).map_groups(per_key, batch_format="pandas")
+    def per_key_arrow(t) -> pd.DataFrame:
+        # pyarrow group format + explicit exact conversion: Ray's default
+        # arrow->pandas turns int64-with-nulls into float64 (2^53 loss)
+        import pyarrow as _pa
+
+        mapper = {_pa.int64(): pd.Int64Dtype(), _pa.int32(): pd.Int32Dtype()}.get
+        return per_key(t.to_pandas(types_mapper=mapper))
+
+    return both.groupby(key).map_groups(per_key_arrow, batch_format="pyarrow")
 
 
 def _asof_scan(
@@ -225,9 +242,18 @@ def _asof_scan(
     )
     refs = ordered.to_arrow_refs()
 
+    def _to_pandas_exact(block):
+        """Arrow -> pandas keeping int64 columns as nullable Int64: the
+        default conversion turns int64-with-nulls into float64 + NaN, losing
+        exactness above 2^53 (ADVICE r2)."""
+        if isinstance(block, pd.DataFrame):
+            return block
+        mapper = {pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int32Dtype()}.get
+        return block.to_pandas(types_mapper=mapper)
+
     @ray.remote(num_returns=2)
     def scan_block(block):
-        df = block.to_pandas() if not isinstance(block, pd.DataFrame) else block
+        df = _to_pandas_exact(block)
         n = len(df)
         if n == 0 or key not in df.columns:
             return pa.Table.from_pandas(empty_out, preserve_index=False), {"n": 0}
@@ -246,14 +272,14 @@ def _asof_scan(
         lr = last_right[left_mask]
         out = pd.DataFrame(index=np.arange(int(left_mask.sum())))
         for c in left_cols:
-            out[c] = df.loc[left_mask, c].to_numpy()
+            out[c] = df.loc[left_mask, c].reset_index(drop=True)
         safe = np.clip(lr, 0, max(n - 1, 0))
+        miss = lr < 0
         for oc, src in payload_src.items():
-            vals = df[src].to_numpy()
-            got = vals[safe]
-            miss = lr < 0
-            got = np.where(miss, null_value(np.asarray(got).dtype), got)
-            out[oc] = got
+            # pandas take keeps the (possibly nullable-Int64) dtype exact;
+            # a numpy round-trip here would degrade int64 to float64
+            got = df[src].take(safe).reset_index(drop=True)
+            out[oc] = got.mask(miss, null_value(got.dtype))
         # unresolved prefix: left rows of the FIRST run with no right yet
         first_run_left = (run_id[left_mask] == 0) & (lr < 0)
         n_unresolved = int(first_run_left.sum())
@@ -279,7 +305,7 @@ def _asof_scan(
 
     @ray.remote
     def fill_prefix(tbl: pa.Table, n_unresolved: int, payload: dict) -> pa.Table:
-        df = tbl.to_pandas()
+        df = _to_pandas_exact(tbl)
         for oc, v in payload.items():
             col = df[oc].copy()
             col.iloc[:n_unresolved] = v

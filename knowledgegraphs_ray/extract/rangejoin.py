@@ -33,13 +33,31 @@ def interval_join(
     lo_col: str,
     hi_col: str,
     key: str | None = None,
-    bin_width: int,
+    bin_width: int | None = None,
     n_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Inner join: every (point row, interval row) pair with
     ``lo <= point <= hi`` (and equal ``key`` when given). Output = point
     columns + interval columns (minus its key column). Values must be
-    integers (epochs, offsets) — bin arithmetic is integer."""
+    integers (epochs, offsets) — bin arithmetic is integer.
+
+    ``bin_width=None`` auto-tunes from a bounded deterministic sample of
+    interval lengths (first ~8k intervals): width ≈ the median length, so
+    the replication factor stays ~2 whether sessions span minutes or months
+    (a month-long interval with a minutes-scale manual width would fan into
+    thousands of bins). The joined pair set is bin-width-invariant (each
+    match surfaces only in the point's bin), so tuning never changes
+    results — only the shuffle volume."""
+    if bin_width is None:
+        sample = intervals.limit(8192).to_pandas()
+        if len(sample):
+            lengths = (
+                sample[hi_col].to_numpy().astype(np.int64)
+                - sample[lo_col].to_numpy().astype(np.int64)
+            )
+            bin_width = max(1, int(np.median(lengths)))
+        else:
+            bin_width = 1
 
     pcols = list(points.schema().names)
     icols = [c for c in intervals.schema().names if c != key]
@@ -52,6 +70,22 @@ def interval_join(
     out_dtypes = {c: p_template[c].dtype for c in pcols}
     out_dtypes.update({c: i_template[c].dtype for c in icols})
     all_cols = pcols + [c for c in icols if c not in pcols]
+
+    def _nullable(dtype):
+        # null-capable placeholder for the absent side: integers widen to
+        # pandas NULLABLE Int64, never float64 (exactness above 2^53 —
+        # snowflake ids / ns epochs; ADVICE r2)
+        if isinstance(dtype, pd.api.extensions.ExtensionDtype):
+            return dtype
+        if np.issubdtype(dtype, np.datetime64):
+            return dtype
+        if np.issubdtype(dtype, np.integer):
+            return pd.Int64Dtype()
+        if np.issubdtype(dtype, np.floating):
+            return np.dtype("float64")
+        return np.dtype("object")
+
+    ph_dtypes = {c: _nullable(out_dtypes[c]) for c in all_cols}
 
     def tag_points(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -94,11 +128,14 @@ def interval_join(
             ).astype(np.uint64)
         df = df.copy()
         df["__bucket"] = (h % np.uint64(n_buckets)).astype("int64")
-        # widen to one constant column set so the union shuffles a stable schema
+        # widen to one constant column set (null-capable Int64 for ints —
+        # no float64 round-trip) so the union shuffles a stable schema
         for c in all_cols:
             if c not in df.columns:
-                df[c] = np.nan
-        return df[all_cols + ["__bin", "__side", "__bucket"]]
+                df[c] = pd.Series(pd.NA, dtype=ph_dtypes[c], index=df.index)
+        return df[all_cols + ["__bin", "__side", "__bucket"]].astype(
+            {c: ph_dtypes[c] for c in all_cols}
+        )
 
     both = p.map_batches(bucketize, batch_format="pandas").union(
         iv.map_batches(bucketize, batch_format="pandas")
@@ -127,4 +164,12 @@ def interval_join(
         )
         return merged.loc[keep, pcols + icols].astype(out_dtypes)
 
-    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+    def merge_bucket_arrow(t) -> pd.DataFrame:
+        # pyarrow group format + explicit mapper: Ray's default
+        # arrow->pandas turns int64-with-nulls into float64 (2^53 loss)
+        import pyarrow as _pa
+
+        mapper = {_pa.int64(): pd.Int64Dtype(), _pa.int32(): pd.Int32Dtype()}.get
+        return merge_bucket(t.to_pandas(types_mapper=mapper))
+
+    return both.groupby("__bucket").map_groups(merge_bucket_arrow, batch_format="pyarrow")

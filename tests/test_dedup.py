@@ -133,6 +133,20 @@ def test_minhash_join_verify_matches_broadcast():
     assert key(auto) == key(bc)
 
 
+def test_propagation_raises_on_non_convergence():
+    """A pair-graph chain longer than max_iter rounds must RAISE, not return
+    silently under-merged labels (ADVICE r2)."""
+    import pytest
+
+    chain = ray.data.from_items(
+        [{"doc_a": i, "doc_b": i + 1} for i in range(12)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        components_by_propagation(chain, max_iter=2)
+    ok = components_by_propagation(chain, max_iter=16).to_pandas()
+    assert set(ok["label"]) == {0}  # one chain, representative 0
+
+
 def test_propagation_matches_union_find_on_random_graph():
     """Distributed label propagation (hash-join rounds, no driver collect)
     agrees with exact union-find on a multi-component random graph spread

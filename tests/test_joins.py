@@ -75,6 +75,30 @@ def test_asof_join_strict_and_missing():
     assert df2.loc["p1", "view"] == "v0"  # inclusive
 
 
+def test_asof_join_preserves_int64_above_2_53():
+    """Snowflake-style ids (> 2^53) must survive the as-of join bit-exact in
+    BOTH strategies — the nullable-int widening must not round-trip through
+    float64 (ADVICE r2)."""
+    big = (1 << 60) + 12345  # not representable in float64
+    left = ray.data.from_items(
+        [
+            {"k": 1, "ts": _ts("2024-01-01 12:00"), "lid": big},
+            {"k": 1, "ts": _ts("2024-01-01 09:00"), "lid": big + 1},  # no match
+        ]
+    )
+    right = ray.data.from_items(
+        [{"k": 1, "ts": _ts("2024-01-01 11:00"), "rid": big + 7}]
+    )
+    for strategy in ("scan", "group"):
+        df = asof_join(
+            left, right, key="k", ts_col="ts", right_cols=["rid"],
+            strategy=strategy,
+        ).to_pandas().set_index("lid")
+        assert big in df.index and big + 1 in df.index, strategy
+        assert int(df.loc[big, "rid"]) == big + 7, strategy
+        assert pd.isna(df.loc[big + 1, "rid"]), strategy
+
+
 def test_interval_join_matches_naive_and_bin_invariant():
     """Binned-replication range join == naive cross filter; identical at
     different bin widths (a pair surfaces only in the point's bin)."""
@@ -114,6 +138,37 @@ def test_interval_join_matches_naive_and_bin_invariant():
             n_buckets=8,
         ).to_pandas()
         assert set(zip(got["pid"], got["iid"])) == expect, width
+
+    # auto-tuned bin width (None -> median interval length) — identical pairs
+    auto = interval_join(
+        ray.data.from_pandas(pts).repartition(4),
+        ray.data.from_pandas(iv).repartition(3),
+        point_col="t",
+        lo_col="lo",
+        hi_col="hi",
+        key="k",
+        n_buckets=8,
+    ).to_pandas()
+    assert set(zip(auto["pid"], auto["iid"])) == expect
+
+
+def test_interval_join_preserves_int64_above_2_53():
+    """Interval-join payloads above 2^53 survive the widened shuffle
+    bit-exact (nullable Int64 placeholders, no float64 round-trip)."""
+    big = (1 << 60) + 99
+    pts = pd.DataFrame({"pid": [big, big + 1], "t": [5, 50_000]})
+    iv = pd.DataFrame({"lo": [0], "hi": [10], "iid": [big + 7]})
+    from knowledgegraphs_ray.extract.rangejoin import interval_join
+
+    got = interval_join(
+        ray.data.from_pandas(pts),
+        ray.data.from_pandas(iv),
+        point_col="t",
+        lo_col="lo",
+        hi_col="hi",
+        bin_width=10,
+    ).to_pandas()
+    assert got["pid"].tolist() == [big] and got["iid"].tolist() == [big + 7]
 
 
 def test_hopping_window_counts():
