@@ -265,6 +265,107 @@ def cross_ontology_corpus(
     }
 
 
+# ---------------------------------------------------------------------------
+# Thesaurus (WordNet-analogue) sub-corpus — B3 completion without network.
+#
+# The reference's WordNetCorpus (thesaurus_corpus.py:14-97) tokenizes the
+# ontology's annotation labels, drops stopwords/digits/punctuation, then
+# emits (token, lemma) synonym pairs and (token, antonym) nonsynonym pairs
+# from WordNet. NLTK data is unavailable in this container, so the lookup
+# table is pluggable: pass any {word: {"synonyms": [...], "antonyms": [...]}}
+# dict; BUILTIN_THESAURUS below is a small hand-written public-domain
+# synonym/antonym table covering the engine's schema/commerce vocabulary.
+
+_THESAURUS_STOPWORDS = frozenset(
+    "a an and are as at be by for from has he in is it its of on that the to "
+    "was were will with i this or not".split()
+)
+
+BUILTIN_THESAURUS: dict[str, dict[str, list[str]]] = {
+    "customer": {"synonyms": ["client", "patron", "buyer"], "antonyms": ["seller"]},
+    "supplier": {"synonyms": ["vendor", "provider", "seller"], "antonyms": ["buyer"]},
+    "order": {"synonyms": ["purchase", "request"], "antonyms": []},
+    "part": {"synonyms": ["component", "piece", "portion"], "antonyms": ["whole"]},
+    "nation": {"synonyms": ["country", "state", "land"], "antonyms": []},
+    "region": {"synonyms": ["area", "zone", "territory"], "antonyms": []},
+    "account": {"synonyms": ["record", "ledger"], "antonyms": []},
+    "balance": {"synonyms": ["remainder", "equilibrium"], "antonyms": ["imbalance"]},
+    "price": {"synonyms": ["cost", "charge", "rate"], "antonyms": []},
+    "ship": {"synonyms": ["send", "dispatch", "transport"], "antonyms": ["receive"]},
+    "date": {"synonyms": ["day", "time"], "antonyms": []},
+    "name": {"synonyms": ["title", "label"], "antonyms": []},
+    "address": {"synonyms": ["location", "residence"], "antonyms": []},
+    "phone": {"synonyms": ["telephone"], "antonyms": []},
+    "comment": {"synonyms": ["remark", "note", "annotation"], "antonyms": []},
+    "total": {"synonyms": ["sum", "aggregate", "whole"], "antonyms": ["part"]},
+    "priority": {"synonyms": ["precedence", "urgency"], "antonyms": []},
+    "status": {"synonyms": ["state", "condition"], "antonyms": []},
+    "segment": {"synonyms": ["section", "division", "part"], "antonyms": ["whole"]},
+    "quantity": {"synonyms": ["amount", "number", "count"], "antonyms": []},
+    "discount": {"synonyms": ["reduction", "rebate"], "antonyms": ["surcharge"]},
+    "tax": {"synonyms": ["levy", "duty"], "antonyms": []},
+    "clerk": {"synonyms": ["assistant", "registrar"], "antonyms": []},
+    "key": {"synonyms": ["identifier", "index"], "antonyms": []},
+    "large": {"synonyms": ["big", "great", "sizable"], "antonyms": ["small"]},
+    "small": {"synonyms": ["little", "minor", "tiny"], "antonyms": ["large"]},
+    "open": {"synonyms": ["unsealed", "accessible"], "antonyms": ["closed"]},
+    "closed": {"synonyms": ["shut", "sealed"], "antonyms": ["open"]},
+}
+
+
+def _thesaurus_tokens(index: AnnotationIndex) -> set[str]:
+    """Ontology annotation labels -> lowercased content tokens
+    (thesaurus_corpus.py:67-73: drop punctuation-only, digit-led and
+    stopword tokens; strip ['/_-] to spaces)."""
+    import re
+
+    tokens: set[str] = set()
+    for labels in index.labels.values():
+        for lab in labels:
+            for tok in re.findall(r"[A-Za-z0-9'_/-]+", lab):
+                if re.match(r"\d+", tok):
+                    continue
+                low = tok.lower()
+                if low in _THESAURUS_STOPWORDS:
+                    continue
+                cleaned = re.sub(r"['/_-]", " ", low).strip()
+                if cleaned:
+                    tokens.add(cleaned)
+    return tokens
+
+
+def thesaurus_corpus(
+    index: AnnotationIndex,
+    thesaurus: dict[str, dict[str, list[str]]] | None = None,
+) -> dict:
+    """WordNetCorpus analogue (thesaurus_corpus.py:14-97): synonyms =
+    (ontology token, thesaurus lemma) with lemma != token; nonsynonyms =
+    (token, first antonym). Deterministic — no sampling."""
+    thesaurus = BUILTIN_THESAURUS if thesaurus is None else thesaurus
+    tokens = _thesaurus_tokens(index)
+    synonyms: list[tuple[str, str]] = []
+    nonsynonyms: list[tuple[str, str]] = []
+    for token in sorted(tokens):
+        entry = thesaurus.get(token)
+        if not entry:
+            continue
+        for name in entry.get("synonyms", []):
+            if name.lower() != token:
+                synonyms.append((token, name.lower()))
+        ants = entry.get("antonyms", [])
+        if ants:
+            nonsynonyms.append((token, ants[0].lower()))
+    return {
+        "synonyms": synonyms,
+        "nonsynonyms": nonsynonyms,
+        "summary": {
+            "num_synonyms": len(synonyms),
+            "num_nonsynonyms": len(nonsynonyms),
+            "num_ontology_tokens": len(tokens),
+        },
+    }
+
+
 def text_semantics_corpora(
     src_index: AnnotationIndex,
     tgt_index: AnnotationIndex,
@@ -272,14 +373,15 @@ def text_semantics_corpora(
     src_hierarchy: Hierarchy | None = None,
     tgt_hierarchy: Hierarchy | None = None,
     class_mappings: list[tuple[str, str]] | None = None,
+    thesaurus: dict[str, dict[str, list[str]]] | None | bool = True,
     seed: int = 0,
 ) -> dict:
     """TextSemanticsCorpora (text_semantics.py:486-584): intra-src +
-    intra-tgt (+ cross when mappings exist), merged with order-preserving
-    dedup and the nonsynonym − synonym subtraction. WordNet / auxiliary
-    ontology sub-corpora are out of scope in this container (no NLTK data);
-    plug extra (synonyms, nonsynonyms) lists through ``class_mappings``-like
-    preprocessing if needed.
+    intra-tgt (+ cross when mappings exist) + thesaurus sub-corpus (the
+    WordNetCorpus analogue over the src ontology's tokens — pass a custom
+    ``{word: {synonyms, antonyms}}`` dict, ``True`` for the bundled
+    ``BUILTIN_THESAURUS``, or ``False``/``None`` to skip), merged with
+    order-preserving dedup and the nonsynonym − synonym subtraction.
 
     Output matches the reference's saved artifact: labelled (a, b, 1|0)
     pairs + per-sub-corpus summary — the exact input of the B2 fine-tune
@@ -298,6 +400,13 @@ def text_semantics_corpora(
         )
         synonyms += cross["synonyms"]
         nonsynonyms += cross["nonsynonyms"]
+    thes = None
+    if thesaurus:
+        thes = thesaurus_corpus(
+            src_index, None if thesaurus is True else thesaurus
+        )
+        synonyms += thes["synonyms"]
+        nonsynonyms += thes["nonsynonyms"]
     synonyms = uniqify(synonyms)
     nonsynonyms = uniqify(nonsynonyms)
     syn_set = set(synonyms)
@@ -312,5 +421,6 @@ def text_semantics_corpora(
             "intra_src": intra_src["summary"],
             "intra_tgt": intra_tgt["summary"],
             "cross": cross["summary"] if cross else None,
+            "thesaurus": thes["summary"] if thes else None,
         },
     }

@@ -138,10 +138,20 @@ def ivf_topk(
     n_probe: int = 4,
     id_column: str = "vec_id",
     column: str = "embedding",
+    distributed_train_threshold: int = 100_000,
 ) -> ray.data.Dataset:
     """Approximate top-k: each query scores only vectors in its n_probe
-    nearest centroid lists. Output (query_id, neighbor_id, rank)."""
-    centroids = train_centroids(ds, n_list=n_list, column=column)
+    nearest centroid lists. Output (query_id, neighbor_id, rank).
+
+    Centroid training tiers on corpus size: up to
+    ``distributed_train_threshold`` vectors the seeded driver-sample k-means
+    suffices; above it the full-data distributed Lloyd path
+    (``train_centroids_distributed`` — per-block partial sums, bounded
+    driver merge) trains on everything without a corpus-sized collect."""
+    if ds.count() > distributed_train_threshold:
+        centroids = train_centroids_distributed(ds, n_list=n_list, column=column)
+    else:
+        centroids = train_centroids(ds, n_list=n_list, column=column)
     assigned = assign_lists(ds, centroids, id_column=id_column, column=column)
 
     qdf = (

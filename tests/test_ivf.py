@@ -53,6 +53,36 @@ def test_ivf_deterministic():
     )
 
 
+def test_ivf_topk_tiers_on_corpus_size_and_centroids_agree():
+    """ivf_topk routes centroid training through the distributed Lloyd path
+    above the threshold; on the same data both trainers reach matching
+    centroids (same seeded init, full-coverage sample) and full-probe
+    results stay exact vs brute force on the distributed tier."""
+    from knowledgegraphs_ray.sim.ivf import train_centroids_distributed
+
+    ds = _clustered()
+    # tier equality: sample covers the whole corpus; one driver round of
+    # init + n Lloyd rounds in each tier -> same fixed point
+    sample = train_centroids(ds, n_list=4, sample_size=4096, n_iter=6)
+    dist = train_centroids_distributed(ds, n_list=4, n_iter=6)
+    assert np.allclose(sample, dist, atol=1e-9)
+
+    # threshold=0 forces the distributed trainer inside ivf_topk; full probe
+    # must still be exact vs brute force
+    got = (
+        ivf_topk(
+            ds, [0, 45, 130], k=5, n_list=4, n_probe=4,
+            distributed_train_threshold=0,
+        )
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    want = (
+        brute_force_topk(ds, query_ids=[0, 45, 130], k=5)
+        .to_pandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert got.equals(want)
+
+
 def test_distributed_kmeans_improves_or_matches_inertia():
     """Full-data Lloyd rounds produce centroids at least as good (mean max
     cosine to nearest centroid) as the sample trainer, and full-probe IVF

@@ -102,6 +102,49 @@ def test_text_semantics_corpora_structure():
     assert out["summary"]["intra_tgt"]["num_hard_nonsynonyms"] > 0
 
 
+def test_thesaurus_corpus_pair_invariants():
+    """WordNetCorpus analogue (thesaurus_corpus.py:14-97, B3 completion):
+    synonym left side is always an ontology token, lemma != token, antonyms
+    land in nonsynonyms, and the section merges into the full corpus with
+    its summary recorded."""
+    from knowledgegraphs_ray.linking.corpora import (
+        BUILTIN_THESAURUS,
+        text_semantics_corpora,
+        thesaurus_corpus,
+    )
+    from knowledgegraphs_ray.linking.index import AnnotationIndex
+
+    src = AnnotationIndex.build(
+        {
+            "po:Cust": ["customer name", "the customer"],
+            "po:Ship": ["ship date"],
+            "po:Open": ["open balance"],
+        }
+    )
+    tc = thesaurus_corpus(src)
+    toks = {"customer", "name", "ship", "date", "open", "balance"}
+    assert {a for a, _ in tc["synonyms"]} <= toks
+    assert all(a != b for a, b in tc["synonyms"])
+    assert ("customer", "client") in tc["synonyms"]
+    assert ("open", "closed") in tc["nonsynonyms"]
+    assert ("ship", "receive") in tc["nonsynonyms"]
+    # "the" is a stopword -> never tokenized
+    assert tc["summary"]["num_ontology_tokens"] == len(toks)
+
+    tgt = AnnotationIndex.build({"do:X": ["client record"]})
+    full = text_semantics_corpora(src, tgt)
+    syn = {(a, b) for a, b, _ in full["synonyms"]}
+    non = {(a, b) for a, b, _ in full["nonsynonyms"]}
+    assert ("customer", "client") in syn
+    assert ("open", "closed") in non and not (syn & non)
+    assert full["summary"]["thesaurus"]["num_synonyms"] == len(tc["synonyms"])
+    # opt-out keeps the section empty
+    off = text_semantics_corpora(src, tgt, thesaurus=False)
+    assert off["summary"]["thesaurus"] is None
+    assert ("customer", "client") not in {(a, b) for a, b, _ in off["synonyms"]}
+    assert BUILTIN_THESAURUS["customer"]["synonyms"]  # bundled table non-trivial
+
+
 def test_corpora_deterministic_and_ratios():
     from knowledgegraphs_ray.linking.corpora import intra_ontology_corpus
     from knowledgegraphs_ray.linking.index import AnnotationIndex
