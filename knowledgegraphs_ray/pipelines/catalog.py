@@ -59,6 +59,12 @@ def q_kg_transcripts(sf_dir: str):
     return decode_triples(extract_transcript_triples(transcripts_from_events(sf_dir)))
 
 
+def q_kg_triples_events(sf_dir: str):
+    from knowledgegraphs_ray.pipelines.relational import extract_events_kg
+
+    return decode_triples(extract_events_kg(sf_dir))
+
+
 def q_fk_containment(sf_dir: str):
     res = containment_check(
         ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
@@ -534,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples_star": q_kg_triples_star,
         "kg_attr_classes_customer": q_kg_attr_classes_customer,
         "kg_transcripts": q_kg_transcripts,
+        "kg_triples_events": q_kg_triples_events,
         "fk_containment": q_fk_containment,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_token_stats": q_text_token_stats,
@@ -585,6 +592,24 @@ def _plan_sql(tables: list[str], **kw) -> str:
     return sqlgen.kg_sql(rules, g, tables)
 
 
+def _events_vdim_sql() -> str:
+    """Oracle twin of ``extract_events_kg``: the fact-table triples come from
+    the SAME compiled plan via sqlgen; the virtual-dimension individuals are
+    the distinct-user type triples."""
+    from knowledgegraphs_ray.pipelines.relational import events_schema
+    from knowledgegraphs_ray.rules.compiler import KG, RDF_TYPE, class_iri
+
+    g = events_schema()
+    rules = compile_rules(g)
+    facts = sqlgen.triples_sql(rules.plans["events"], g["events"].columns)
+    users = (
+        f"SELECT '{KG}user/' || CAST(user_id AS VARCHAR) AS subj, "
+        f"'{RDF_TYPE}' AS pred, '{class_iri('user')}' AS obj "
+        "FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)"
+    )
+    return facts + "\nUNION ALL\n" + users
+
+
 # DuckDB single-quoted strings keep backslashes literal — pass regexes as-is.
 _STOP_RE_SQL = ta.STOP_RE
 _TOKEN_RE_SQL = ta.TOKEN_RE
@@ -633,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_star": _plan_sql(STAR_TABLES),
         "kg_attr_classes_customer": _plan_sql(["customer"], attrs_to_classes=True),
         "kg_transcripts": sqlgen.transcript_triples_sql(),
+        "kg_triples_events": _events_vdim_sql(),
         "fk_containment": (
             "SELECT count(*) AS n_src_rows, "
             "CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dangling, "

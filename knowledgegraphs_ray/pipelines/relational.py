@@ -68,3 +68,87 @@ def extract_kg(
     for p in parts[1:]:
         ds = ds.union(p)
     return ds
+
+
+def events_schema() -> SchemaGraph:
+    """Schema for the driver's event-stream table with ``user_id`` declared
+    as an FK to a VIRTUAL ``user`` dimension — no physical user table exists;
+    the class and its individuals are minted from the fact table itself
+    (TODO'd "virtual-dimension KG"; reference analogue: subset schemas whose
+    FK targets sit outside the loaded table set, RelationalDB.java:49-89)."""
+    from knowledgegraphs_ray.schema.model import FKPointer, TableSchema
+
+    g = SchemaGraph()
+    g.add(
+        TableSchema(
+            "events",
+            {
+                "event_id": "int",
+                "ts": "timestamp",
+                "user_id": "int",
+                "event_type": "varchar",
+                "value": "double",
+                "props": "varchar",
+            },
+            pks=["event_id"],
+            fks={"user_id": FKPointer("user", "user_id")},
+        )
+    )
+    return g
+
+
+def virtual_dimension_types(
+    ds: ray.data.Dataset, fk_col: str, ref_table: str
+) -> ray.data.Dataset:
+    """Type triples of a virtual dimension: one ``(kg:<ref>/<v>, rdf:type,
+    <RefClass>)`` per DISTINCT non-null FK value.
+
+    Scale shape: per-batch ``pc.unique`` partials first, so the global
+    distinct shuffles only the already-deduped key column (one int64 per
+    distinct-per-block value), then a hash ``groupby`` finishes the dedup and
+    the type triples are emitted map-side in the kernel's dictionary-encoded
+    form — no driver materialization at any width."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from knowledgegraphs_ray.extract.kernel import TRIPLE_SCHEMA_ENC, _const, _const_dict
+    from knowledgegraphs_ray.rules.compiler import KG, RDF_TYPE, class_iri
+
+    cls = class_iri(ref_table)
+    base = KG + ref_table + "/"
+
+    def partial(b: pa.Table) -> pa.Table:
+        return pa.table({fk_col: pc.unique(b[fk_col]).drop_null()})
+
+    def emit(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return TRIPLE_SCHEMA_ENC.empty_table()
+        subj = pc.binary_join_element_wise(
+            pa.scalar(base), pc.cast(b[fk_col].combine_chunks(), pa.string()), ""
+        )
+        return pa.table(
+            {"subj": subj, "pred": _const_dict(RDF_TYPE, n), "obj": _const(cls, n)},
+            schema=TRIPLE_SCHEMA_ENC,
+        )
+
+    uniq = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(fk_col)
+        .count()
+        .drop_columns(["count()"])
+    )
+    return uniq.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def extract_events_kg(sf_dir: str) -> ray.data.Dataset:
+    """events fact table -> KG with a minted virtual ``user`` dimension:
+    per-row type/data/link triples from the compiled plan, plus one type
+    triple per distinct user (the virtual dimension's individuals)."""
+    g = events_schema()
+    rules = compile_rules(g)
+    facts = extract_table_triples(sf_dir, "events", rules, g)
+    users = virtual_dimension_types(
+        read_table(sf_dir, "events", columns=["user_id"]), "user_id", "user"
+    )
+    return facts.union(users)

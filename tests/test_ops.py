@@ -199,3 +199,22 @@ def test_stratified_sample_splitmix_fast_path():
     ).to_pandas()
     assert set(a["doc_id"]) == set(b["doc_id"])
     assert 0 < len(a) < ds.count()
+
+
+def test_virtual_dimension_types_distinct_and_null_drop():
+    from knowledgegraphs_ray.extract.kernel import decode_triples
+    from knowledgegraphs_ray.pipelines.relational import virtual_dimension_types
+
+    ds = ray.data.from_arrow(
+        pa.table({"user_id": pa.array([7, 7, None, 3, 3, 3, 11], type=pa.int64())})
+    ).repartition(3)
+    out = (
+        decode_triples(virtual_dimension_types(ds, "user_id", "user"))
+        .to_pandas()
+        .sort_values("subj")
+        .reset_index(drop=True)
+    )
+    # one type triple per DISTINCT non-null user, regardless of block layout
+    assert out["subj"].tolist() == ["kg:user/11", "kg:user/3", "kg:user/7"]
+    assert set(out["pred"]) == {"rdf:type"}
+    assert set(out["obj"]) == {"kg:User"}
