@@ -298,20 +298,37 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    # This sandbox VM's effective capacity swings ~2x on minutes timescale
+    # (measured: the identical score leg at 8 CPUs ranged 29.9-77.0 s across
+    # 40 min — host noisy-neighbor, not code). External noise only ever ADDS
+    # time, so each (workload, cpus) leg runs GRAFT_SCALE_ROUNDS times in
+    # alternating lo/hi order and the per-leg MINIMUM is the estimator; all
+    # raw times are reported so the spread stays auditable.
+    rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "2"))
     result: dict = {
         "metric": "scaling_efficiency",
         "unit": "ratio",
         "num_cpus": [lo_cpus, hi_cpus],
+        "rounds": rounds,
         "workloads": {},
     }
     for which in ("score", "map_path"):
-        lo, hi = run(lo_cpus, which), run(hi_cpus, which)
-        eff = (lo["sec"] / hi["sec"]) / (hi_cpus / lo_cpus)
+        lo_runs, hi_runs = [], []
+        rows = None
+        for _ in range(rounds):
+            lo, hi = run(lo_cpus, which), run(hi_cpus, which)
+            lo_runs.append(lo["sec"])
+            hi_runs.append(hi["sec"])
+            rows = lo["rows"]
+        lo_sec, hi_sec = min(lo_runs), min(hi_runs)
+        eff = (lo_sec / hi_sec) / (hi_cpus / lo_cpus)
         result["workloads"][which] = {
-            f"sec_{lo_cpus}": lo["sec"],
-            f"sec_{hi_cpus}": hi["sec"],
-            f"rows_per_sec_{lo_cpus}": round(lo["rows"] / lo["sec"], 1),
-            f"rows_per_sec_{hi_cpus}": round(hi["rows"] / hi["sec"], 1),
+            f"sec_{lo_cpus}": lo_sec,
+            f"sec_{hi_cpus}": hi_sec,
+            f"runs_{lo_cpus}": lo_runs,
+            f"runs_{hi_cpus}": hi_runs,
+            f"rows_per_sec_{lo_cpus}": round(rows / lo_sec, 1),
+            f"rows_per_sec_{hi_cpus}": round(rows / hi_sec, 1),
             "efficiency": round(eff, 3),
         }
     result["value"] = result["workloads"]["score"]["efficiency"]
