@@ -184,13 +184,19 @@ def run_scaling_workload(which: str) -> dict:
         # consumes transcript Parquet shards (north_rule), so the timed path
         # below measures the ENGINE — pruned read -> enrich -> triple kernel
         # — not the synthetic generator.
-        shard_dir = "/tmp/graft_scale_transcripts"
+        # Leg length matters: at 8 CPUs a 400k-turn corpus finishes in ~7s,
+        # where fixed per-run costs (plan, schedule, count reduce) are a
+        # 30-40% tax that caps measurable speedup regardless of kernel
+        # scaling. 1.6M turns keeps the hi leg >20s so the measurement
+        # reflects the kernel (the 100 TB regime), not session constants.
+        n_turns = int(os.environ.get("GRAFT_SCALE_TURNS", "1600000"))
+        shard_dir = f"/tmp/graft_scale_transcripts_{n_turns}"
         marker = os.path.join(shard_dir, "_DONE")
         if not os.path.exists(marker):
             import shutil
 
             shutil.rmtree(shard_dir, ignore_errors=True)
-            synth_transcripts(400_000, parallelism=64).write_parquet(shard_dir)
+            synth_transcripts(n_turns, parallelism=64).write_parquet(shard_dir)
             with open(marker, "w") as f:
                 f.write("ok")
 

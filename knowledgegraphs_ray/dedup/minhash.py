@@ -142,10 +142,6 @@ class MinHashKernel:
             }
         )
 
-    def signature_frame(self, batch: pa.Table) -> pd.DataFrame:
-        ids, sigs = self.signatures(batch)
-        return pd.DataFrame({"doc_id": ids, "sig": list(sigs)})
-
     def signature_table(self, batch: pa.Table) -> pa.Table:
         """(doc_id int64, sig fixed_size_binary(n_perm*8)) — the joinable
         signature representation (fixed-width binary hash-joins natively;
@@ -337,23 +333,34 @@ def _verify_by_broadcast(
     needed_ref = ray.put(needed)
 
     class SigFilter:
+        """Arrow in, Arrow out (fixed_size_binary sig) — a pandas object-dtype
+        sig column defeats Ray's block size accounting (vectorize-on-empty
+        warnings) and flips the RefBundle schema on empty batches."""
+
         def __init__(self, ref):
             self.ref = ref
             self._ids = None
 
-        def __call__(self, batch: pa.Table) -> pd.DataFrame:
-            if self._ids is None:
-                self._ids = ray.get(self.ref)
-            sf = kern.signature_frame(batch)
-            return sf[sf["doc_id"].isin(self._ids)]
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
 
-    sig_df = (
-        ds.map_batches(SigFilter(needed_ref), batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-        if needed
-        else pd.DataFrame({"doc_id": [], "sig": []})
-    )
-    sig_map_ref = ray.put({i: s for i, s in zip(sig_df["doc_id"], sig_df["sig"])})
+            if self._ids is None:
+                self._ids = pa.array(sorted(ray.get(self.ref)), type=pa.int64())
+            st = kern.signature_table(batch)
+            return st.filter(pc.is_in(st["doc_id"], value_set=self._ids))
+
+    if needed:
+        sig_df = ds.map_batches(
+            SigFilter(needed_ref), batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        sig_map_ref = ray.put(
+            {
+                int(i): np.frombuffer(s, dtype=np.uint64)
+                for i, s in zip(sig_df["doc_id"], sig_df["sig"])
+            }
+        )
+    else:
+        sig_map_ref = ray.put({})
 
     class Verify:
         def __init__(self, ref, band_a, n_bands, rows_per_band):

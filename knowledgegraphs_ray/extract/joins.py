@@ -149,7 +149,11 @@ def bucket_join(
         l = g[g["__side"] == 0].drop(columns=["__side", "__bucket"])
         r = g[g["__side"] == 1].drop(columns=["__side", "__bucket"])
         if l.empty or (r.empty and how == "inner"):
-            return pd.DataFrame()
+            # schema-stable empty result (union of both sides' columns —
+            # matches the merge output except for rare shared non-key names);
+            # a column-less frame would flip the stream's RefBundle schema
+            drop = [c for c in ("__side", "__bucket", "__salt") if c in g.columns]
+            return g.drop(columns=drop).head(0)
         # drop the all-null columns the union introduced from the other side
         l = l.dropna(axis=1, how="all")
         r = r.dropna(axis=1, how="all")

@@ -448,6 +448,22 @@ def q_minhash_components(sf_dir: str):
     return components_from_pairs(pairs)
 
 
+def q_dedup_resolved_corpus(sf_dir: str):
+    """Full dedup story: minhash pairs -> components -> resolve (keep the
+    longest member per near-dup component, drop the rest) -> surviving
+    corpus. Oracle = recursive-CTE components + window-rank survivors."""
+    from knowledgegraphs_ray.dedup.minhash import (
+        components_from_pairs,
+        minhash_candidate_pairs,
+    )
+    from knowledgegraphs_ray.dedup.resolve import resolve_duplicates
+
+    corpus = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_candidate_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+    comp = components_from_pairs(pairs)
+    return resolve_duplicates(corpus, comp, keep="longest")
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash pairs with the md5 token hash — every stage (fingerprint,
     pigeonhole banding, first-band dedup, Hamming verify) value-checked
@@ -577,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "minhash_components": q_minhash_components,
+        "dedup_resolved_corpus": q_dedup_resolved_corpus,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_pairs_exact": q_embedding_pairs_exact,
@@ -725,6 +742,15 @@ def oracle_sql() -> dict[str, str]:
             "knowledgegraphs_ray.dedup.minhash",
             fromlist=["minhash_components_oracle_sql"],
         ).minhash_components_oracle_sql(threshold=0.7),
+        "dedup_resolved_corpus": __import__(
+            "knowledgegraphs_ray.dedup.resolve", fromlist=["resolve_oracle_sql"]
+        ).resolve_oracle_sql(
+            __import__(
+                "knowledgegraphs_ray.dedup.minhash",
+                fromlist=["minhash_components_oracle_sql"],
+            ).minhash_components_oracle_sql(threshold=0.7),
+            keep="longest",
+        ),
         "simhash_pairs": _simhash_sql(max_distance=3),
         "kg_triples_bridge": _bridge_sql(),
         "kg_triples_dedup": (

@@ -57,7 +57,13 @@ class BruteForceScorer:
         scores = q_mat @ mat.T  # (n_queries, n_batch)
         k = min(self.k, scores.shape[1])
         if k == 0:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "score": []})
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="float64"),
+                }
+            )
         top = np.argpartition(-scores, k - 1, axis=1)[:, :k]
         rows = {"query_id": [], "neighbor_id": [], "score": []}
         for qi in range(scores.shape[0]):

@@ -76,7 +76,13 @@ def train_centroids_distributed(
             c = ray.get(_cref)
             mat = _normalize(_batch_matrix(batch, column))
             if not len(mat):
-                return pd.DataFrame({"list_id": [], "count": [], "vecsum": []})
+                return pd.DataFrame(
+                    {
+                        "list_id": pd.Series([], dtype="int64"),
+                        "count": pd.Series([], dtype="int64"),
+                        "vecsum": pd.Series([], dtype="object"),
+                    }
+                )
             assign = (mat @ c.T).argmax(axis=1)
             rows = []
             for li in np.unique(assign):

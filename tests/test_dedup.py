@@ -219,3 +219,45 @@ def test_exact_cosine_pairs_vs_numpy_and_lsh_recall():
     assert len(lsh_pairs & expect) >= 4
     # ...and never emit a pair the exact pass rejects (verification is exact)
     assert lsh_pairs <= expect
+
+
+def test_resolve_duplicates_policies_and_tiers():
+    """resolve_duplicates: both keep policies, broadcast vs anti-join tier
+    agree, survivors are exactly corpus minus non-canonical members."""
+    import pandas as pd
+    import ray
+
+    from knowledgegraphs_ray.dedup.resolve import resolve_duplicates
+
+    corpus = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "aa"},
+            {"doc_id": 2, "text": "aaaa"},   # longest of {1,2,5}
+            {"doc_id": 5, "text": "aaa"},
+            {"doc_id": 7, "text": "bb"},
+            {"doc_id": 8, "text": "bb"},     # tie with 7 -> smaller id wins
+            {"doc_id": 9, "text": "solo"},
+        ]
+    ).repartition(3)
+    comp = pd.DataFrame(
+        {"doc_id": [1, 2, 5, 7, 8], "component": [1, 1, 1, 7, 7]}
+    )
+
+    min_id = resolve_duplicates(corpus, comp, keep="min_id").to_pandas()
+    assert sorted(min_id["doc_id"]) == [1, 7, 9]
+
+    longest = resolve_duplicates(corpus, comp, keep="longest").to_pandas()
+    assert sorted(longest["doc_id"]) == [2, 7, 9]
+
+    # anti-join tier (forced with broadcast_limit=0) must agree exactly
+    joined = resolve_duplicates(
+        corpus, comp, keep="longest", broadcast_limit=0
+    ).to_pandas()
+    assert sorted(joined["doc_id"]) == [2, 7, 9]
+    assert set(joined.columns) == {"doc_id", "text"}
+
+    # empty components -> corpus unchanged
+    same = resolve_duplicates(
+        corpus, pd.DataFrame({"doc_id": [], "component": []})
+    ).to_pandas()
+    assert sorted(same["doc_id"]) == [1, 2, 5, 7, 8, 9]

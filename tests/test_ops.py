@@ -218,3 +218,30 @@ def test_virtual_dimension_types_distinct_and_null_drop():
     assert out["subj"].tolist() == ["kg:user/11", "kg:user/3", "kg:user/7"]
     assert set(out["pred"]) == {"rdf:type"}
     assert set(out["obj"]) == {"kg:User"}
+
+
+def test_pack_sequences_bfd_matches_ffd_quality():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from knowledgegraphs_ray.pipelines.training_data import pack_sequences
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(2000, dtype="int64"),
+            "n_tokens": rng.integers(10, 1500, 2000).astype("int64"),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(2)
+    exact = pack_sequences(ds, budget=2048, strategy="ffd").to_pandas()
+    bfd = pack_sequences(ds, budget=2048, strategy="bfd").to_pandas()
+    # both are valid packings of every doc within budget
+    for out in (exact, bfd):
+        assert sorted(out["doc_id"]) == sorted(df["doc_id"])
+        assert (out.groupby("pack_id")["n_tokens"].sum() <= 2048).all()
+    # best-fit stays within 2% of first-fit's pack count
+    n_exact = exact["pack_id"].nunique()
+    n_bfd = bfd["pack_id"].nunique()
+    assert n_bfd <= np.ceil(n_exact * 1.02) + 2
