@@ -203,10 +203,17 @@ def run_scaling_workload(which: str) -> dict:
         def enrich(b):
             return ta.enrich_stats(b, column="text")
 
+        # Block count derived from ROW count so each fused task's OUTPUT
+        # stays ~100-150 MB: the enrich+kernel task emits ~6 triples/turn,
+        # and a 940k-turn block (the old fixed 32) built ~1 GB of strings
+        # per task — 8 concurrent tasks of arena churn collapsed scaling to
+        # ~0.6 while 120k-turn blocks measure 0.94 at 2->8 CPUs with a
+        # faster absolute wall. Parquet count() is metadata-only (untimed).
+        n_rows = ray.data.read_parquet(shard_dir).count()
+        n_blocks = max(32, n_rows // 120_000)
+
         def run_once() -> int:
-            # fixed block count (identical plan at every cluster size);
-            # blocks sized so each task amortizes scheduling overhead
-            ds = ray.data.read_parquet(shard_dir, override_num_blocks=32)
+            ds = ray.data.read_parquet(shard_dir, override_num_blocks=n_blocks)
             return extract_transcript_triples(
                 ds.map_batches(enrich, batch_format="pyarrow", batch_size=32768)
             ).count()

@@ -1,0 +1,80 @@
+"""Corpus-curation cluster job — ``ray job submit`` entry for the composed
+LLM-training-data pipeline (filter -> exact dedup -> near-dup resolve ->
+mixture sample -> pack), checkpointed + resumable per stage:
+
+    ray job submit --working-dir . -- python jobs/curate_corpus_job.py \\
+        --input s3://bucket/documents/ --root s3://bucket/curate_run/
+
+Locally it reads ``$GRAFT_SF_DIR/documents.parquet``. The script OWNS its
+Ray session (guarded init); the library never calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", help="documents Parquet dir (doc_id, text, lang, ...)")
+    ap.add_argument(
+        "--sf-dir", default=os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    )
+    ap.add_argument("--root", default="/tmp/curate_job")
+    ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--langs", default="", help="comma list; empty = all")
+    ap.add_argument("--min-tokens", type=int, default=20)
+    ap.add_argument("--rate", action="append", default=[],
+                    help="lang=rate mixture weight (repeatable)")
+    ap.add_argument("--default-rate", type=float, default=1.0)
+    ap.add_argument("--pack-budget", type=int, default=2048)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data
+
+    from knowledgegraphs_ray.pipelines.curation import curate_run
+
+    src = args.input or os.path.join(args.sf_dir, "documents.parquet")
+    ingest = lambda: ray.data.read_parquet(
+        src, columns=["doc_id", "text", "lang", "source"]
+    )
+    rates = dict(
+        (k, float(v)) for k, v in (r.split("=", 1) for r in args.rate)
+    )
+    p = curate_run(
+        args.root,
+        ingest,
+        langs=[s for s in args.langs.split(",") if s] or None,
+        min_tokens=args.min_tokens,
+        rates=rates,
+        default_rate=args.default_rate,
+        pack_budget=args.pack_budget,
+    )
+    metrics = p.metrics()
+    with open(os.path.join(args.root, "metrics.json"), "w") as f:
+        json.dump(metrics, f, indent=1)
+    print(json.dumps(metrics))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,182 @@
+"""End-to-end training-corpus curation: the composed LLM-data pipeline.
+
+    read documents -> quality filter (vectorized Arrow kernels)
+                   -> exact dedup (hash-shuffle, payload-preserving)
+                   -> near-dup resolve (minhash -> components -> survivor)
+                   -> mixture sample (per-language rates, exact integer
+                      thresholds -> deterministic at any parallelism)
+                   -> sequence packing (best-fit-decreasing per block)
+                   -> partitioned Parquet + per-stage manifests
+
+Every stage is a ``state/checkpoint.py`` checkpoint: a killed run resumes
+from the last published stage (atomic rename publish), and the manifest
+chain doubles as per-partition lineage + metrics — the same
+resume/lineage contract as the flagship KG job (north_rule).
+
+Scale notes: the filter is map-only Arrow; exact dedup shuffles one
+representative row per distinct text per block (combine-before-shuffle);
+near-dup resolution shuffles sketches, never text (see dedup/minhash.py)
+and drops losers with a broadcast set or hash anti-join (dedup/resolve.py);
+sampling and packing are map-only. The corpus text is shuffled exactly once
+(the exact-dedup exchange) across the whole pipeline.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from knowledgegraphs_ray.pipelines.training_data import TOKEN_RE
+
+
+def quality_filter(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    langs: list[str] | None = None,
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.2,
+) -> ray.data.Dataset:
+    """Map-only Arrow quality gate; appends ``n_tokens``. Unlike
+    ``clean_corpus`` (its single-language oracle twin), this keeps every
+    payload column and accepts a language allow-list."""
+
+    def filt(batch: pa.Table) -> pa.Table:
+        text = batch[text_col].combine_chunks()
+        keep = pc.is_valid(text)
+        if langs is not None:
+            keep = pc.and_(
+                keep,
+                pc.is_in(
+                    batch[lang_col].combine_chunks(),
+                    value_set=pa.array(langs, type=pa.string()),
+                ),
+            )
+        n_tok = pc.count_substring_regex(text, TOKEN_RE)
+        keep = pc.and_(keep, pc.greater_equal(n_tok, min_tokens))
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        n_punct = pc.cast(pc.count_substring_regex(text, "[.,;:!?]"), pa.float64())
+        ratio = pc.if_else(
+            pc.greater(n_chars, 0.0), pc.divide(n_punct, n_chars), pa.scalar(0.0)
+        )
+        keep = pc.and_(keep, pc.less_equal(ratio, max_punct_ratio))
+        out = batch.filter(keep)
+        return out.append_column(
+            "n_tokens",
+            pc.cast(
+                pc.count_substring_regex(out[text_col].combine_chunks(), TOKEN_RE),
+                pa.int64(),
+            ),
+        )
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_exact_rows(
+    ds: ray.data.Dataset,
+    *,
+    column: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Exact dedup that keeps EVERY payload column of the surviving (min-id)
+    row, plus ``n_copies``. Same shape as ``dedup/exact.py:dedup_exact``
+    (combine per block, shuffle the 8-byte content hash, re-verify exact
+    equality inside each hash group) — extended to carry the whole row."""
+    from knowledgegraphs_ray.dedup.exact import add_content_hash
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            out = df.copy()
+            if "n_copies" not in out.columns:
+                out["n_copies"] = pd.Series([], dtype="int64")
+            return out
+        if "n_copies" not in df.columns:
+            df = df.assign(n_copies=pd.Series(1, index=df.index, dtype="int64"))
+        df = df.sort_values(id_col, kind="mergesort")
+        gb = df.groupby(column, as_index=False, sort=False)
+        first = gb.head(1)  # min-id row per distinct value, all columns
+        counts = gb["n_copies"].sum().rename(columns={"n_copies": "__n"})
+        first = first.merge(counts, on=column)
+        first["n_copies"] = first.pop("__n").astype("int64")
+        return first
+
+    hashed = ds.map_batches(
+        lambda t: add_content_hash(t, column=column),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    parts = hashed.map_batches(combine, batch_format="pandas")
+    out = parts.groupby("content_hash").map_groups(combine, batch_format="pandas")
+    return out.drop_columns(["content_hash"])
+
+
+def curate_run(
+    root: str,
+    ingest,
+    *,
+    langs: list[str] | None = None,
+    min_tokens: int = 20,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    minhash_threshold: float = 0.8,
+    pack_budget: int = 2048,
+) -> "CheckpointedPipeline":
+    """Run (or resume) the curation chain under ``root``.
+
+    ``ingest``: zero-arg callable -> documents Dataset with at least
+    (doc_id:int64, text:string, lang:string).
+    """
+    from knowledgegraphs_ray.dedup.minhash import (
+        components_from_pairs,
+        minhash_candidate_pairs,
+    )
+    from knowledgegraphs_ray.dedup.resolve import resolve_duplicates
+    from knowledgegraphs_ray.pipelines.training_data import (
+        pack_sequences,
+        stratified_sample,
+    )
+    from knowledgegraphs_ray.state.checkpoint import CheckpointedPipeline
+
+    p = CheckpointedPipeline(root)
+
+    p.stage(
+        "filtered",
+        lambda: quality_filter(
+            ingest(), langs=langs, min_tokens=min_tokens
+        ),
+    )
+    p.stage(
+        "exact_dedup",
+        lambda: dedup_exact_rows(p.dataset("filtered")),
+    )
+
+    def near_dedup() -> ray.data.Dataset:
+        corpus = p.dataset("exact_dedup")
+        pairs = minhash_candidate_pairs(
+            p.dataset("exact_dedup", columns=["doc_id", "text"]),
+            threshold=minhash_threshold,
+        )
+        comp = components_from_pairs(pairs)
+        return resolve_duplicates(corpus, comp, keep="longest")
+
+    p.stage("near_dedup", near_dedup)
+    p.stage(
+        "sampled",
+        lambda: stratified_sample(
+            p.dataset("near_dedup"),
+            rates=rates or {},
+            default_rate=default_rate,
+            hash_fn="splitmix",
+        ),
+    )
+    p.stage(
+        "packed",
+        lambda: pack_sequences(
+            p.dataset("sampled", columns=["doc_id", "n_tokens"]),
+            budget=pack_budget,
+        ),
+    )
+    return p

@@ -17,22 +17,48 @@ from knowledgegraphs_ray.rules.compiler import RuleTable, compile_rules
 from knowledgegraphs_ray.schema.model import SchemaGraph, tpch_schema
 
 
-def read_table(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    """Pruned parquet read. Small files read as ONE block: Ray's default
-    split fans even a 5-row dimension table into 64 blocks, and a multi-way
-    union of such reads schedules hundreds of near-empty blocks for nothing
-    (measured: ~0.5s/table of pure overhead at sf0.1). Files above the
-    threshold keep Ray's size-based parallelism."""
+def read_table(
+    sf_dir: str,
+    table: str,
+    columns: list[str] | None = None,
+    *,
+    rows_per_block: int = 75_000,
+) -> ray.data.Dataset:
+    """Pruned parquet read with block sizing for a TRIPLE-emITTING consumer.
+
+    * Small files read as ONE block: Ray's default split fans even a 5-row
+      dimension table into 64 blocks, and a multi-way union of such reads
+      schedules hundreds of near-empty blocks for nothing (measured:
+      ~0.5s/table of pure overhead at sf0.1).
+    * Large single-row-group files get an explicit ``repartition``: Ray can
+      only split a parquet read at row-group boundaries, so a monolithic
+      600k-row file becomes ONE task — and the downstream kernel amplifies
+      ~6-13 triples/row, serializing the dominant compute on one core. At
+      production scale inputs arrive as many shards and this path is a
+      no-op; the repartition moves each row once (far cheaper than losing
+      the cluster's parallelism).
+    """
+    import math
     import os
 
     path = f"{sf_dir}/{table}.parquet"
     kwargs = {}
+    n_blocks = None
     try:
-        if os.path.getsize(path) < 4 << 20:
+        small = os.path.getsize(path) < 4 << 20
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(path).metadata
+        if small and meta.num_rows <= rows_per_block:
             kwargs["override_num_blocks"] = 1
+        elif meta.num_rows > rows_per_block and meta.num_row_groups <= 1:
+            n_blocks = min(64, math.ceil(meta.num_rows / rows_per_block))
     except OSError:
         pass  # globs / remote paths: let Ray decide
-    return ray.data.read_parquet(path, columns=columns, **kwargs)
+    ds = ray.data.read_parquet(path, columns=columns, **kwargs)
+    if n_blocks is not None:
+        ds = ds.repartition(n_blocks)
+    return ds
 
 
 def extract_table_triples(

@@ -104,33 +104,38 @@ def rolling_hashes(arr: pa.Array) -> np.ndarray:
     data = np.frombuffer(buf, dtype=np.uint8) if buf else np.empty(0, np.uint8)
     lens = np.diff(offsets)  # int32
     max_len = int(lens.max()) if n else 0
-    # powers[k] = BASE^k mod 2^64 (uint64 wrap-around is the modulus)
-    powers = np.empty(max(max_len, 1), dtype=np.uint64)
-    powers[0] = 1
+    # Horner over byte POSITIONS, docs sorted length-descending so the
+    # active set at position i is a contiguous prefix: h = h*BASE + byte[i].
+    # Each text byte is gathered from DRAM exactly once; the per-doc state
+    # (8B x batch rows) and index vector stay cache-resident, so the kernel
+    # is ALU-bound and scales with cores — the previous per-byte
+    # repeat/gather/reduceat formulation moved ~28B of DRAM per text byte
+    # and pinned the flagship map path to the one memory bus per box.
+    # Arithmetic is bit-identical (same polynomial mod 2^64), so the SQL
+    # oracle and all stored fingerprints are unchanged.
+    order = np.argsort(-lens, kind="stable")
+    sorted_lens = lens[order]
+    # active_count[i] = #docs with len >= i+1 (prefix of the sorted order)
+    active_count = np.searchsorted(
+        -sorted_lens, -np.arange(1, max_len + 1), side="right"
+    )
+    idx = offsets[:-1][order].astype(np.int64)  # next byte per doc (absolute)
+    h = np.zeros(n, dtype=np.uint64)
+    base = np.uint64(_ROLL_BASE)
     with np.errstate(over="ignore"):  # uint64 wrap-around IS the modulus
-        for k in range(1, max_len):  # O(max_len), not O(bytes)
-            powers[k] = powers[k - 1] * _ROLL_BASE
-    # exponent of each byte = (doc_end - 1 - global_position), all int32
-    exps = np.repeat(offsets[1:], lens)  # = doc_end per byte
-    exps -= np.arange(offsets[0] + 1, offsets[-1] + 1, dtype=np.int32)
-    weighted = powers[exps]  # one uint64 alloc; multiply bytes in place
-    with np.errstate(over="ignore"):
-        np.multiply(
-            weighted,
-            data[offsets[0] : offsets[-1]],
-            out=weighted,
-            casting="unsafe",
-        )
-    starts = (offsets[:-1] - offsets[0]).astype(np.int64)
-    sums = np.zeros(n, np.uint64)
-    nonempty = lens > 0
-    if len(weighted) and nonempty.any():
-        # reduceat over NON-EMPTY docs only: empty docs share their start
-        # index with the next doc, which would corrupt the neighbouring
-        # segment (reduceat treats duplicate indices as 1-element spans)
-        with np.errstate(over="ignore"):
-            sums[nonempty] = np.add.reduceat(weighted, starts[nonempty])
-    return sums.astype(np.uint64)
+        for i in range(max_len):
+            k = int(active_count[i])
+            if k == 0:
+                break
+            hk = h[:k]
+            hk *= base
+            # unsafe-cast add skips materializing a uint64 copy of the
+            # gathered bytes (~20% of kernel time)
+            np.add(hk, data[idx[:k]], out=hk, casting="unsafe")
+            idx[:k] += 1
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = h
+    return out
 
 
 def fingerprint(batch: pa.Table, *, column: str = "text") -> pa.Table:

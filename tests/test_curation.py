@@ -1,0 +1,92 @@
+"""End-to-end curation pipeline: stage semantics + checkpoint resume."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+
+def _docs():
+    return ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+
+
+def test_dedup_exact_rows_keeps_payload_and_counts():
+    from knowledgegraphs_ray.dedup.resolve import resolve_duplicates  # noqa: F401
+    from knowledgegraphs_ray.pipelines.curation import dedup_exact_rows
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [3, 1, 2, 10, 11],
+            "text": ["a", "a", "a", "b", "c"],
+            "lang": ["en", "en", "fr", "en", "de"],
+        }
+    )
+    out = (
+        dedup_exact_rows(ray.data.from_pandas(df).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # survivor = min id per distinct text, payload = that row's columns
+    assert list(out["doc_id"]) == [1, 10, 11]
+    assert list(out["n_copies"]) == [3, 1, 1]
+    assert list(out["lang"]) == ["en", "en", "de"]  # doc 1's lang, not doc 2's
+
+
+def test_curate_run_stages_and_resume(tmp_path):
+    from knowledgegraphs_ray.pipelines.curation import curate_run
+
+    root = str(tmp_path / "curate")
+    p = curate_run(
+        root,
+        _docs,
+        min_tokens=5,
+        rates={"en": 0.5},
+        default_rate=0.25,
+        pack_budget=512,
+    )
+    m = p.metrics()
+    assert list(m) == ["filtered", "exact_dedup", "near_dedup", "sampled", "packed"]
+    # monotone row counts through filter/dedup stages
+    assert m["filtered"]["rows"] >= m["exact_dedup"]["rows"] >= m["near_dedup"]["rows"]
+    assert m["near_dedup"]["rows"] >= m["sampled"]["rows"] > 0
+    assert m["packed"]["rows"] == m["sampled"]["rows"]  # every doc packed once
+    # pack budget respected (oversize docs excluded)
+    packed = p.dataset("packed").to_pandas()
+    sums = packed[~packed["oversize"]].groupby("pack_id")["n_tokens"].sum()
+    assert (sums <= 512).all()
+    # every stage published a manifest with partition lineage
+    from knowledgegraphs_ray.state.checkpoint import read_manifest
+
+    for name in m:
+        man = read_manifest(os.path.join(root, name))
+        assert man["rows"] == m[name]["rows"]
+        assert isinstance(man["partitions"], list)
+
+    # second run resumes every stage without recompute
+    p2 = curate_run(
+        root, _docs, min_tokens=5, rates={"en": 0.5}, default_rate=0.25, pack_budget=512
+    )
+    assert all(r.resumed for r in p2.results)
+    assert p2.metrics().keys() == m.keys()
+
+
+def test_curate_sampled_deterministic(tmp_path):
+    """The sampled stage is reproducible across independent runs (exact
+    integer thresholds, no RNG state)."""
+    from knowledgegraphs_ray.pipelines.curation import curate_run
+
+    a = curate_run(
+        str(tmp_path / "a"), _docs, min_tokens=5, rates={"en": 0.3}, default_rate=0.1
+    )
+    b = curate_run(
+        str(tmp_path / "b"), _docs, min_tokens=5, rates={"en": 0.3}, default_rate=0.1
+    )
+    ia = sorted(a.dataset("sampled").to_pandas()["doc_id"])
+    ib = sorted(b.dataset("sampled").to_pandas()["doc_id"])
+    assert ia == ib
