@@ -507,6 +507,45 @@ def q_embedding_pairs_exact(sf_dir: str):
     return exact_cosine_pairs(ds, threshold=0.4).select_columns(["doc_a", "doc_b"])
 
 
+def q_decontaminated_docs(sf_dir: str):
+    """Benchmark decontamination: docs with doc_id % 20 == 0 act as the
+    held-out eval set; every other doc is annotated with its distinct
+    shared-4-gram count against that set (GPT-3-style n-gram overlap)."""
+    import numpy as np
+
+    from knowledgegraphs_ray.text.decontam import decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def split(keep_bench: bool):
+        def f(df):
+            m = (df["doc_id"].to_numpy() % 20 == 0) == keep_bench
+            return df[m]
+
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pandas")
+    corpus = docs.map_batches(split(False), batch_format="pandas")
+    return decontaminate(corpus, bench, n=4).select_columns(
+        ["doc_id", "n_contaminated", "contaminated"]
+    )
+
+
+def q_gopher_quality(sf_dir: str):
+    from knowledgegraphs_ray.text.gopher import gopher_stats
+
+    return gopher_stats(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_corpus_shuffle(sf_dir: str):
+    """Deterministic training-order shuffle: pos = rank under
+    ORDER BY md5('42:'||doc_id) — a pure function of (seed, id), identical
+    at any parallelism."""
+    from knowledgegraphs_ray.pipelines.training_data import seeded_shuffle
+
+    return seeded_shuffle(_docs(sf_dir, ["doc_id"]), seed=42)
+
+
 def q_mentions_documents(sf_dir: str):
     return lp.document_mentions(sf_dir)
 
@@ -597,6 +636,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_pairs_exact": q_embedding_pairs_exact,
+        "decontaminated_docs": q_decontaminated_docs,
+        "gopher_quality": q_gopher_quality,
+        "corpus_shuffle": q_corpus_shuffle,
     }
 
 
@@ -861,7 +903,28 @@ def oracle_sql() -> dict[str, str]:
         "mentions_documents": _mentions_sql(),
         "link_exact_documents": _link_exact_sql(),
         "canonical_mentions": _canonical_mentions_sql(),
+        "decontaminated_docs": _decontam_sql(),
+        "gopher_quality": _gopher_sql(),
+        "corpus_shuffle": _corpus_shuffle_sql(),
     }
+
+
+def _decontam_sql() -> str:
+    from knowledgegraphs_ray.text.decontam import decontam_oracle_sql
+
+    return decontam_oracle_sql(n=4, bench_mod=20)
+
+
+def _gopher_sql() -> str:
+    from knowledgegraphs_ray.text.gopher import gopher_oracle_sql
+
+    return gopher_oracle_sql()
+
+
+def _corpus_shuffle_sql() -> str:
+    from knowledgegraphs_ray.pipelines.training_data import seeded_shuffle_oracle_sql
+
+    return seeded_shuffle_oracle_sql(seed=42)
 
 
 def _simhash_sql(*, max_distance: int = 3) -> str:

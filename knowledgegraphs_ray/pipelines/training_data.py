@@ -9,6 +9,8 @@ the "keep list" (doc ids) plus the per-stage survival counts for lineage.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -273,3 +275,69 @@ def pack_sequences(
         )
 
     return ds.map_batches(pack, batch_format="pandas")
+
+
+def seeded_shuffle(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    hash_fn: str = "md5",
+    pos_col: str = "pos",
+) -> ray.data.Dataset:
+    """Deterministic global shuffle for training-order randomization:
+    ``pos`` = the row's 0-based position under ``ORDER BY h(seed:id), id``.
+
+    Unlike ``Dataset.random_shuffle`` (seeded but parallelism-dependent),
+    the permutation here is a pure function of (seed, id) — identical at any
+    block count, resumable, and value-oracle-checkable. The sort is the one
+    all-to-all exchange; the rank is the segrank block scan (no extra
+    shuffle). hash_fn="md5" is the SQL-twin tier; "splitmix" the vectorized
+    100-TB tier (same splitmix64 as stratified_sample).
+    """
+    import hashlib
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        if hash_fn == "splitmix":
+            from knowledgegraphs_ray.pipelines.transcripts import _splitmix64
+
+            ids = df[id_col].to_numpy().astype(np.uint64)
+            h = _splitmix64(ids + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+        else:
+            keys = (f"{seed}:{i}" for i in df[id_col].astype(str))
+            h = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big")
+                    for s in keys
+                ),
+                dtype=np.uint64,
+                count=len(df),
+            )
+        return df.assign(__shuffle_key=h)
+
+    from knowledgegraphs_ray.util.segrank import sorted_segment_rank
+
+    keyed = ds.map_batches(key, batch_format="pandas").add_column(
+        "__seg", lambda df: pd.Series(np.zeros(len(df), dtype=np.int8), index=df.index)
+    )
+    ranked = sorted_segment_rank(
+        keyed,
+        key_cols=["__seg"],
+        order_cols=["__shuffle_key", id_col],
+        rank_col=pos_col,
+        dtype="int64",
+    )
+    return ranked.drop_columns(["__seg", "__shuffle_key"])
+
+
+def seeded_shuffle_oracle_sql(
+    *, table: str = "documents", id_col: str = "doc_id", seed: int = 0
+) -> str:
+    """DuckDB twin of ``seeded_shuffle(hash_fn="md5")``."""
+    h = (
+        f"('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 16))::UBIGINT"
+    )
+    return (
+        f"SELECT {id_col}, CAST(row_number() OVER (ORDER BY {h}, {id_col}) - 1 "
+        f"AS BIGINT) AS pos FROM {table}"
+    )

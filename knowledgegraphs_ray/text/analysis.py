@@ -85,14 +85,14 @@ _ROLL_BASE = np.uint64(1099511628211)
 
 def rolling_hashes(arr: pa.Array) -> np.ndarray:
     """Vectorized 64-bit polynomial rolling hash per string:
-    h(doc) = Σ byte[i] * BASE^(len-1-i)  (mod 2^64), computed over the whole
-    Arrow UTF-8 buffer at once with np.multiply + reduceat — no Python loop.
-
-    Memory-traffic-minimized (this kernel sits on the flagship map path and
-    the per-box scaling ceiling is the DRAM bus — BASELINE.md probe): index
-    math in int32, exponents derived in place, the byte weights multiplied
-    into the gathered powers buffer in place — ~28 bytes of DRAM traffic per
-    text byte instead of the naive ~56.
+    h(doc) = Σ byte[i] * BASE^(len-1-i)  (mod 2^64), evaluated Horner-style
+    over byte positions with the docs sorted length-descending (active docs
+    are always a contiguous prefix). The loop is O(max_len) Python
+    iterations of O(active-docs) numpy work — each text byte is gathered
+    from DRAM exactly once and the per-doc state stays cache-resident, so
+    the kernel is ALU-bound and scales with cores (this sits on the
+    flagship map path, where the per-box ceiling is the DRAM bus —
+    BASELINE.md probe).
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()

@@ -1,0 +1,237 @@
+"""Benchmark decontamination: drop/flag training docs that share token
+n-grams with a held-out evaluation set.
+
+The standard LLM-corpus hygiene pass (GPT-3 App. C / PaLM-style n-gram
+overlap): a training document is *contaminated* if any of its token
+``n``-grams appears in the benchmark set. Counts are over DISTINCT grams per
+document, so a repeated leaked sentence counts once.
+
+Scale design (100 TB corpus, benchmark ≪ corpus):
+
+* **broadcast tier** (default): the benchmark's distinct gram set is
+  collected once, ``ray.put`` as an Arrow string array, and every corpus
+  batch probes it with a vectorized polars ``is_in`` — map-only over the
+  corpus, no shuffle of text.
+* **join tier** (benchmark grams > ``broadcast_limit``): corpus docs explode
+  to ``(doc_id, gram)`` distinct rows, hash-join (``bucket_join``) against
+  the distinct benchmark gram table, count hits per doc, and broadcast-join
+  the (small — contaminated docs only) count table back onto the corpus
+  ids. The corpus text itself never shuffles in either tier.
+
+Gram semantics are shared with the DuckDB oracle (``decontam_oracle_sql``):
+lowercase ``[a-z0-9_]+`` tokens joined by single spaces.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import polars as pl
+import pyarrow as pa
+import ray
+import ray.data
+
+TOKEN_RE = "[a-z0-9_]+"
+
+
+def doc_ngrams(
+    batch: pa.Table, *, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """-> (id_col, gram) — DISTINCT token n-grams per document, vectorized.
+
+    Tokens are lowercased ``TOKEN_RE`` matches; a gram is ``n`` consecutive
+    tokens joined by one space. Docs with fewer than ``n`` tokens emit no
+    rows. Each input row is one document, so the group-wise shift never
+    crosses a batch boundary.
+    """
+    df = pl.from_arrow(batch.select([id_col, text_col]))
+    ex = (
+        df.select(
+            pl.col(id_col),
+            pl.col(text_col).str.to_lowercase().str.extract_all(TOKEN_RE).alias("t"),
+        )
+        .explode("t")
+        .drop_nulls("t")
+    )
+    if ex.height == 0:
+        return pa.table(
+            {id_col: pa.array([], batch[id_col].type), "gram": pa.array([], pa.string())}
+        )
+    parts = [pl.col("t")] + [pl.col("t").shift(-k).over(id_col) for k in range(1, n)]
+    out = (
+        ex.with_columns(pl.concat_str(parts, separator=" ").alias("gram"))
+        .drop_nulls("gram")
+        .select(pl.col(id_col), pl.col("gram"))
+        .unique()
+    )
+    return out.to_arrow()
+
+
+def _distinct_grams(
+    ds: ray.data.Dataset, *, n: int, id_col: str, text_col: str
+) -> ray.data.Dataset:
+    """-> one-column ``gram`` Dataset, distinct across the whole input."""
+    per_doc = ds.map_batches(
+        lambda b: doc_ngrams(b, n=n, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(["gram"])
+    # combine-before-shuffle: per-block distinct first, then one exchange
+    local = per_doc.map_batches(
+        lambda b: pa.table({"gram": pc_unique(b["gram"])}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return local.groupby("gram").map_groups(
+        lambda df: df.head(1), batch_format="pandas"
+    )
+
+
+def pc_unique(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    import pyarrow.compute as pc
+
+    return pc.unique(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+
+
+def decontaminate(
+    corpus: ray.data.Dataset,
+    benchmark: ray.data.Dataset,
+    *,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_limit: int = 5_000_000,
+    remove: bool = False,
+) -> ray.data.Dataset:
+    """Annotate (or filter) the corpus by benchmark n-gram overlap.
+
+    Returns the corpus columns + ``n_contaminated`` (int64 distinct shared
+    grams) + ``contaminated`` (bool); ``remove=True`` instead returns only
+    the clean rows (original schema plus the two columns).
+    """
+    bench = _distinct_grams(
+        benchmark, n=n, id_col=id_col, text_col=text_col
+    ).materialize()
+    n_bench = bench.count()
+
+    if n_bench <= broadcast_limit:
+        grams = (
+            np.empty(0, dtype=object)
+            if n_bench == 0
+            else bench.to_pandas()["gram"].to_numpy()
+        )
+        ref = ray.put(pl.Series("g", grams, dtype=pl.String))
+
+        class Probe:
+            """Broadcast gram set; instance-passed (task pool) with the
+            deserialized set cached per task."""
+
+            def __init__(self, ref):
+                self.ref = ref
+                self._bench = None
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                if self._bench is None:
+                    self._bench = ray.get(self.ref)
+                per_doc = doc_ngrams(batch, n=n, id_col=id_col, text_col=text_col)
+                hits = (
+                    pl.from_arrow(per_doc)
+                    .filter(pl.col("gram").is_in(self._bench))
+                    .group_by(id_col)
+                    .agg(pl.len().alias("n_contaminated"))
+                )
+                return _attach_counts(batch, hits.to_pandas(), id_col, remove)
+
+        return corpus.map_batches(
+            Probe(ref), batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # join tier: explode -> hash join -> per-doc count -> broadcast back
+    from knowledgegraphs_ray.extract.joins import bucket_join
+    from knowledgegraphs_ray.util.fastagg import sum_partials
+
+    doc_grams = corpus.map_batches(
+        lambda b: doc_ngrams(b, n=n, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    hit_rows = bucket_join(doc_grams, bench, left_on="gram", right_on="gram")
+    partial = hit_rows.map_batches(
+        lambda df: df.groupby(id_col, as_index=False)
+        .size()
+        .rename(columns={"size": "n_contaminated"})
+        .astype({"n_contaminated": "int64"}),
+        batch_format="pandas",
+    )
+    counts = sum_partials(partial, keys=[id_col], sum_cols=["n_contaminated"])
+    counts_df = counts.to_pandas()  # contaminated docs only — small by design
+    ref = ray.put(counts_df)
+
+    class Attach:
+        def __init__(self, ref):
+            self.ref = ref
+            self._hits = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._hits is None:
+                self._hits = ray.get(self.ref)
+            return _attach_counts(batch, self._hits, id_col, remove)
+
+    return corpus.map_batches(Attach(ref), batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _attach_counts(
+    batch: pa.Table, hits: pd.DataFrame, id_col: str, remove: bool
+) -> pa.Table:
+    ids = batch[id_col].to_pandas()
+    if hits.empty:
+        n = pd.Series(np.zeros(len(ids), dtype=np.int64))
+    else:
+        n = (
+            ids.map(hits.set_index(id_col)["n_contaminated"])
+            .fillna(0)
+            .astype("int64")
+        )
+    out = batch.append_column(
+        "n_contaminated", pa.array(n.to_numpy(), pa.int64())
+    ).append_column("contaminated", pa.array((n > 0).to_numpy(), pa.bool_()))
+    if remove:
+        import pyarrow.compute as pc
+
+        out = out.filter(pc.equal(out["contaminated"], False))
+    return out
+
+
+def decontam_oracle_sql(
+    *,
+    n: int,
+    bench_mod: int = 20,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin: benchmark = rows with ``doc_id % bench_mod = 0``, corpus
+    = the rest (the same deterministic split the catalog query uses). Grams
+    via window ``lead`` over per-doc token ordinality."""
+    leads = " || ' ' || ".join(f"lead(tok, {k}) OVER w" for k in range(1, n))
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS tok,
+         generate_subscripts(regexp_extract_all(lower(text), '{TOKEN_RE}'), 1) AS ord
+  FROM {table}
+),
+grams AS (
+  SELECT {id_col}, tok || ' ' || {leads} AS gram
+  FROM toks WINDOW w AS (PARTITION BY {id_col} ORDER BY ord)
+  QUALIFY lead(tok, {n - 1}) OVER w IS NOT NULL
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE {id_col} % {bench_mod} = 0),
+corpus AS (SELECT DISTINCT {id_col}, gram FROM grams WHERE {id_col} % {bench_mod} <> 0),
+hits AS (
+  SELECT c.{id_col}, count(*) AS n FROM corpus c JOIN bench b USING (gram)
+  GROUP BY c.{id_col}
+)
+SELECT d.{id_col}, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM (SELECT {id_col} FROM {table} WHERE {id_col} % {bench_mod} <> 0) d
+LEFT JOIN hits h USING ({id_col})
+"""

@@ -20,6 +20,9 @@ SUBSET = [
     "minhash_dedup_pairs",  # full seeded-sketch SQL oracle (r3)
     "minhash_components",   # recursive-CTE connected components (r3)
     "link_scored_documents",  # vocabulary-derived literal oracle (r3)
+    "decontaminated_docs",  # benchmark n-gram decontamination (r3)
+    "gopher_quality",       # Gopher rule signals, bit-exact ratios (r3)
+    "corpus_shuffle",       # deterministic seeded shuffle rank (r3)
 ]
 
 
