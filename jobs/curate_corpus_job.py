@@ -33,6 +33,11 @@ def main() -> int:
                     help="lang=rate mixture weight (repeatable)")
     ap.add_argument("--default-rate", type=float, default=1.0)
     ap.add_argument("--pack-budget", type=int, default=2048)
+    ap.add_argument("--gopher", action="store_true",
+                    help="insert the Gopher quality-rule filter stage")
+    ap.add_argument("--benchmark", default=None,
+                    help="eval-set Parquet (doc_id, text); inserts n-gram decontamination")
+    ap.add_argument("--decontam-n", type=int, default=8)
     args = ap.parse_args()
 
     import ray
@@ -59,6 +64,11 @@ def main() -> int:
     rates = dict(
         (k, float(v)) for k, v in (r.split("=", 1) for r in args.rate)
     )
+    benchmark = None
+    if args.benchmark:
+        benchmark = lambda: ray.data.read_parquet(
+            args.benchmark, columns=["doc_id", "text"]
+        )
     p = curate_run(
         args.root,
         ingest,
@@ -67,6 +77,9 @@ def main() -> int:
         rates=rates,
         default_rate=args.default_rate,
         pack_budget=args.pack_budget,
+        gopher_rules=args.gopher,
+        benchmark=benchmark,
+        decontam_n=args.decontam_n,
     )
     metrics = p.metrics()
     with open(os.path.join(args.root, "metrics.json"), "w") as f:

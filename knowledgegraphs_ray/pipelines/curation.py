@@ -1,6 +1,7 @@
 """End-to-end training-corpus curation: the composed LLM-data pipeline.
 
     read documents -> quality filter (vectorized Arrow kernels)
+                   -> [optional: Gopher rule filter, benchmark decontamination]
                    -> exact dedup (hash-shuffle, payload-preserving)
                    -> near-dup resolve (minhash -> components -> survivor)
                    -> mixture sample (per-language rates, exact integer
@@ -123,11 +124,21 @@ def curate_run(
     default_rate: float = 1.0,
     minhash_threshold: float = 0.8,
     pack_budget: int = 2048,
+    gopher_rules: bool = False,
+    benchmark=None,
+    decontam_n: int = 8,
 ) -> "CheckpointedPipeline":
     """Run (or resume) the curation chain under ``root``.
 
     ``ingest``: zero-arg callable -> documents Dataset with at least
     (doc_id:int64, text:string, lang:string).
+
+    Optional hygiene stages: ``gopher_rules=True`` inserts the Gopher
+    quality-rule filter (text/gopher.py) after the basic quality gate;
+    ``benchmark`` (zero-arg callable -> Dataset with text) inserts
+    ``decontaminate(remove=True)`` so eval-overlapping docs never reach
+    dedup. Stage names are stable, so a resume with the same flags skips
+    finished stages as usual.
     """
     from knowledgegraphs_ray.dedup.minhash import (
         components_from_pairs,
@@ -148,9 +159,27 @@ def curate_run(
             ingest(), langs=langs, min_tokens=min_tokens
         ),
     )
+    pre_dedup = "filtered"
+    if gopher_rules:
+        from knowledgegraphs_ray.text.gopher import gopher_filter
+
+        src = pre_dedup
+        p.stage("gopher", lambda: gopher_filter(p.dataset(src)))
+        pre_dedup = "gopher"
+    if benchmark is not None:
+        from knowledgegraphs_ray.text.decontam import decontaminate
+
+        src2 = pre_dedup
+        p.stage(
+            "decontaminated",
+            lambda: decontaminate(
+                p.dataset(src2), benchmark(), n=decontam_n, remove=True
+            ).drop_columns(["n_contaminated", "contaminated"]),
+        )
+        pre_dedup = "decontaminated"
     p.stage(
         "exact_dedup",
-        lambda: dedup_exact_rows(p.dataset("filtered")),
+        lambda: dedup_exact_rows(p.dataset(pre_dedup)),
     )
 
     def near_dedup() -> ray.data.Dataset:

@@ -90,3 +90,39 @@ def test_curate_sampled_deterministic(tmp_path):
     ia = sorted(a.dataset("sampled").to_pandas()["doc_id"])
     ib = sorted(b.dataset("sampled").to_pandas()["doc_id"])
     assert ia == ib
+
+
+def test_curate_run_with_hygiene_stages(tmp_path):
+    """Gopher rule filter + decontamination slot in between the quality gate
+    and exact dedup; stage names stay stable for resume."""
+    from knowledgegraphs_ray.pipelines.curation import curate_run
+
+    def bench():
+        return ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+        ).map_batches(lambda df: df[df["doc_id"] % 20 == 0], batch_format="pandas")
+
+    def corpus():
+        return ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"],
+        ).map_batches(lambda df: df[df["doc_id"] % 20 != 0], batch_format="pandas")
+
+    p = curate_run(
+        str(tmp_path / "c"),
+        corpus,
+        min_tokens=5,
+        gopher_rules=True,
+        benchmark=bench,
+        decontam_n=4,
+    )
+    m = p.metrics()
+    assert list(m) == [
+        "filtered", "gopher", "decontaminated", "exact_dedup",
+        "near_dedup", "sampled", "packed",
+    ]
+    assert m["filtered"]["rows"] >= m["gopher"]["rows"] >= m["decontaminated"]["rows"]
+    assert m["decontaminated"]["rows"] > 0
+    # decontaminated stage keeps the corpus schema (flags dropped)
+    cols = p.dataset("decontaminated").schema().names
+    assert "contaminated" not in cols and "n_contaminated" not in cols
