@@ -86,11 +86,28 @@ def link_scored(
     mapping per source element, MappingSelection.java:62-86) — the dedup-embed
     pattern: score each surface form once, join links back to occurrences
     downstream (J1)."""
-    from ray.data.aggregate import Count
+    import pandas as pd
+
+    from knowledgegraphs_ray.util.fastagg import sum_partials
 
     index = star_ontology_index()
     mentions = document_mentions(sf_dir)
-    distinct = mentions.groupby("mention").aggregate(Count(alias_name="n_docs"))
+
+    # combine-before-shuffle (same fix as the flagship links stage): count
+    # per block, merge vocabulary-sized partials — never shuffle occurrences
+    def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["mention"].value_counts()
+        return pd.DataFrame(
+            {"mention": vc.index, "n_docs": vc.to_numpy().astype("int64")}
+        )
+
+    distinct = sum_partials(
+        mentions.select_columns(["mention"]).map_batches(
+            partial_counts, batch_format="pandas"
+        ),
+        keys=["mention"],
+        sum_cols=["n_docs"],
+    )
     cands = generate_candidates(distinct, index, k=50)
     scored = score_candidates(cands, index, concurrency=concurrency)
     return select_links(scored, mode=mode)
