@@ -38,6 +38,8 @@ def main() -> int:
     ap.add_argument("--benchmark", default=None,
                     help="eval-set Parquet (doc_id, text); inserts n-gram decontamination")
     ap.add_argument("--decontam-n", type=int, default=8)
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="generate N synthetic documents instead of reading input")
     args = ap.parse_args()
 
     import ray
@@ -57,10 +59,17 @@ def main() -> int:
 
     from knowledgegraphs_ray.pipelines.curation import curate_run
 
-    src = args.input or os.path.join(args.sf_dir, "documents.parquet")
-    ingest = lambda: ray.data.read_parquet(
-        src, columns=["doc_id", "text", "lang", "source"]
-    )
+    if args.synthetic:
+        from knowledgegraphs_ray.pipelines.curation import synth_documents
+
+        ingest = lambda: synth_documents(
+            args.synthetic, parallelism=max(args.num_cpus * 4, 64)
+        )
+    else:
+        src = args.input or os.path.join(args.sf_dir, "documents.parquet")
+        ingest = lambda: ray.data.read_parquet(
+            src, columns=["doc_id", "text", "lang", "source"]
+        )
     rates = dict(
         (k, float(v)) for k, v in (r.split("=", 1) for r in args.rate)
     )

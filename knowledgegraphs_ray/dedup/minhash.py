@@ -113,12 +113,24 @@ class MinHashKernel:
         sigs = np.full((n, self.n_perm), _MERSENNE, dtype=np.uint64)
         nonempty = seg_lens > 0
         if len(flat) and nonempty.any():
-            with np.errstate(over="ignore"):
-                m = flat[:, None] * self.a[None, :] + self.b[None, :]
-            starts = np.concatenate([[0], np.cumsum(seg_lens)])[:-1]
             # reduceat over non-empty segments only (empty segments share
             # their start with a neighbour and would corrupt its span)
-            sigs[nonempty] = np.minimum.reduceat(m, starts[nonempty], axis=0)
+            starts = np.concatenate([[0], np.cumsum(seg_lens)])[:-1][nonempty]
+            # One permutation at a time: the (S, n_perm) outer-product
+            # formulation writes+reads 8*n_perm bytes of DRAM per shingle
+            # (~1 KB/shingle at n_perm=128 — gigabytes per large batch) and
+            # its wall time swung 1-10x under host memory-bus contention.
+            # Here `flat` and the permuted copy stay L3-resident across the
+            # loop, only the (n_docs, n_perm) output touches DRAM, and the
+            # kernel is ALU-bound. Values are bit-identical.
+            col = np.empty(int(nonempty.sum()), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                m = np.empty_like(flat)
+                for p in range(self.n_perm):
+                    np.multiply(flat, self.a[p], out=m)
+                    m += self.b[p]
+                    np.minimum.reduceat(m, starts, out=col)
+                    sigs[nonempty, p] = col
         return ids, sigs
 
     def __call__(self, batch: pa.Table) -> pd.DataFrame:
@@ -253,6 +265,17 @@ def minhash_candidate_pairs(
         lambda df: df.groupby(["band_id", "band_hash"], as_index=False).size(),
         batch_format="pandas",
     ).materialize()
+    # hot keys as ONE sorted uint64 array ((band_hash << 4) | band_id — top
+    # 4 hash bits sacrificed) probed with np.isin: a Python set of tuples
+    # costs a tuple object per row per batch at 12M+ band rows. A combined-
+    # key collision can only ADD rows to the hot superset; pair generation
+    # below groups by the TRUE (band_id, band_hash), so a false-positive
+    # row lands in a singleton group and emits nothing.
+    def _hot_key(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+        return (band_hash.astype(np.uint64) << np.uint64(4)) | band_id.astype(
+            np.uint64
+        )
+
     if partials.count() <= bucket_driver_limit:
         merged = (
             pl.from_pandas(partials.to_pandas())
@@ -260,7 +283,9 @@ def minhash_candidate_pairs(
             .agg(pl.col("size").sum())
         )
         hot_pairs = merged.filter(pl.col("size") >= 2)
-        hot_set = set(zip(hot_pairs["band_id"].to_list(), hot_pairs["band_hash"].to_list()))
+        hot_keys = _hot_key(
+            hot_pairs["band_id"].to_numpy(), hot_pairs["band_hash"].to_numpy()
+        )
     else:  # distributed tier: aggregate + filter, collect only hot buckets
         from ray.data.aggregate import Sum
 
@@ -273,38 +298,82 @@ def minhash_candidate_pairs(
         hot = agg.map_batches(
             lambda df: df[df["size"] >= 2], batch_format="pandas"
         ).to_pandas()
-        hot_set = set(zip(hot["band_id"], hot["band_hash"]))
-    hot_ref = ray.put(hot_set)
+        hot_keys = _hot_key(hot["band_id"].to_numpy(), hot["band_hash"].to_numpy())
+    hot_ref = ray.put(np.sort(hot_keys))
 
     class HotFilter:
         def __init__(self, ref):
             self.ref = ref
-            self._s = None
+            self._k = None
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if self._s is None:
-                self._s = ray.get(self.ref)
-            keys = pd.Series(list(zip(df["band_id"], df["band_hash"])), index=df.index)
-            return df[keys.isin(self._s)]
+            if self._k is None:
+                self._k = ray.get(self.ref)
+            keys = _hot_key(df["band_id"].to_numpy(), df["band_hash"].to_numpy())
+            return df[np.isin(keys, self._k, kind="sort")]
 
     hot_rows = banded.map_batches(HotFilter(hot_ref), batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())[:max_bucket]
-        if len(ids) < 2:
+    # Pair generation groups by a BOUNDED 256-way split of the band hash
+    # (all members of a bucket share band_hash, so buckets never straddle
+    # groups) and emits every bucket's pairs VECTORIZED inside one call:
+    # per-(band,hash) map_groups pays ~1ms of Python per bucket, which is
+    # half an hour at the ~2M hot buckets a 1M-doc crawl-duplication corpus
+    # produces. Buckets are size-classed (crawl dups are overwhelmingly
+    # size 2) and each class emits its triu pairs with one reshape.
+    def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
             return empty
-        iu, ju = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame(
-            {
-                "doc_a": ids[iu].astype("int64"),
-                "doc_b": ids[ju].astype("int64"),
-                "band_id": np.int64(g["band_id"].iloc[0]),
-            }
+        g = g.drop_duplicates(["band_id", "band_hash", "doc_id"]).sort_values(
+            ["band_id", "band_hash", "doc_id"], kind="mergesort"
+        )
+        bid = g["band_id"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        new_grp = np.empty(len(g), dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        grp = np.cumsum(new_grp) - 1
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.append(starts, len(g)))
+        # cap each bucket at max_bucket members (same truncation as before:
+        # buckets sorted by doc_id, keep the first max_bucket)
+        pos = np.arange(len(g)) - starts[grp]
+        keep = pos < max_bucket
+        ids, grp, bid = ids[keep], grp[keep], bid[keep]
+        sizes = np.minimum(sizes, max_bucket)
+        outs: list[pd.DataFrame] = []
+        for m in np.unique(sizes):
+            if m < 2:
+                continue
+            sel = np.isin(grp, np.flatnonzero(sizes == m))
+            mat = ids[sel].reshape(-1, m)
+            bmat = bid[sel].reshape(-1, m)[:, 0]
+            iu, ju = np.triu_indices(m, k=1)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": mat[:, iu].ravel(),
+                        "doc_b": mat[:, ju].ravel(),
+                        "band_id": np.repeat(bmat, len(iu)),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else empty
+
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            __pb=(df["band_hash"].to_numpy().astype(np.uint64) & np.uint64(255)).astype(
+                np.int64
+            )
         )
 
-    cand = hot_rows.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    ).materialize()
+    cand = (
+        hot_rows.map_batches(add_pb, batch_format="pandas")
+        .groupby("__pb")
+        .map_groups(pairs_block, batch_format="pandas")
+        .materialize()
+    )
 
     use_join = verify_strategy == "join" or (
         verify_strategy == "auto" and cand.count() > verify_driver_limit

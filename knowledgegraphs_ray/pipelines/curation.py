@@ -104,14 +104,26 @@ def dedup_exact_rows(
         first["n_copies"] = first.pop("__n").astype("int64")
         return first
 
-    hashed = ds.map_batches(
-        lambda t: add_content_hash(t, column=column),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # group by a BOUNDED bucket of the content hash, not the hash
+        # itself: groupby().map_groups pays ~1ms of Python per group, which
+        # is 15+ minutes at 1M distinct texts (measured on the curation
+        # soak). combine() is already vectorized across distinct values
+        # inside a group, so 256 buckets give the same result with 256
+        # group calls; all copies of a text still co-locate (same hash ->
+        # same bucket).
+        import pyarrow.compute as pc
+
+        h = add_content_hash(t, column=column)["content_hash"]
+        return t.append_column(
+            "__bucket",
+            pc.cast(pc.bit_wise_and(h, pa.scalar(255, pa.uint64())), pa.int64()),
+        )
+
+    hashed = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
     parts = hashed.map_batches(combine, batch_format="pandas")
-    out = parts.groupby("content_hash").map_groups(combine, batch_format="pandas")
-    return out.drop_columns(["content_hash"])
+    out = parts.groupby("__bucket").map_groups(combine, batch_format="pandas")
+    return out.drop_columns(["__bucket"])
 
 
 def curate_run(
@@ -209,3 +221,91 @@ def curate_run(
         ),
     )
     return p
+
+
+def synth_documents(
+    n_docs: int, *, seed: int = 42, parallelism: int = 64
+) -> ray.data.Dataset:
+    """Deterministic synthetic documents table (doc_id, text, lang, source)
+    for curation soaks: Zipf-ish lengths over a 48-word vocabulary, an exact
+    duplicate every 7th doc (copies its predecessor) and a near-duplicate
+    every 13th (predecessor + one extra token), 4 languages. Counter-based
+    splitmix64 hashing — identical output at any parallelism, no Python
+    loop per doc (same construction as ``transcripts.synth_transcripts``)."""
+    import numpy as np
+    import polars as pl
+
+    from knowledgegraphs_ray.pipelines.transcripts import _splitmix64
+
+    vocab = np.array(
+        [f"w{i:02d}" for i in range(40)]
+        + ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa", "theta"]
+    )
+    langs = np.array(["en", "de", "es", "fr"])
+    base = np.uint64(seed)
+
+    def h(counter: np.ndarray, stream: int) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            return _splitmix64(
+                counter * np.uint64(0x100000001B3)
+                + base * np.uint64(0x9E3779B1)
+                + np.uint64(stream)
+            )
+
+    def gen(batch) -> "pa.Table":
+        ids = batch["id"].astype(np.int64)
+        u = ids.astype(np.uint64)
+
+        # every 7th doc re-generates its predecessor's content (exact dup);
+        # every 13th appends one token to its predecessor's (near dup) —
+        # but only when the predecessor is NOT itself remapped, so the
+        # dup invariants hold exactly (a remapped predecessor's final text
+        # is not its own generator output)
+        def remapped(i: np.ndarray) -> np.ndarray:
+            e = (i % 7 == 1) & (i > 0)
+            return e | ((i % 13 == 2) & (i > 0) & ~e)
+
+        prev_clean = ~remapped(ids - 1)
+        exact = (ids % 7 == 1) & (ids > 0) & prev_clean
+        near = (ids % 13 == 2) & (ids > 0) & ~(ids % 7 == 1) & prev_clean
+        eff = np.where(exact | near, u - np.uint64(1), u)
+
+        n_tok = (10 + (h(eff, 1) % np.uint64(111))).astype(np.int64)
+        total = int(n_tok.sum())
+        doc_rep = np.repeat(eff, n_tok)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_tok)[:-1]]), n_tok
+        )
+        with np.errstate(over="ignore"):
+            widx = h(doc_rep * np.uint64(131) + pos.astype(np.uint64), 2)
+        words = vocab[(widx % np.uint64(len(vocab))).astype(np.int64)]
+        df = pl.DataFrame(
+            {"doc_id": np.repeat(ids, n_tok), "w": words}
+        )
+        texts = (
+            df.group_by("doc_id", maintain_order=True)
+            .agg(pl.col("w").str.join(" ").alias("text"))
+        )
+        near_mark = pl.DataFrame(
+            {"doc_id": ids, "near": near, "lang_i": (h(eff, 3) % np.uint64(4)).astype(np.int64)}
+        )
+        out = texts.join(near_mark, on="doc_id", how="left").with_columns(
+            pl.when(pl.col("near"))
+            .then(pl.col("text") + " extra")
+            .otherwise(pl.col("text"))
+            .alias("text")
+        )
+        return (
+            out.with_columns(
+                pl.Series("lang", langs[out["lang_i"].to_numpy()]),
+                (pl.lit("synth/") + (pl.col("doc_id") % 16).cast(pl.String)).alias(
+                    "source"
+                ),
+            )
+            .select(["doc_id", "text", "lang", "source"])
+            .to_arrow()
+        )
+
+    return ray.data.range(n_docs, override_num_blocks=parallelism).map_batches(
+        gen, batch_format="numpy", batch_size=64 * 1024, zero_copy_batch=True
+    )
