@@ -210,11 +210,16 @@ def minhash_candidate_pairs(
     n_bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 200,
-    bucket_driver_limit: int = 5_000_000,
+    pair_splits: int | None = None,
     verify_strategy: str = "auto",
     verify_driver_limit: int = 1_000_000,
 ) -> ray.data.Dataset:
     """-> verified pair rows (doc_a, doc_b, est_jaccard).
+
+    ``pair_splits``: number of bounded shuffle keys the band rows group by
+    for pair emission (power of two; ``None`` = derived from the band-row
+    count so one group is ~64 MB). All members of an LSH bucket share
+    ``band_hash``, so buckets never straddle splits at any value.
 
     ``verify_strategy``: how pair members get their signatures for the
     verification step.
@@ -244,83 +249,30 @@ def minhash_candidate_pairs(
         }
     )
 
-    # ----- hot-bucket pre-filter --------------------------------------------
-    # Most (band, hash) buckets are singletons; calling a per-group UDF on
-    # every one costs ~1ms each (ruinous at 16 rows/doc). Count bucket sizes
-    # with the C aggregate path, broadcast the (small) set of buckets with
-    # >= 2 members, filter band rows to those, and pair only there.
-    # slim rows — fewer blocks, less scheduling; materialize so the two
-    # consumers (bucket counting + hot filter) don't re-run the kernel.
-    # Partition count grows with the cluster (CPU/4, floor 8): slim-row
-    # stages want FEWER blocks than cores on one node, more on a fleet.
-    n_parts = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
-    banded = banded.repartition(n_parts).materialize()
-    # bucket sizes: per-block partial counts (vectorized pandas), then the
-    # fastagg two-tier merge inlined with the ≥2 filter fused in: below the
-    # limit ONE polars pass on the driver; above it the distributed groupby
-    # aggregate with the filter applied BEFORE collecting. Either way the
-    # driver only ever holds the hot set (∝ duplicate groups), never the
-    # full n_docs × n_bands partial table.
-    partials = banded.map_batches(
-        lambda df: df.groupby(["band_id", "band_hash"], as_index=False).size(),
-        batch_format="pandas",
-    ).materialize()
-    # hot keys as ONE sorted uint64 array ((band_hash << 4) | band_id — top
-    # 4 hash bits sacrificed) probed with np.isin: a Python set of tuples
-    # costs a tuple object per row per batch at 12M+ band rows. A combined-
-    # key collision can only ADD rows to the hot superset; pair generation
-    # below groups by the TRUE (band_id, band_hash), so a false-positive
-    # row lands in a singleton group and emits nothing.
-    def _hot_key(band_id: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
-        return (band_hash.astype(np.uint64) << np.uint64(4)) | band_id.astype(
-            np.uint64
-        )
-
-    if partials.count() <= bucket_driver_limit:
-        merged = (
-            pl.from_pandas(partials.to_pandas())
-            .group_by(["band_id", "band_hash"])
-            .agg(pl.col("size").sum())
-        )
-        hot_pairs = merged.filter(pl.col("size") >= 2)
-        hot_keys = _hot_key(
-            hot_pairs["band_id"].to_numpy(), hot_pairs["band_hash"].to_numpy()
-        )
-    else:  # distributed tier: aggregate + filter, collect only hot buckets
-        from ray.data.aggregate import Sum
-
-        n_parts2 = max(8, int(ray.cluster_resources().get("CPU", 8)))
-        agg = (
-            partials.repartition(n_parts2)
-            .groupby(["band_id", "band_hash"])
-            .aggregate(Sum("size", alias_name="size"))
-        )
-        hot = agg.map_batches(
-            lambda df: df[df["size"] >= 2], batch_format="pandas"
-        ).to_pandas()
-        hot_keys = _hot_key(hot["band_id"].to_numpy(), hot["band_hash"].to_numpy())
-    hot_ref = ray.put(np.sort(hot_keys))
-
-    class HotFilter:
-        def __init__(self, ref):
-            self.ref = ref
-            self._k = None
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if self._k is None:
-                self._k = ray.get(self.ref)
-            keys = _hot_key(df["band_id"].to_numpy(), df["band_hash"].to_numpy())
-            return df[np.isin(keys, self._k, kind="sort")]
-
-    hot_rows = banded.map_batches(HotFilter(hot_ref), batch_format="pandas")
-
-    # Pair generation groups by a BOUNDED 256-way split of the band hash
-    # (all members of a bucket share band_hash, so buckets never straddle
-    # groups) and emits every bucket's pairs VECTORIZED inside one call:
-    # per-(band,hash) map_groups pays ~1ms of Python per bucket, which is
-    # half an hour at the ~2M hot buckets a 1M-doc crawl-duplication corpus
-    # produces. Buckets are size-classed (crawl dups are overwhelmingly
-    # size 2) and each class emits its triu pairs with one reshape.
+    # ----- bucket co-location + vectorized pair emission --------------------
+    # ONE bounded-key shuffle: band rows group by a power-of-two split of
+    # band_hash and `pairs_block` emits every bucket's pairs vectorized
+    # inside the group call. Two designs this replaces, and why:
+    # * per-(band, hash) map_groups — ~1ms of Python per GROUP; most buckets
+    #   are singletons, so that is n_docs × n_bands milliseconds.
+    # * a hot-bucket pre-filter (count bucket sizes, broadcast keys with
+    #   >= 2 members, shuffle only those) — the counting aggregate itself
+    #   shuffles the per-block partials, which are ~as large as the band
+    #   table (singleton buckets don't combine) but carry n_docs × n_bands
+    #   DISTINCT group keys instead of `n_splits` bounded ones; measured on
+    #   a 1M-doc corpus the aggregate alone out-costed this entire stage.
+    # Singleton buckets cost nothing here: pairs_block size-classes buckets
+    # and classes below 2 emit zero rows with zero per-bucket Python.
+    # Split count bounds the bytes one map_groups call must hold (~64 MB of
+    # 24 B band rows per group), growing with the corpus, never the driver.
+    if pair_splits is None:
+        banded = banded.materialize()  # two consumers: count() + the groupby
+        n_band_rows = banded.count()
+        pair_splits = 256
+        while pair_splits < (1 << 20) and n_band_rows * 24 > pair_splits * (64 << 20):
+            pair_splits *= 2
+    mask = np.uint64(pair_splits - 1)
+    assert pair_splits & (pair_splits - 1) == 0, "pair_splits must be a power of two"
     def pairs_block(g: pd.DataFrame) -> pd.DataFrame:
         if g.empty:
             return empty
@@ -363,13 +315,11 @@ def minhash_candidate_pairs(
 
     def add_pb(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(
-            __pb=(df["band_hash"].to_numpy().astype(np.uint64) & np.uint64(255)).astype(
-                np.int64
-            )
+            __pb=(df["band_hash"].to_numpy().astype(np.uint64) & mask).astype("int64")
         )
 
     cand = (
-        hot_rows.map_batches(add_pb, batch_format="pandas")
+        banded.map_batches(add_pb, batch_format="pandas")
         .groupby("__pb")
         .map_groups(pairs_block, batch_format="pandas")
         .materialize()

@@ -96,17 +96,20 @@ def test_embedding_near_dups():
     assert {(0, 1), (0, 2), (1, 2)} <= got
 
 
-def test_minhash_distributed_bucket_count_path():
-    """bucket_driver_limit=0 forces the Dataset.groupby fallback inside
-    fastagg for bucket-size counting — pairs must be identical to the
-    driver-merge fast path."""
-    fast = minhash_candidate_pairs(_corpus(), threshold=0.5).to_pandas()
-    dist = minhash_candidate_pairs(
-        _corpus(), threshold=0.5, bucket_driver_limit=0
+def test_minhash_pair_splits_invariant():
+    """The bounded shuffle-key count is a pure parallelism knob: pairs must
+    be identical at any power-of-two ``pair_splits`` (buckets share
+    band_hash, so they never straddle splits)."""
+    auto = minhash_candidate_pairs(_corpus(), threshold=0.5).to_pandas()
+    one = minhash_candidate_pairs(
+        _corpus(), threshold=0.5, pair_splits=1
+    ).to_pandas()
+    wide = minhash_candidate_pairs(
+        _corpus(), threshold=0.5, pair_splits=4096
     ).to_pandas()
     key = lambda df: set(zip(df["doc_a"], df["doc_b"]))
-    assert key(fast) == key(dist)
-    assert key(fast)  # non-trivial
+    assert key(auto) == key(one) == key(wide)
+    assert key(auto)  # non-trivial
 
 
 def test_minhash_join_verify_matches_broadcast():
@@ -131,6 +134,34 @@ def test_minhash_join_verify_matches_broadcast():
         _corpus(), threshold=0.5, verify_driver_limit=0
     ).to_pandas()
     assert key(auto) == key(bc)
+
+
+def test_minhash_bucket_cap_and_size_classes():
+    """Pin the vectorized pair emission (256-way bucket split + size-class
+    reshape) against the per-bucket semantics it replaced: clusters of
+    identical docs at several sizes -> triu pairs per cluster, truncated to
+    the first ``max_bucket`` members by doc_id. Exercises multiple size
+    classes (2, 3, capped-4) inside one pairs_block call."""
+    import itertools
+
+    clusters = {
+        "alpha beta gamma delta epsilon zeta eta theta one": [0, 1],
+        "iota kappa lambda mu nu xi omicron pi two": [10, 11, 12],
+        "rho sigma tau upsilon phi chi psi omega three": [20, 21, 22, 23, 24, 25],
+    }
+    rows = [{"doc_id": d, "text": t} for t, ids in clusters.items() for d in ids]
+    rows.append(
+        {"doc_id": 99, "text": "completely different filler text about engines"}
+    )
+    pairs = minhash_candidate_pairs(
+        ray.data.from_items(rows), threshold=0.5, max_bucket=4
+    ).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    want = set()
+    for ids in clusters.values():
+        want |= set(itertools.combinations(sorted(ids)[:4], 2))
+    assert got == want
+    assert (pairs["est_jaccard"] == 1.0).all()
 
 
 def test_propagation_raises_on_non_convergence():
