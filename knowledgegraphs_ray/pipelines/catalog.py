@@ -546,6 +546,64 @@ def q_corpus_shuffle(sf_dir: str):
     return seeded_shuffle(_docs(sf_dir, ["doc_id"]), seed=42)
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """Boilerplate-paragraph removal: drop paragraphs repeated >= 2 times
+    across the corpus, keeping document order (dedup/paragraphs.py). The
+    testdata texts are single-paragraph and (at small sf) all distinct, so
+    a deterministic repeated footer is appended first — same expression in
+    the oracle SQL — making the removal path do real work at every sf."""
+    from knowledgegraphs_ray.dedup.paragraphs import PARA_SEP, dedup_paragraphs
+
+    def add_footer(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        import pyarrow.compute as pc
+
+        mod5 = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64) % 5
+        footer = pc.binary_join_element_wise(
+            pc.coalesce(batch["text"].combine_chunks(), pa.scalar("")),
+            pc.binary_join_element_wise(
+                pa.scalar("footer "),
+                pa.array(mod5.astype(str), pa.string()),
+                pa.scalar(""),
+            ),
+            pa.scalar(PARA_SEP),
+        )
+        return batch.set_column(
+            batch.schema.get_field_index("text"), "text", footer
+        )
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_footer, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return dedup_paragraphs(docs, min_count=2)
+
+
+def q_frequent_tokens(sf_dir: str):
+    """Exact corpus heavy hitters: tokens appearing >= 500 times
+    (text/heavyhitters.py two-pass design)."""
+    from knowledgegraphs_ray.text.heavyhitters import frequent_tokens
+
+    return frequent_tokens(_docs(sf_dir, ["doc_id", "text"]), min_count=500)
+
+
+def q_bm25_topk(sf_dir: str):
+    """BM25 lexical top-10 for a fixed query; scores bit-match DuckDB
+    (math.log == ln, fixed expression tree — text/bm25.py)."""
+    from knowledgegraphs_ray.text.bm25 import bm25_topk
+
+    return bm25_topk(_docs(sf_dir, ["doc_id", "text"]), "hash join customer", k=10)
+
+
+def q_token_quantiles(sf_dir: str):
+    """Exact token-count quantiles via mergeable histogram partials
+    (text/quantiles.py; the quantile_disc rule)."""
+    from knowledgegraphs_ray.text.quantiles import token_count_quantiles
+
+    return token_count_quantiles(
+        _docs(sf_dir, ["doc_id", "text"]), [0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
 def q_mentions_documents(sf_dir: str):
     return lp.document_mentions(sf_dir)
 
@@ -639,6 +697,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminated_docs": q_decontaminated_docs,
         "gopher_quality": q_gopher_quality,
         "corpus_shuffle": q_corpus_shuffle,
+        "paragraph_dedup": q_paragraph_dedup,
+        "frequent_tokens": q_frequent_tokens,
+        "bm25_topk": q_bm25_topk,
+        "token_quantiles": q_token_quantiles,
     }
 
 
@@ -906,6 +968,28 @@ def oracle_sql() -> dict[str, str]:
         "decontaminated_docs": _decontam_sql(),
         "gopher_quality": _gopher_sql(),
         "corpus_shuffle": _corpus_shuffle_sql(),
+        "paragraph_dedup": __import__(
+            "knowledgegraphs_ray.dedup.paragraphs",
+            fromlist=["dedup_paragraphs_oracle_sql"],
+        ).dedup_paragraphs_oracle_sql(
+            min_count=2,
+            table=(
+                "(SELECT doc_id, coalesce(text, '') || chr(10) || chr(10) || "
+                "'footer ' || CAST(doc_id % 5 AS VARCHAR) AS text "
+                "FROM documents) ft"
+            ),
+        ),
+        "frequent_tokens": __import__(
+            "knowledgegraphs_ray.text.heavyhitters",
+            fromlist=["frequent_tokens_oracle_sql"],
+        ).frequent_tokens_oracle_sql(min_count=500),
+        "bm25_topk": __import__(
+            "knowledgegraphs_ray.text.bm25", fromlist=["bm25_oracle_sql"]
+        ).bm25_oracle_sql("hash join customer", k=10),
+        "token_quantiles": __import__(
+            "knowledgegraphs_ray.text.quantiles",
+            fromlist=["token_count_quantiles_oracle_sql"],
+        ).token_count_quantiles_oracle_sql([0.25, 0.5, 0.75, 0.9, 0.99]),
     }
 
 

@@ -23,6 +23,10 @@ SUBSET = [
     "decontaminated_docs",  # benchmark n-gram decontamination (r3)
     "gopher_quality",       # Gopher rule signals, bit-exact ratios (r3)
     "corpus_shuffle",       # deterministic seeded shuffle rank (r3)
+    "paragraph_dedup",      # boilerplate-paragraph removal (r3)
+    "frequent_tokens",      # exact heavy hitters (r3)
+    "bm25_topk",            # lexical retrieval, bit-exact scores (r3)
+    "token_quantiles",      # histogram-partial quantile_disc (r3)
 ]
 
 
