@@ -73,6 +73,8 @@ def run_bench() -> dict:
     timed("clean_corpus", catalog.q_clean_corpus)
     timed("kg_pred_stats", catalog.q_kg_pred_stats)
     timed("asof_last_view", catalog.q_purchases_last_view)
+    timed("paragraph_dedup", catalog.q_paragraph_dedup)
+    timed("bm25_topk", catalog.q_bm25_topk)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)
