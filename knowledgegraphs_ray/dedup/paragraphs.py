@@ -94,13 +94,9 @@ class _DropFrequent:
             pa.array(new_offsets, pa.int32()), kept_vals
         )
         text = pc.binary_join(kept_lists, pa.scalar(PARA_SEP))
-        out = pa.table(
-            {
-                self.id_col: batch[self.id_col],
-                self.text_col: text,
-                "n_removed": pa.array(removed, pa.int64()),
-            }
-        )
+        out = batch.set_column(
+            batch.schema.get_field_index(self.text_col), self.text_col, text
+        ).append_column("n_removed", pa.array(removed, pa.int64()))
         if not self.keep_empty:
             out = out.filter(pc.not_equal(out[self.text_col], ""))
         return out
@@ -115,9 +111,10 @@ def dedup_paragraphs(
     keep_empty: bool = False,
     driver_limit: int = 5_000_000,
 ) -> ray.data.Dataset:
-    """-> (id_col, text_col, n_removed) with paragraphs appearing >=
-    ``min_count`` times across the corpus removed; docs whose every
-    paragraph was boilerplate are dropped unless ``keep_empty``."""
+    """-> the input columns (text rewritten) + ``n_removed``, with
+    paragraphs appearing >= ``min_count`` times across the corpus removed;
+    docs whose every paragraph was boilerplate are dropped unless
+    ``keep_empty``."""
     partials = docs.map_batches(
         lambda b: _para_count_partial(b, text_col=text_col),
         batch_format="pyarrow",

@@ -139,6 +139,7 @@ def curate_run(
     gopher_rules: bool = False,
     benchmark=None,
     decontam_n: int = 8,
+    paragraph_min_count: int | None = None,
 ) -> "CheckpointedPipeline":
     """Run (or resume) the curation chain under ``root``.
 
@@ -165,10 +166,24 @@ def curate_run(
 
     p = CheckpointedPipeline(root)
 
+    source = ingest
+    if paragraph_min_count is not None:
+        from knowledgegraphs_ray.dedup.paragraphs import dedup_paragraphs
+
+        # boilerplate removal FIRST (Dolma order), so the quality gate's
+        # token counts are computed on the residual text
+        p.stage(
+            "para_dedup",
+            lambda: dedup_paragraphs(
+                ingest(), min_count=paragraph_min_count
+            ).drop_columns(["n_removed"]),
+        )
+        source = lambda: p.dataset("para_dedup")
+
     p.stage(
         "filtered",
         lambda: quality_filter(
-            ingest(), langs=langs, min_tokens=min_tokens
+            source(), langs=langs, min_tokens=min_tokens
         ),
     )
     pre_dedup = "filtered"

@@ -126,3 +126,33 @@ def test_curate_run_with_hygiene_stages(tmp_path):
     # decontaminated stage keeps the corpus schema (flags dropped)
     cols = p.dataset("decontaminated").schema().names
     assert "contaminated" not in cols and "n_contaminated" not in cols
+
+
+def test_curate_run_with_paragraph_dedup(tmp_path):
+    """paragraph_min_count inserts boilerplate removal FIRST; the removed
+    footer paragraph never reaches the quality gate, and the stage keeps
+    the corpus schema (n_removed dropped)."""
+    from knowledgegraphs_ray.pipelines.curation import curate_run
+
+    footer = "SUBSCRIBE TO OUR NEWSLETTER for updates and offers"
+
+    def corpus():
+        def add_footer(df):
+            df = df.copy()
+            df["text"] = df["text"] + "\n\n" + footer
+            return df
+
+        return ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"],
+        ).map_batches(add_footer, batch_format="pandas")
+
+    p = curate_run(
+        str(tmp_path / "c"), corpus, min_tokens=5, paragraph_min_count=2
+    )
+    m = p.metrics()
+    assert list(m)[0] == "para_dedup"
+    cols = p.dataset("para_dedup").schema().names
+    assert cols == ["doc_id", "text", "lang", "source"]
+    texts = p.dataset("para_dedup").take(5)
+    assert all(footer not in r["text"] for r in texts)
