@@ -604,6 +604,22 @@ def q_token_quantiles(sf_dir: str):
     )
 
 
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style unigram-LM perplexity per document (text/lm.py): integer
+    micro-nat surprisal sums + a bit-exact libm ppl column."""
+    from knowledgegraphs_ray.text.lm import perplexity
+
+    return perplexity(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_dup_window_stats(sf_dir: str):
+    """Cross-document duplicated 8-token windows per doc (dedup/spans.py,
+    the Lee et al. exact-substring-dedup approximation)."""
+    from knowledgegraphs_ray.dedup.spans import duplicated_window_stats
+
+    return duplicated_window_stats(_docs(sf_dir, ["doc_id", "text"]), w=8)
+
+
 def q_mentions_documents(sf_dir: str):
     return lp.document_mentions(sf_dir)
 
@@ -701,6 +717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_tokens": q_frequent_tokens,
         "bm25_topk": q_bm25_topk,
         "token_quantiles": q_token_quantiles,
+        "lm_perplexity": q_lm_perplexity,
+        "dup_window_stats": q_dup_window_stats,
     }
 
 
@@ -990,6 +1008,13 @@ def oracle_sql() -> dict[str, str]:
             "knowledgegraphs_ray.text.quantiles",
             fromlist=["token_count_quantiles_oracle_sql"],
         ).token_count_quantiles_oracle_sql([0.25, 0.5, 0.75, 0.9, 0.99]),
+        "lm_perplexity": __import__(
+            "knowledgegraphs_ray.text.lm", fromlist=["perplexity_oracle_sql"]
+        ).perplexity_oracle_sql(),
+        "dup_window_stats": __import__(
+            "knowledgegraphs_ray.dedup.spans",
+            fromlist=["duplicated_window_stats_oracle_sql"],
+        ).duplicated_window_stats_oracle_sql(w=8),
     }
 
 

@@ -1,0 +1,252 @@
+"""Unigram language-model training + perplexity scoring — the CCNet-style
+corpus-fluency filter (Wenzek et al., 2020: score web documents by LM
+perplexity, keep the fluent head of the distribution).
+
+Determinism contract with the DuckDB oracle: per-token surprisal is
+quantized to INTEGER micro-nats once per distinct (count, total) pair —
+``q(tok) = floor(-ln(c/total) * 1e6)`` with ``math.log``/``math.floor``
+(libm ln is bit-identical to DuckDB ``ln``; numpy.log is not) — so per-doc
+scores are integer sums, immune to float reassociation in either engine.
+``ppl = exp(q_sum/1e6/n)`` is then one fixed expression tree over those
+integers (``math.exp`` == DuckDB ``exp``), so even the double column
+hash-matches exactly.
+
+Scale shape: training is per-block ``value_counts`` partials merged via
+``fastagg.merge_partials`` (combine-before-shuffle — token text never
+shuffles row-per-occurrence); the model is vocabulary-sized, broadcast
+ONCE via ``ray.put`` and read per task. ``vocab_limit`` pools the count
+tail into a single OOV bucket when the corpus vocabulary outgrows a
+broadcastable table (web-crawl vocabularies are ~1e8 tokens; the top 1e6
+carry almost all mass). Scoring is one map over doc blocks: polars
+explode -> hash-join against the broadcast vocab -> integer group sums;
+the only per-row Python is one ``math.exp`` per DOCUMENT (libm
+determinism), not per token.
+
+Reference analogue: the reference ranks entity-match candidates with a
+BERT LM (bert_classifier.py); this is the corpus-statistics LM tier a
+curation pipeline runs long before any neural scorer.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import ray
+import ray.data
+
+from knowledgegraphs_ray.text.analysis import TOKEN_RE
+from knowledgegraphs_ray.util.fastagg import merge_partials
+
+
+@dataclass
+class UnigramLM:
+    """token -> integer micro-nat surprisal, plus the OOV surprisal used
+    for tokens outside the (possibly capped) vocabulary."""
+
+    vocab: pl.DataFrame  # columns: token (str), q (int64)
+    total_tokens: int
+    oov_q: int
+
+    @staticmethod
+    def _q(count: int, total: float) -> int:
+        # the quantization both engines evaluate identically (module docstring)
+        return math.floor((-math.log(count / total)) * 1000000.0)
+
+
+def _token_count_partials(
+    docs: ray.data.Dataset, *, text_col: str, lower: bool
+) -> ray.data.Dataset:
+    def block(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch[text_col]).rename("t")
+        if lower:
+            s = s.str.to_lowercase()
+        counts = s.str.extract_all(TOKEN_RE).explode().drop_nulls().value_counts()
+        df = counts.struct.unnest() if hasattr(counts, "struct") else counts
+        return (
+            df.rename({"t": "token", "count": "n"})
+            .select(pl.col("token"), pl.col("n").cast(pl.Int64))
+            .to_arrow()
+        )
+
+    return docs.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def train_unigram_lm(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    lower: bool = True,
+    vocab_limit: int | None = None,
+    driver_limit: int = 5_000_000,
+) -> UnigramLM:
+    """One streaming pass -> a broadcastable :class:`UnigramLM`.
+
+    ``vocab_limit``: keep only the ``vocab_limit`` most frequent tokens
+    (ties broken by token for determinism) and pool the tail count into the
+    OOV bucket — the bounded-memory tier for open vocabularies.
+    """
+    merged = merge_partials(
+        _token_count_partials(docs, text_col=text_col, lower=lower),
+        keys=["token"],
+        agg={"n": "sum"},
+        driver_limit=driver_limit,
+    )
+    if vocab_limit is None:
+        pdf = pl.from_arrow(
+            pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+        )
+        total = int(pdf["n"].sum() or 0)
+        tail = 0
+    else:
+        # bounded-vocab tier: total from a tiny per-block aggregate over the
+        # (already merged, one-row-per-token) table; only the top-V rows ever
+        # reach the driver — a distributed sort+limit, not a full collect
+        mat = merged.materialize()
+        total = int(
+            mat.map_batches(_block_n_sum, batch_format="pyarrow")
+            .to_pandas()["n"]
+            .sum()
+        )
+        top = mat.sort(["n", "token"], descending=[True, False]).limit(vocab_limit)
+        pdf = pl.from_arrow(
+            pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+        )
+        tail = total - int(pdf["n"].sum() or 0)
+    totalf = float(total) if total else 1.0
+    q = pl.Series(
+        "q",
+        [UnigramLM._q(int(c), totalf) for c in pdf["n"]],
+        dtype=pl.Int64,
+    )
+    vocab = pl.DataFrame({"token": pdf["token"], "q": q})
+    oov_q = UnigramLM._q(max(tail, 1), totalf)
+    return UnigramLM(vocab=vocab, total_tokens=total, oov_q=oov_q)
+
+
+def _block_n_sum(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    return pa.table({"n": pa.array([int(pc.sum(batch["n"]).as_py() or 0)], pa.int64())})
+
+
+class _ScoreBlock:
+    """Instance-passed (task pool — broadcast lookup, no per-actor state
+    beyond the one ``ray.get``)."""
+
+    def __init__(self, ref, *, id_col, text_col, lower, oov_q):
+        self.ref = ref
+        self.id_col = id_col
+        self.text_col = text_col
+        self.lower = lower
+        self.oov_q = oov_q
+        self._m = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self._m is None:
+            self._m = ray.get(self.ref)
+        ids = batch[self.id_col]
+        s = pl.from_arrow(batch[self.text_col]).rename("t")
+        if self.lower:
+            s = s.str.to_lowercase()
+        toks = s.str.extract_all(TOKEN_RE)
+        ex = (
+            pl.DataFrame(
+                {"__i": pl.int_range(0, len(s), eager=True), "tok": toks}
+            )
+            .explode("tok")
+            .drop_nulls("tok")  # explode of an EMPTY list yields a null row
+        )
+        ex = ex.join(
+            self._m, left_on="tok", right_on="token", how="left"
+        ).with_columns(pl.col("q").fill_null(self.oov_q))
+        agg = ex.group_by("__i").agg(
+            n_tokens=pl.len().cast(pl.Int64), surprisal_micro=pl.col("q").sum()
+        )
+        base = pl.DataFrame({"__i": pl.int_range(0, len(s), eager=True)})
+        out = (
+            base.join(agg, on="__i", how="left")
+            .sort("__i")
+            .with_columns(
+                pl.col("n_tokens").fill_null(0),
+                pl.col("surprisal_micro").fill_null(0),
+            )
+        )
+        n = out["n_tokens"].to_numpy()
+        sm = out["surprisal_micro"].to_numpy()
+        # one libm exp per DOCUMENT (not per token): bit-identical to the
+        # oracle's exp(); np.exp can differ in the last ulp
+        ppl = np.fromiter(
+            (math.exp(s_ / 1000000.0 / max(int(n_), 1)) for s_, n_ in zip(sm, n)),
+            dtype=np.float64,
+            count=len(n),
+        )
+        return pa.table(
+            {
+                self.id_col: ids,
+                "n_tokens": pa.array(n, pa.int64()),
+                "surprisal_micro": pa.array(sm, pa.int64()),
+                "ppl": pa.array(ppl, pa.float64()),
+            }
+        )
+
+
+def perplexity(
+    docs: ray.data.Dataset,
+    model: UnigramLM | None = None,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lower: bool = True,
+    vocab_limit: int | None = None,
+) -> ray.data.Dataset:
+    """-> (id_col, n_tokens, surprisal_micro, ppl) per document.
+
+    Trains on the corpus itself when ``model`` is None (the CCNet pattern
+    scores against a REFERENCE corpus LM — pass one trained elsewhere).
+    """
+    if model is None:
+        model = train_unigram_lm(
+            docs, text_col=text_col, lower=lower, vocab_limit=vocab_limit
+        )
+    ref = ray.put(model.vocab)
+    return docs.map_batches(
+        _ScoreBlock(
+            ref, id_col=id_col, text_col=text_col, lower=lower, oov_q=model.oov_q
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def perplexity_oracle_sql(
+    *, table: str = "documents", id_col: str = "doc_id", lower: bool = True
+) -> str:
+    """DuckDB twin with the identical quantization + expression trees."""
+    expr = "lower(text)" if lower else "text"
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, unnest(regexp_extract_all({expr}, '{TOKEN_RE}')) AS token
+  FROM {table}
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM tok),
+q AS (
+  SELECT token,
+         CAST(floor((-ln(count(*) / (SELECT total FROM tot))) * 1000000.0) AS BIGINT) AS q
+  FROM tok GROUP BY token
+),
+scored AS (
+  SELECT t.{id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(q.q) AS BIGINT) AS surprisal_micro
+  FROM tok t JOIN q USING (token) GROUP BY t.{id_col}
+)
+SELECT d.{id_col},
+       COALESCE(s.n_tokens, 0) AS n_tokens,
+       COALESCE(s.surprisal_micro, 0) AS surprisal_micro,
+       exp(COALESCE(s.surprisal_micro, 0) / 1000000.0
+           / greatest(COALESCE(s.n_tokens, 0), 1)) AS ppl
+FROM {table} d LEFT JOIN scored s USING ({id_col})
+""".strip()

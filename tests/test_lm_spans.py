@@ -1,0 +1,144 @@
+"""Edge cases for the round-3 LM-perplexity (text/lm.py) and duplicated
+n-gram span (dedup/spans.py) operators. The sf0.001 full-table oracle
+equivalence runs in test_oracle_gate.py; these pin the tiers and the
+removal semantics on planted corpora."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from knowledgegraphs_ray.dedup.spans import (
+    duplicated_window_stats,
+    duplicated_window_stats_oracle_sql,
+    remove_duplicated_spans,
+)
+from knowledgegraphs_ray.text.lm import (
+    perplexity,
+    perplexity_oracle_sql,
+    train_unigram_lm,
+)
+
+
+def _gold(rows, sql):
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows))
+    return con.execute(sql).fetchdf().sort_values("doc_id").reset_index(drop=True)
+
+
+LM_ROWS = [
+    {"doc_id": 1, "text": "the cat sat on the mat"},
+    {"doc_id": 2, "text": "the the the the"},          # low-ppl repeat
+    {"doc_id": 3, "text": "zyx qwv unique rare words"},  # high ppl
+    {"doc_id": 4, "text": ""},                          # 0 tokens
+    {"doc_id": 5, "text": "Cat CAT cat!"},              # case folding + punct
+]
+
+
+def test_perplexity_matches_oracle_exactly():
+    mine = (
+        perplexity(ray.data.from_items(LM_ROWS))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    gold = _gold(LM_ROWS, perplexity_oracle_sql())
+    pd.testing.assert_frame_equal(
+        mine[sorted(mine.columns)], gold[sorted(gold.columns)], check_dtype=False
+    )
+    # the double column is bit-exact, not just close (libm contract)
+    assert (mine["ppl"].to_numpy() == gold["ppl"].to_numpy()).all()
+    r = mine.set_index("doc_id")
+    assert r.loc[4, "n_tokens"] == 0 and r.loc[4, "ppl"] == 1.0
+    assert r.loc[2, "ppl"] < r.loc[3, "ppl"]  # repeats are more fluent
+    assert r.loc[5, "n_tokens"] == 3  # case-folded into one type
+
+
+def test_capped_vocab_pools_tail_into_oov():
+    docs = ray.data.from_items(LM_ROWS)
+    full = train_unigram_lm(docs)
+    capped = train_unigram_lm(docs, vocab_limit=2)
+    assert len(capped.vocab) == 2
+    assert capped.total_tokens == full.total_tokens  # tail mass still counted
+    kept = set(capped.vocab["token"].to_list())
+    assert "the" in kept  # highest-count token survives the cap
+    # scoring still runs and stays finite with the pooled OOV bucket
+    out = perplexity(docs, capped).to_pandas()
+    assert np.isfinite(out["ppl"]).all() and len(out) == len(LM_ROWS)
+
+
+SPAN = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+
+
+SPAN_ROWS = [
+    {"doc_id": 1, "text": f"intro one {SPAN} tail one"},
+    {"doc_id": 2, "text": f"other head {SPAN} different end"},
+    {"doc_id": 3, "text": "wholly unrelated words without any repeats here"},
+    {"doc_id": 4, "text": "short"},  # < w tokens -> 0 windows
+    {"doc_id": 5, "text": f"{SPAN} {SPAN}"},  # dup within ONE doc counts too
+]
+
+
+@pytest.mark.parametrize("broadcast_limit", [2_000_000, 0])
+def test_dup_window_stats_tiers_match_oracle(broadcast_limit):
+    mine = (
+        duplicated_window_stats(
+            ray.data.from_items(SPAN_ROWS), w=8, broadcast_limit=broadcast_limit
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    gold = _gold(SPAN_ROWS, duplicated_window_stats_oracle_sql(w=8))
+    pd.testing.assert_frame_equal(
+        mine[sorted(mine.columns)], gold[sorted(gold.columns)], check_dtype=False
+    )
+    r = mine.set_index("doc_id")
+    assert r.loc[4, "n_windows"] == 0
+    assert r.loc[3, "n_dup_windows"] == 0
+    assert r.loc[1, "n_dup_windows"] >= 1 and r.loc[2, "n_dup_windows"] >= 1
+    assert r.loc[5, "n_dup_windows"] >= 2
+
+
+def test_dup_window_stride_matches_oracle():
+    rows = SPAN_ROWS
+    mine = (
+        duplicated_window_stats(ray.data.from_items(rows), w=4, stride=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    gold = _gold(rows, duplicated_window_stats_oracle_sql(w=4, stride=3))
+    pd.testing.assert_frame_equal(
+        mine[sorted(mine.columns)], gold[sorted(gold.columns)], check_dtype=False
+    )
+
+
+def test_remove_duplicated_spans_semantics():
+    out = (
+        remove_duplicated_spans(ray.data.from_items(SPAN_ROWS), w=8)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # untouched docs keep their text byte-for-byte
+    assert out.loc[3, "text"] == SPAN_ROWS[2]["text"]
+    assert out.loc[4, "text"] == "short"
+    assert out.loc[3, "n_removed_tokens"] == 0
+    # the shared span is cut from both carriers; their unique context survives
+    assert "alpha" not in out.loc[1, "text"] and "intro one" in out.loc[1, "text"]
+    assert "theta" not in out.loc[2, "text"] and "different end" in out.loc[2, "text"]
+    # doc 5 was nothing but the duplicated span -> dropped entirely
+    assert 5 not in out.index
+    # re-running on the cleaned corpus finds nothing left to cut
+    again = duplicated_window_stats(
+        ray.data.from_pandas(out.reset_index()[["doc_id", "text"]]), w=8
+    ).to_pandas()
+    assert again["n_dup_windows"].sum() == 0
+
+
+def test_remove_spans_raises_past_broadcast_limit():
+    with pytest.raises(ValueError, match="broadcast_limit"):
+        remove_duplicated_spans(
+            ray.data.from_items(SPAN_ROWS), w=8, broadcast_limit=0
+        ).materialize()

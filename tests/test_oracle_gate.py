@@ -27,6 +27,8 @@ SUBSET = [
     "frequent_tokens",      # exact heavy hitters (r3)
     "bm25_topk",            # lexical retrieval, bit-exact scores (r3)
     "token_quantiles",      # histogram-partial quantile_disc (r3)
+    "lm_perplexity",        # unigram-LM ppl, integer micro-nat sums (r3)
+    "dup_window_stats",     # duplicated n-gram windows, Lee et al. (r3)
 ]
 
 
