@@ -75,6 +75,8 @@ def run_bench() -> dict:
     timed("asof_last_view", catalog.q_purchases_last_view)
     timed("paragraph_dedup", catalog.q_paragraph_dedup)
     timed("bm25_topk", catalog.q_bm25_topk)
+    timed("lm_perplexity", catalog.q_lm_perplexity)
+    timed("dup_window_stats", catalog.q_dup_window_stats)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

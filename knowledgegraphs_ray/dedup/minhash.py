@@ -627,6 +627,12 @@ def components_from_pairs(
     from knowledgegraphs_ray.canon.unionfind import UnionFind
 
     df = pairs.to_pandas()
+    if len(df) == 0:
+        # an empty Dataset loses its column schema entirely — return the
+        # contract columns so downstream joins/filters stay typed
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "component": pd.Series(dtype="int64")}
+        )
     if len(df) > max_driver_edges:
         raise ValueError("edge set too large for driver union-find; use components_by_propagation")
     uf = UnionFind()

@@ -95,6 +95,12 @@ def duplicate_drop_ids(
     projected to (id, utf8_length), and only member rows survive the probe.
     """
     comp = _as_dataset(components)
+    if comp.count() == 0:
+        # empty Datasets lose their column schema through to_pandas /
+        # broadcast_join; short-circuit with a typed empty drop list
+        return ray.data.from_pandas(
+            pd.DataFrame({id_col: pd.Series(dtype="int64")})
+        )
 
     if keep == "min_id":
         def losers(batch: pa.Table) -> pa.Table:

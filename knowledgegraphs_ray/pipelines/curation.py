@@ -140,6 +140,8 @@ def curate_run(
     benchmark=None,
     decontam_n: int = 8,
     paragraph_min_count: int | None = None,
+    span_dedup_w: int | None = None,
+    ppl_keep_quantile: float | None = None,
 ) -> "CheckpointedPipeline":
     """Run (or resume) the curation chain under ``root``.
 
@@ -150,8 +152,13 @@ def curate_run(
     quality-rule filter (text/gopher.py) after the basic quality gate;
     ``benchmark`` (zero-arg callable -> Dataset with text) inserts
     ``decontaminate(remove=True)`` so eval-overlapping docs never reach
-    dedup. Stage names are stable, so a resume with the same flags skips
-    finished stages as usual.
+    dedup; ``span_dedup_w`` cuts corpus-duplicated w-token spans
+    (dedup/spans.py, Lee et al. order: after boilerplate removal, before
+    the quality gate re-counts tokens); ``ppl_keep_quantile`` keeps the
+    least-perplexed fraction by a corpus-trained unigram LM (text/lm.py,
+    CCNet head selection) after the rule-based gates. Stage names are
+    stable, so a resume with the same flags skips finished stages as
+    usual.
     """
     from knowledgegraphs_ray.dedup.minhash import (
         components_from_pairs,
@@ -180,6 +187,18 @@ def curate_run(
         )
         source = lambda: p.dataset("para_dedup")
 
+    if span_dedup_w is not None:
+        from knowledgegraphs_ray.dedup.spans import remove_duplicated_spans
+
+        span_src = source
+        p.stage(
+            "span_dedup",
+            lambda: remove_duplicated_spans(
+                span_src(), w=span_dedup_w
+            ).drop_columns(["n_removed_tokens"]),
+        )
+        source = lambda: p.dataset("span_dedup")
+
     p.stage(
         "filtered",
         lambda: quality_filter(
@@ -187,6 +206,17 @@ def curate_run(
         ),
     )
     pre_dedup = "filtered"
+    if ppl_keep_quantile is not None:
+        from knowledgegraphs_ray.text.lm import perplexity_filter
+
+        ppl_src = pre_dedup
+        p.stage(
+            "ppl_filtered",
+            lambda: perplexity_filter(
+                p.dataset(ppl_src), keep_quantile=ppl_keep_quantile
+            ).drop_columns(["ppl"]),
+        )
+        pre_dedup = "ppl_filtered"
     if gopher_rules:
         from knowledgegraphs_ray.text.gopher import gopher_filter
 

@@ -23,6 +23,7 @@ def read_table(
     columns: list[str] | None = None,
     *,
     rows_per_block: int = 75_000,
+    filter=None,
 ) -> ray.data.Dataset:
     """Pruned parquet read with block sizing for a TRIPLE-emITTING consumer.
 
@@ -37,6 +38,11 @@ def read_table(
       production scale inputs arrive as many shards and this path is a
       no-op; the repartition moves each row once (far cheaper than losing
       the cluster's parallelism).
+    * ``filter``: a ``pyarrow.dataset.Expression`` pushed into the parquet
+      scan — row groups whose statistics exclude the predicate never leave
+      storage, and surviving groups are filtered before Arrow
+      materialization. Prefer this over a post-read ``map_batches`` filter
+      whenever the predicate references read columns.
     """
     import math
     import os
@@ -55,6 +61,11 @@ def read_table(
             n_blocks = min(64, math.ceil(meta.num_rows / rows_per_block))
     except OSError:
         pass  # globs / remote paths: let Ray decide
+    if filter is not None:
+        kwargs["filter"] = filter
+        # a filtered read's output size is unknowable from file metadata;
+        # keep Ray's fragment-level split rather than forcing one block
+        kwargs.pop("override_num_blocks", None)
     ds = ray.data.read_parquet(path, columns=columns, **kwargs)
     if n_blocks is not None:
         ds = ds.repartition(n_blocks)

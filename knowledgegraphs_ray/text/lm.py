@@ -35,6 +35,7 @@ from dataclasses import dataclass
 import numpy as np
 import polars as pl
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -220,6 +221,67 @@ def perplexity(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def perplexity_filter(
+    docs: ray.data.Dataset,
+    model: UnigramLM | None = None,
+    *,
+    keep_quantile: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lower: bool = True,
+    vocab_limit: int | None = None,
+    clip_max_centi: int = 100_000,
+) -> ray.data.Dataset:
+    """CCNet head selection: keep the ``keep_quantile`` least-perplexed
+    fraction of the corpus (ppl <= the corpus ppl quantile).
+
+    The threshold comes from :func:`histogram_quantiles` over ppl quantized
+    to centi-units (0.01-ppl bins; the histogram partial is a dense array
+    of length clip_max, so the quantization also bounds partial size) —
+    exact discrete quantiles from mergeable partials, the driver never sees
+    per-doc scores. Returns the input columns + ``ppl`` for the survivors.
+    """
+    from knowledgegraphs_ray.text.quantiles import histogram_quantiles
+
+    scored = perplexity(
+        docs, model, id_col=id_col, text_col=text_col, lower=lower,
+        vocab_limit=vocab_limit,
+    ).map_batches(
+        lambda t: t.append_column(
+            "ppl_centi",
+            pa.array(
+                np.minimum(
+                    (t["ppl"].to_numpy() * 100.0).astype(np.int64), clip_max_centi
+                ),
+                pa.int64(),
+            ),
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()  # scored twice (threshold + filter); score once
+    thresh = int(
+        histogram_quantiles(scored, "ppl_centi", [keep_quantile], clip_max=clip_max_centi)
+        .set_index("q")["value"]
+        .iloc[0]
+    )
+    kept_ids = scored.map_batches(
+        lambda t: t.filter(pc.less_equal(t["ppl_centi"], thresh)).select(
+            [id_col, "ppl"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    from knowledgegraphs_ray.extract.joins import broadcast_join, native_join
+
+    # reattach full doc rows: ids+ppl are 16 B/doc — broadcast when small,
+    # hash join when the corpus id set outgrows a broadcast table
+    if kept_ids.count() <= 2_000_000:
+        return broadcast_join(
+            docs, kept_ids, left_on=id_col, right_on=id_col, how="inner"
+        )
+    return native_join(docs, kept_ids, left_on=id_col, right_on=id_col, how="inner")
 
 
 def perplexity_oracle_sql(

@@ -156,3 +156,39 @@ def test_curate_run_with_paragraph_dedup(tmp_path):
     assert cols == ["doc_id", "text", "lang", "source"]
     texts = p.dataset("para_dedup").take(5)
     assert all(footer not in r["text"] for r in texts)
+
+
+def test_curate_run_with_span_and_ppl_stages(tmp_path):
+    """span_dedup_w cuts corpus-duplicated spans before the quality gate;
+    ppl_keep_quantile drops the most-perplexed tail after it; both stages
+    keep the corpus schema."""
+    from knowledgegraphs_ray.pipelines.curation import curate_run
+
+    def corpus():
+        return ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"],
+        )
+
+    p = curate_run(
+        str(tmp_path / "c"),
+        corpus,
+        min_tokens=5,
+        span_dedup_w=8,
+        ppl_keep_quantile=0.9,
+    )
+    m = p.metrics()
+    names = list(m)
+    assert names[0] == "span_dedup" and "ppl_filtered" in names
+    assert p.dataset("span_dedup").schema().names == [
+        "doc_id", "text", "lang", "source",
+    ]
+    # ppl stage keeps the quality gate's schema (incl. its n_tokens column)
+    # and drops its own ppl score
+    ppl_cols = p.dataset("ppl_filtered").schema().names
+    assert "ppl" not in ppl_cols
+    assert set(ppl_cols) == set(p.dataset("filtered").schema().names)
+    n_filtered = m["filtered"]["rows"]
+    n_ppl = m["ppl_filtered"]["rows"]
+    assert 0 < n_ppl <= n_filtered
+    assert n_ppl >= 0.9 * n_filtered - 1  # head-selection contract

@@ -142,3 +142,39 @@ def test_remove_spans_raises_past_broadcast_limit():
         remove_duplicated_spans(
             ray.data.from_items(SPAN_ROWS), w=8, broadcast_limit=0
         ).materialize()
+
+
+def test_perplexity_filter_keeps_fluent_head():
+    from knowledgegraphs_ray.text.lm import perplexity_filter
+
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [{"doc_id": i, "text": common, "lang": "en"} for i in range(18)] + [
+        {"doc_id": 100, "text": "zyxqwv unseen gibberish blorp", "lang": "en"},
+        {"doc_id": 101, "text": "another xylophone quagmire vortex", "lang": "en"},
+    ]
+    kept = perplexity_filter(
+        ray.data.from_items(rows), keep_quantile=0.9
+    ).to_pandas()
+    assert set(kept.columns) == {"doc_id", "text", "lang", "ppl"}
+    assert 100 not in set(kept.doc_id) and 101 not in set(kept.doc_id)
+    assert set(range(18)) <= set(kept.doc_id)  # fluent head survives
+    # exact-quantile contract: kept fraction >= keep_quantile
+    assert len(kept) >= 0.9 * len(rows)
+
+
+def test_read_table_filter_pushdown(sf_dir):
+    import pyarrow.dataset as pads
+
+    from knowledgegraphs_ray.pipelines.relational import read_table
+
+    full = read_table(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    pushed = read_table(
+        sf_dir,
+        "orders",
+        ["o_orderkey", "o_totalprice"],
+        filter=pads.field("o_totalprice") > 100_000.0,
+    ).to_pandas()
+    gold = full.to_pandas()
+    gold = gold[gold.o_totalprice > 100_000.0]
+    assert len(pushed) == len(gold) > 0
+    assert set(pushed.o_orderkey) == set(gold.o_orderkey)
