@@ -77,6 +77,8 @@ def run_bench() -> dict:
     timed("bm25_topk", catalog.q_bm25_topk)
     timed("lm_perplexity", catalog.q_lm_perplexity)
     timed("dup_window_stats", catalog.q_dup_window_stats)
+    timed("dsir_weights", catalog.q_dsir_weights)
+    timed("semantic_dedup", catalog.q_semantic_dedup)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

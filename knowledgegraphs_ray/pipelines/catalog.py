@@ -620,6 +620,33 @@ def q_dup_window_stats(sf_dir: str):
     return duplicated_window_stats(_docs(sf_dir, ["doc_id", "text"]), w=8)
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (text/dsir.py): integer micro-nat log ratio
+    of target-LM vs raw-LM token likelihoods; target domain = docs with
+    doc_id % 10 == 0 (deterministic proxy for a quality subset)."""
+    from knowledgegraphs_ray.text.dsir import dsir_weights
+
+    raw = _docs(sf_dir, ["doc_id", "text"])
+    target = raw.map_batches(
+        lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 10 == 0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return dsir_weights(raw, target)
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup survivors (sim/semdedup.py, exact tier): embedding-space
+    near-duplicate components at cosine >= 0.4 (the threshold this
+    synthetic testdata actually crosses), min-id member kept."""
+    from knowledgegraphs_ray.sim.semdedup import semantic_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(ds, threshold=0.4).select_columns(["vec_id"])
+
+
 def q_mentions_documents(sf_dir: str):
     return lp.document_mentions(sf_dir)
 
@@ -719,6 +746,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_quantiles": q_token_quantiles,
         "lm_perplexity": q_lm_perplexity,
         "dup_window_stats": q_dup_window_stats,
+        "dsir_weights": q_dsir_weights,
+        "semantic_dedup": q_semantic_dedup,
     }
 
 
@@ -1015,6 +1044,13 @@ def oracle_sql() -> dict[str, str]:
             "knowledgegraphs_ray.dedup.spans",
             fromlist=["duplicated_window_stats_oracle_sql"],
         ).duplicated_window_stats_oracle_sql(w=8),
+        "dsir_weights": __import__(
+            "knowledgegraphs_ray.text.dsir", fromlist=["dsir_oracle_sql"]
+        ).dsir_oracle_sql(),
+        "semantic_dedup": __import__(
+            "knowledgegraphs_ray.sim.semdedup",
+            fromlist=["semantic_dedup_oracle_sql"],
+        ).semantic_dedup_oracle_sql(threshold=0.4),
     }
 
 

@@ -29,6 +29,8 @@ SUBSET = [
     "token_quantiles",      # histogram-partial quantile_disc (r3)
     "lm_perplexity",        # unigram-LM ppl, integer micro-nat sums (r3)
     "dup_window_stats",     # duplicated n-gram windows, Lee et al. (r3)
+    "dsir_weights",         # DSIR importance weights, integer log ratios (r3)
+    "semantic_dedup",       # SemDeDup exact tier, recursive-CTE components (r3)
 ]
 
 
