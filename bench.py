@@ -79,6 +79,7 @@ def run_bench() -> dict:
     timed("dup_window_stats", catalog.q_dup_window_stats)
     timed("dsir_weights", catalog.q_dsir_weights)
     timed("semantic_dedup", catalog.q_semantic_dedup)
+    timed("bpe_token_counts", catalog.q_bpe_token_counts)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

@@ -635,6 +635,18 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(raw, target)
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """Per-doc token counts under a corpus-trained BPE tokenizer
+    (text/bpe.py). No SQL oracle: BPE's iterative merge training is not
+    SQL-expressible; correctness is pinned by the brute-force reference
+    equivalence in tests/test_bpe.py (driver records rows-only)."""
+    from knowledgegraphs_ray.text.bpe import bpe_token_counts, train_bpe_from_corpus
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    tok = train_bpe_from_corpus(docs, num_merges=200)
+    return bpe_token_counts(docs, tok)
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup survivors (sim/semdedup.py, exact tier): embedding-space
     near-duplicate components at cosine >= 0.4 (the threshold this
@@ -748,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_window_stats": q_dup_window_stats,
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
+        "bpe_token_counts": q_bpe_token_counts,
     }
 
 
