@@ -66,9 +66,21 @@ def exact_cosine_pairs(
     id_col: str = "vec_id",
     column: str = "embedding",
     threshold: float = 0.9,
+    rows_per_block: int = 8192,
 ) -> ray.data.Dataset:
     """-> every (doc_a < doc_b, cosine) pair with cosine >= threshold.
-    Exact (no blocking/LSH loss)."""
+    Exact (no blocking/LSH loss).
+
+    Task count is quadratic in block count, so tiny read blocks turn one
+    matmul into thousands of scheduler round-trips: coalesce to
+    ``rows_per_block`` tiles first (an 8192² fp32 tile is a ~256 MB sims
+    matrix per task — big enough to amortize, small enough for a worker
+    heap)."""
+    import math
+
+    n = ds.count()
+    target = max(1, math.ceil(n / rows_per_block))
+    ds = ds.repartition(target)
     refs = ds.to_arrow_refs()
     norm = [_norm_block.remote(r, id_col, column) for r in refs]
     out = []
