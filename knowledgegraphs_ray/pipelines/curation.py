@@ -126,6 +126,19 @@ def dedup_exact_rows(
     return out.drop_columns(["__bucket"])
 
 
+def _keep_ids(corpus: ray.data.Dataset, ids: ray.data.Dataset) -> ray.data.Dataset:
+    """Corpus rows whose doc_id is in the (selection-sized) id set —
+    broadcast semi-join below 2M ids, hash join above."""
+    from knowledgegraphs_ray.extract.joins import broadcast_join, native_join
+
+    ids = ids.materialize()
+    if ids.count() <= 2_000_000:
+        return broadcast_join(corpus, ids, left_on="doc_id", right_on="doc_id",
+                              how="inner")
+    return native_join(corpus, ids, left_on="doc_id", right_on="doc_id",
+                       how="inner")
+
+
 def curate_run(
     root: str,
     ingest,
@@ -142,6 +155,10 @@ def curate_run(
     paragraph_min_count: int | None = None,
     span_dedup_w: int | None = None,
     ppl_keep_quantile: float | None = None,
+    semantic_threshold: float | None = None,
+    embeddings=None,
+    dsir_top_k: int | None = None,
+    dsir_target=None,
 ) -> "CheckpointedPipeline":
     """Run (or resume) the curation chain under ``root``.
 
@@ -156,9 +173,13 @@ def curate_run(
     (dedup/spans.py, Lee et al. order: after boilerplate removal, before
     the quality gate re-counts tokens); ``ppl_keep_quantile`` keeps the
     least-perplexed fraction by a corpus-trained unigram LM (text/lm.py,
-    CCNet head selection) after the rule-based gates. Stage names are
-    stable, so a resume with the same flags skips finished stages as
-    usual.
+    CCNet head selection) after the rule-based gates;
+    ``semantic_threshold`` + ``embeddings`` (zero-arg callable ->
+    (doc_id, embedding) Dataset) inserts SemDeDup after the lexical
+    near-dedup; ``dsir_top_k`` + ``dsir_target`` (zero-arg callable ->
+    target-domain docs) keeps only the top-k most target-like survivors
+    (text/dsir.py) before mixture sampling. Stage names are stable, so a
+    resume with the same flags skips finished stages as usual.
     """
     from knowledgegraphs_ray.dedup.minhash import (
         components_from_pairs,
@@ -249,10 +270,50 @@ def curate_run(
         return resolve_duplicates(corpus, comp, keep="longest")
 
     p.stage("near_dedup", near_dedup)
+    pre_sample = "near_dedup"
+    if semantic_threshold is not None and embeddings is not None:
+        # SemDeDup after lexical dedup (the paper's placement: semantic
+        # near-dups survive MinHash because their TOKENS differ). Docs
+        # absent from the embeddings table cannot lose and are kept.
+        from knowledgegraphs_ray.sim.semdedup import semantic_pairs
+
+        sem_src = pre_sample
+        p.stage(
+            "sem_dedup",
+            lambda: resolve_duplicates(
+                p.dataset(sem_src),
+                components_from_pairs(
+                    semantic_pairs(
+                        embeddings(), threshold=semantic_threshold,
+                        id_col="doc_id",
+                    ).materialize()
+                ),
+                keep="min_id",
+            ),
+        )
+        pre_sample = "sem_dedup"
+    if dsir_top_k is not None and dsir_target is not None:
+        # DSIR last of the content gates: select the top-k most
+        # target-like survivors before mixture sampling
+        from knowledgegraphs_ray.text.dsir import dsir_select
+
+        dsir_src = pre_sample
+        p.stage(
+            "dsir_selected",
+            lambda: _keep_ids(
+                p.dataset(dsir_src),
+                dsir_select(
+                    p.dataset(dsir_src, columns=["doc_id", "text"]),
+                    dsir_target(),
+                    dsir_top_k,
+                ).select_columns(["doc_id"]),
+            ),
+        )
+        pre_sample = "dsir_selected"
     p.stage(
         "sampled",
         lambda: stratified_sample(
-            p.dataset("near_dedup"),
+            p.dataset(pre_sample),
             rates=rates or {},
             default_rate=default_rate,
             hash_fn="splitmix",

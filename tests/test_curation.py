@@ -192,3 +192,61 @@ def test_curate_run_with_span_and_ppl_stages(tmp_path):
     n_ppl = m["ppl_filtered"]["rows"]
     assert 0 < n_ppl <= n_filtered
     assert n_ppl >= 0.9 * n_filtered - 1  # head-selection contract
+
+
+def test_curate_run_with_semdedup_and_dsir(tmp_path):
+    """Round-3 selection stages: SemDeDup drops the embedding near-dup
+    loser, DSIR keeps only the top-k most target-like survivors, and both
+    slot into the checkpoint chain with stable names."""
+    from knowledgegraphs_ray.pipelines.curation import curate_run
+
+    def docs():
+        # half the tokens unique per doc so MinHash near-dedup does not
+        # collapse the corpus before the new stages run
+        rows = []
+        for i in range(30):
+            base = (
+                "cat feline whiskers purr nap meow paw fur tail claw"
+                if i % 3 == 0
+                else "bond yield margin swap rate curve hedge basis spread tenor"
+            )
+            uniq = " ".join(f"u{i}x{j}" for j in range(10))
+            rows.append(
+                {"doc_id": i, "text": f"{base} {uniq}", "lang": "en",
+                 "source": "s"}
+            )
+        return ray.data.from_items(rows)
+
+    def embeddings():
+        # docs 1 and 4 are semantic near-dups; 4 loses (min id survives)
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(30, 8)).astype(np.float32)
+        base[4] = base[1] + 1e-4
+        return ray.data.from_items(
+            [{"doc_id": i, "embedding": base[i].tolist()} for i in range(30)]
+        )
+
+    def target():
+        return docs().filter(lambda r: r["doc_id"] % 3 == 0)
+
+    p = curate_run(
+        str(tmp_path / "c"),
+        docs,
+        min_tokens=5,
+        default_rate=1.0,
+        pack_budget=512,
+        semantic_threshold=0.95,
+        embeddings=embeddings,
+        dsir_top_k=8,
+        dsir_target=target,
+    )
+    m = p.metrics()
+    assert "sem_dedup" in m and "dsir_selected" in m
+    sem = p.dataset("sem_dedup").to_pandas()
+    assert 4 not in set(sem["doc_id"])  # semantic loser dropped
+    assert 1 in set(sem["doc_id"])      # min-id survivor kept
+    sel = p.dataset("dsir_selected").to_pandas()
+    assert len(sel) == 8
+    # every selected doc is cat-domain (target-like)
+    assert all(i % 3 == 0 for i in sel["doc_id"])
+    assert m["sampled"]["rows"] == 8  # default_rate=1.0 passes all through
