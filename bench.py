@@ -80,6 +80,7 @@ def run_bench() -> dict:
     timed("dsir_weights", catalog.q_dsir_weights)
     timed("semantic_dedup", catalog.q_semantic_dedup)
     timed("bpe_token_counts", catalog.q_bpe_token_counts)
+    timed("c4_clean", catalog.q_c4_clean)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

@@ -635,6 +635,41 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(raw, target)
 
 
+def q_c4_clean(sf_dir: str):
+    """C4 line-level cleaning (text/c4.py) over a multi-line augmentation
+    of the documents table (the raw testdata is single-line): each doc
+    gains two good lines, a short line, a javascript line, and every 7th
+    (brace) / 11th (lorem ipsum) doc a poison line — mirrored exactly in
+    the oracle's derived table."""
+    import polars as pl
+
+    from knowledgegraphs_ray.text.c4 import c4_clean
+
+    def augment(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        base = pl.col("text").fill_null("")
+        tail = (
+            pl.when(pl.col("doc_id") % 7 == 0)
+            .then(pl.lit("brace { line"))
+            .when(pl.col("doc_id") % 11 == 0)
+            .then(pl.lit("has lorem ipsum inside."))
+            .otherwise(pl.lit("Another good line here!"))
+        )
+        text = (
+            base
+            + pl.lit(" end.\ntoo short\n")
+            + base
+            + pl.lit(" tail?\nLines with javascript get dropped.\n")
+            + tail
+        )
+        return df.select(pl.col("doc_id"), text.alias("text")).to_arrow()
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        augment, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return c4_clean(docs)
+
+
 def q_bpe_token_counts(sf_dir: str):
     """Per-doc token counts under a corpus-trained BPE tokenizer
     (text/bpe.py). No SQL oracle: BPE's iterative merge training is not
@@ -761,6 +796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": q_dsir_weights,
         "semantic_dedup": q_semantic_dedup,
         "bpe_token_counts": q_bpe_token_counts,
+        "c4_clean": q_c4_clean,
     }
 
 
@@ -1064,6 +1100,18 @@ def oracle_sql() -> dict[str, str]:
             "knowledgegraphs_ray.sim.semdedup",
             fromlist=["semantic_dedup_oracle_sql"],
         ).semantic_dedup_oracle_sql(threshold=0.4),
+        "c4_clean": __import__(
+            "knowledgegraphs_ray.text.c4", fromlist=["c4_oracle_sql"]
+        ).c4_oracle_sql(
+            table=(
+                "(SELECT doc_id, coalesce(text, '') || ' end.' || chr(10) || "
+                "'too short' || chr(10) || coalesce(text, '') || ' tail?' || "
+                "chr(10) || 'Lines with javascript get dropped.' || chr(10) || "
+                "CASE WHEN doc_id % 7 = 0 THEN 'brace { line' "
+                "WHEN doc_id % 11 = 0 THEN 'has lorem ipsum inside.' "
+                "ELSE 'Another good line here!' END AS text FROM documents) c4in"
+            )
+        ),
     }
 
 

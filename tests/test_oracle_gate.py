@@ -31,6 +31,7 @@ SUBSET = [
     "dup_window_stats",     # duplicated n-gram windows, Lee et al. (r3)
     "dsir_weights",         # DSIR importance weights, integer log ratios (r3)
     "semantic_dedup",       # SemDeDup exact tier, recursive-CTE components (r3)
+    "c4_clean",             # C4 line-level cleaning, list_filter oracle (r3)
 ]
 
 
