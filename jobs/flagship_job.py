@@ -29,6 +29,10 @@ def main() -> int:
                     help="generate N synthetic conversations instead of reading input")
     ap.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--no-nt", action="store_true", help="skip the N-Triples sink")
+    ap.add_argument("--graphdb", help="RDF4J/GraphDB endpoint to upload edges to")
+    ap.add_argument("--graphdb-repo", default="kg", help="repository id")
+    ap.add_argument("--publish-pii-root",
+                    help="topic-log root: publish schema PII results there")
     args = ap.parse_args()
 
     import ray
@@ -59,7 +63,27 @@ def main() -> int:
     else:
         p = flagship_run(args.root, args.sf_dir, write_nt=not args.no_nt)
 
-    print(json.dumps({"root": args.root, "stages": p.metrics()}))
+    tail = {}
+    if args.graphdb or args.publish_pii_root:
+        # the reference Pipeline's epilogue: GraphDB upload + PII publish
+        from knowledgegraphs_ray.pipelines.service_tail import (
+            run_service_tail,
+            schema_pii_results,
+        )
+
+        tail = run_service_tail(
+            p.dataset("edges") if args.graphdb else None,
+            graphdb_endpoint=args.graphdb,
+            graphdb_repo=args.graphdb_repo,
+            pii_results=(
+                schema_pii_results(args.sf_dir)
+                if args.publish_pii_root
+                else None
+            ),
+            topic_root=args.publish_pii_root,
+        )
+
+    print(json.dumps({"root": args.root, "stages": p.metrics(), "tail": tail}))
     ray.shutdown()
     return 0
 

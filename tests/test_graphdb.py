@@ -178,3 +178,40 @@ def test_failed_transaction_rolls_back(stub, tmp_path):
         c.upload_files([str(tmp_path / "missing.nt")])
     assert srv.repos["kg"] == []
     assert srv.txns == {}  # rolled back, not leaked
+
+
+def test_service_tail_end_to_end(stub, tmp_path):
+    """Pipeline.java epilogue parity: edges upload to the RDF4J stub AND
+    schema PII results publish to the topic log, from one call."""
+    import json as _json
+
+    from knowledgegraphs_ray.pipelines.service_tail import (
+        run_service_tail,
+        schema_pii_results,
+    )
+    from knowledgegraphs_ray.sinks.topiclog import read_topic
+
+    srv, url = stub
+    edges = ray.data.from_items(
+        [
+            {"subj": "ex:s1", "pred": "rdf:type", "obj": "ex:C"},
+            {"subj": "ex:s2", "pred": "ex:p", "obj": "ex:o"},
+        ]
+    )
+    pii = schema_pii_results("/root/testdata/sf0.001")
+    assert "dataset" in pii.columns and len(pii) > 0
+    out = run_service_tail(
+        edges,
+        graphdb_endpoint=url,
+        graphdb_repo="kg",
+        pii_results=pii,
+        topic_root=str(tmp_path),
+    )
+    assert out["graphdb"]["triples"] == 2
+    assert out["pii_published"]["messages"] == len(pii)
+    assert "".join(srv.repos["kg"]).count(" .") == 2
+    log = read_topic(str(tmp_path), "pii").to_pandas()
+    keys = set(log["key"])
+    assert keys == set(pii["dataset"])
+    first = _json.loads(log.iloc[0]["value"])
+    assert {"element", "dpv_matches", "dataset"} <= set(first)
