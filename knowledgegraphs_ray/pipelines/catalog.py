@@ -627,12 +627,10 @@ def q_dsir_weights(sf_dir: str):
     from knowledgegraphs_ray.text.dsir import dsir_weights
 
     raw = _docs(sf_dir, ["doc_id", "text"])
-    target = raw.map_batches(
-        lambda t: t.filter(pa.array(t["doc_id"].to_numpy() % 10 == 0)),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    # single-pass tier: raw + target tallies in one corpus read
+    return dsir_weights(
+        raw, target_mask=lambda t: t["doc_id"].to_numpy() % 10 == 0
     )
-    return dsir_weights(raw, target)
 
 
 def q_c4_clean(sf_dir: str):

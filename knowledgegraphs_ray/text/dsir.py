@@ -80,10 +80,44 @@ def _q_series(counts: pl.Series, denom: float) -> pl.Series:
     )
 
 
+def _dual_count_partials(
+    docs: ray.data.Dataset, *, text_col: str, lower: bool, target_mask
+) -> ray.data.Dataset:
+    """(token, n_raw, n_t) per-block partials in ONE pass — when the
+    target domain is a row predicate of the raw corpus, counting both
+    distributions separately wastes a full corpus read."""
+
+    def block(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        mask = np.asarray(target_mask(batch), dtype=bool)
+        s = pl.from_arrow(batch[text_col]).rename("t")
+        if lower:
+            s = s.str.to_lowercase()
+        ex = (
+            pl.DataFrame(
+                {
+                    "__t": pl.Series(mask),
+                    "tok": s.str.extract_all(TOKEN_RE),
+                }
+            )
+            .explode("tok")
+            .drop_nulls("tok")
+        )
+        agg = ex.group_by("tok").agg(
+            n_raw=pl.len().cast(pl.Int64),
+            n_t=pl.col("__t").cast(pl.Int64).sum(),
+        )
+        return agg.rename({"tok": "token"}).to_arrow()
+
+    return docs.map_batches(block, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def dsir_weights(
     raw: ray.data.Dataset,
-    target: ray.data.Dataset,
+    target: ray.data.Dataset | None = None,
     *,
+    target_mask=None,
     id_col: str = "doc_id",
     text_col: str = "text",
     lower: bool = True,
@@ -95,16 +129,39 @@ def dsir_weights(
     (positive = more target-like). The broadcast table is
     vocabulary-sized; above ``driver_limit`` distinct tokens the count
     merge falls back to the distributed fastagg tier.
+
+    Pass EITHER ``target`` (a separate Dataset — two counting passes) or
+    ``target_mask`` (a ``batch -> bool array`` row predicate over the raw
+    corpus — raw and target tallies count in ONE corpus pass, the 100-TB
+    shape when the target is a subset of the raw corpus). Results are
+    identical for ``target == raw.filter(mask)``.
     """
-    c_raw = _count_table(raw, text_col=text_col, lower=lower, driver_limit=driver_limit)
-    c_t = _count_table(
-        target, text_col=text_col, lower=lower, driver_limit=driver_limit
-    )
-    both = c_raw.rename({"n": "n_raw"}).join(
-        c_t.rename({"n": "n_t"}), on="token", how="full", coalesce=True
-    ).with_columns(
-        pl.col("n_raw").fill_null(0), pl.col("n_t").fill_null(0)
-    )
+    if (target is None) == (target_mask is None):
+        raise ValueError("pass exactly one of target / target_mask")
+    if target_mask is not None:
+        merged = merge_partials(
+            _dual_count_partials(
+                raw, text_col=text_col, lower=lower, target_mask=target_mask
+            ),
+            keys=["token"],
+            agg={"n_raw": "sum", "n_t": "sum"},
+            driver_limit=driver_limit,
+        )
+        both = pl.from_arrow(
+            pa.Table.from_pandas(merged.to_pandas(), preserve_index=False)
+        )
+    else:
+        c_raw = _count_table(
+            raw, text_col=text_col, lower=lower, driver_limit=driver_limit
+        )
+        c_t = _count_table(
+            target, text_col=text_col, lower=lower, driver_limit=driver_limit
+        )
+        both = c_raw.rename({"n": "n_raw"}).join(
+            c_t.rename({"n": "n_t"}), on="token", how="full", coalesce=True
+        ).with_columns(
+            pl.col("n_raw").fill_null(0), pl.col("n_t").fill_null(0)
+        )
     v = both.height  # shared vocabulary size (union)
     total_raw = float(int(both["n_raw"].sum() or 0)) + float(v)
     total_t = float(int(both["n_t"].sum() or 0)) + float(v)
@@ -176,9 +233,10 @@ def dsir_weights(
 
 def dsir_select(
     raw: ray.data.Dataset,
-    target: ray.data.Dataset,
-    k: int,
+    target: ray.data.Dataset | None = None,
+    k: int = 1000,
     *,
+    target_mask=None,
     id_col: str = "doc_id",
     text_col: str = "text",
     lower: bool = True,
@@ -186,7 +244,10 @@ def dsir_select(
     """Top-k most target-like raw documents (weights attached), ties
     broken by id for determinism — a distributed sort+limit, never a
     driver-side ranking."""
-    w = dsir_weights(raw, target, id_col=id_col, text_col=text_col, lower=lower)
+    w = dsir_weights(
+        raw, target, target_mask=target_mask, id_col=id_col,
+        text_col=text_col, lower=lower,
+    )
     return w.sort(["logweight_micro", id_col], descending=[True, False]).limit(k)
 
 

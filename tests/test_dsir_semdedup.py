@@ -142,3 +142,26 @@ def test_semantic_dedup_no_pairs_is_identity():
     ds = ray.data.from_items(rows)
     out = semantic_dedup(ds, threshold=0.999).to_pandas()
     assert sorted(out["vec_id"].tolist()) == list(range(8))
+
+
+def test_dsir_masked_single_pass_equals_two_dataset_path():
+    raw = ray.data.from_items(DSIR_ROWS)
+    two = (
+        dsir_weights(raw, _target(raw))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    one = (
+        dsir_weights(
+            raw, target_mask=lambda t: t["doc_id"].to_numpy() % 10 == 0
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(one, two)
+    with pytest.raises(ValueError):
+        dsir_weights(raw)  # neither target form
+    with pytest.raises(ValueError):
+        dsir_weights(raw, _target(raw), target_mask=lambda t: None)  # both
