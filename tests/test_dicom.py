@@ -200,3 +200,68 @@ def test_broaden_pair_mints_when_no_match():
     assert (d, r) == ("InformationEntity", "Series")
     assert p == "p_InformationEntity_Series"
     assert sub == {"Patient": "InformationEntity"}
+
+
+# --- property: writer -> parser roundtrip over random element sets ----------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ASCII = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789^_-"
+_str_val = st.text(alphabet=_ASCII, min_size=1, max_size=24)
+
+
+@st.composite
+def _elements(draw):
+    els = {}
+    # string VRs on distinct private-group tags (keyword table not needed)
+    for i, vr in enumerate(draw(st.lists(
+        st.sampled_from(["LO", "SH", "CS", "PN", "UI", "LT"]),
+        min_size=1, max_size=5,
+    ))):
+        els[(0x0011, 0x1000 + i, vr)] = draw(_str_val)
+    if draw(st.booleans()):
+        els[(0x0011, 0x2000, "US")] = draw(st.integers(0, 0xFFFF))
+    if draw(st.booleans()):
+        els[(0x0011, 0x2001, "SL")] = draw(st.integers(-(2**31), 2**31 - 1))
+    if draw(st.booleans()):
+        els[(0x0011, 0x2002, "FD")] = draw(
+            st.floats(allow_nan=False, allow_infinity=False, width=64)
+        )
+    if draw(st.booleans()):
+        d = draw(st.dates())
+        els[(0x0011, 0x2003, "DA")] = f"{d.year:04d}{d.month:02d}{d.day:02d}"
+    if draw(st.booleans()):  # one nested sequence item
+        els[(0x0011, 0x3000, "SQ")] = [
+            {(0x0011, 0x3001, "LO"): draw(_str_val)}
+        ]
+    return els
+
+
+@settings(max_examples=40, deadline=None)
+@given(_elements())
+def test_dicom_write_parse_roundtrip(els):
+    from knowledgegraphs_ray.sources.dicom import (
+        convert_for_time,
+        parse_dicom,
+        tag_code,
+        write_dicom,
+    )
+
+    body = parse_dicom(write_dicom(els))["DICOMObject"]
+    for (g, e, vr), val in els.items():
+        got = body[tag_code(g, e)]
+        if vr == "SQ":
+            inner_key = tag_code(0x0011, 0x3001)
+            assert got == [
+                {inner_key: v for (_, _, _), v in item.items()}
+                for item in val
+            ]
+        elif vr in ("US", "SL"):
+            assert got == val
+        elif vr == "FD":
+            assert got == val  # 8-byte LE double: exact
+        elif vr == "DA":
+            assert got == convert_for_time(val, "DA")
+        else:
+            assert got == val
