@@ -162,18 +162,20 @@ def publish_dataset(
     key_col: str | None = None,
     num_partitions: int = 4,
 ) -> int:
-    """Publish every row (as one JSON message) to the topic log; rows
-    route to partition actors by ``key_col`` hash. -> records published.
+    """Publish every row (as one JSON message) to the topic log.
+    -> records published.
 
-    The consume side of the driver contract: rows flow worker ->
-    partition actor, so ordering per key holds and the driver sees only
-    the acknowledgement count."""
+    Rows route WORKER -> partition actor (the actor handles ship inside
+    the map_batches UDF), so the driver never touches a message — it sums
+    per-block acknowledgement counts. Per-key ordering holds within each
+    block (one send per block per partition); blocks publish concurrently,
+    which is exactly Kafka's multi-producer contract — strict global
+    per-key order needs a single :class:`TopicLogProducer`."""
     producer = TopicLogProducer(root, topic, num_partitions=num_partitions)
+    writers = producer._writers
+    n_parts = producer.num_partitions
 
-    # route from the driver over row REFS? No — iterate blocks as they
-    # stream and forward each block's rows to the partition actors. The
-    # driver touches only block handles; rows serialize actor-to-actor.
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pandas"):
+    def block(batch: pd.DataFrame) -> pd.DataFrame:
         keys = (
             batch[key_col].astype(str).tolist()
             if key_col
@@ -183,8 +185,20 @@ def publish_dataset(
             json.dumps(rec, sort_keys=True, default=str)
             for rec in batch.to_dict("records")
         ]
-        producer.send_batch(values, keys)
-    return producer.flush()
+        by_part: dict[int, tuple[list, list]] = {}
+        for i, (k, v) in enumerate(zip(keys, values)):
+            p = _hash_key(k, n_parts) if k is not None else i % n_parts
+            ks, vs = by_part.setdefault(p, ([], []))
+            ks.append(k)
+            vs.append(v)
+        acked = sum(
+            len(ray.get(writers[p].append.remote(ks, vs)))
+            for p, (ks, vs) in sorted(by_part.items())
+        )
+        return pd.DataFrame({"acked": [acked]})
+
+    acct = ds.map_batches(block, batch_format="pandas").to_pandas()
+    return int(acct["acked"].sum())
 
 
 def read_topic(root: str, topic: str) -> ray.data.Dataset:
