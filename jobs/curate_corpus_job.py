@@ -19,6 +19,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _mod10_filter(t):
+    import pyarrow as pa
+
+    return t.filter(pa.array(t["doc_id"].to_numpy() % 10 == 0))
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", help="documents Parquet dir (doc_id, text, lang, ...)")
@@ -40,6 +46,16 @@ def main() -> int:
     ap.add_argument("--decontam-n", type=int, default=8)
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic documents instead of reading input")
+    ap.add_argument("--span-dedup-w", type=int, default=None,
+                    help="cut corpus-duplicated w-token spans first")
+    ap.add_argument("--ppl-quantile", type=float, default=None,
+                    help="keep the q least-perplexed fraction (CCNet head)")
+    ap.add_argument("--dsir-top-k", type=int, default=None,
+                    help="keep top-k most target-like survivors "
+                         "(target = doc_id %% 10 == 0)")
+    ap.add_argument("--embeddings", default=None,
+                    help="(doc_id, embedding) Parquet: enable SemDeDup")
+    ap.add_argument("--semantic-threshold", type=float, default=0.95)
     args = ap.parse_args()
 
     import ray
@@ -89,6 +105,26 @@ def main() -> int:
         gopher_rules=args.gopher,
         benchmark=benchmark,
         decontam_n=args.decontam_n,
+        span_dedup_w=args.span_dedup_w,
+        ppl_keep_quantile=args.ppl_quantile,
+        semantic_threshold=(
+            args.semantic_threshold if args.embeddings else None
+        ),
+        embeddings=(
+            (lambda: ray.data.read_parquet(
+                args.embeddings, columns=["doc_id", "embedding"]
+            ))
+            if args.embeddings
+            else None
+        ),
+        dsir_top_k=args.dsir_top_k,
+        dsir_target=(
+            (lambda: ingest().map_batches(
+                _mod10_filter, batch_format="pyarrow", zero_copy_batch=True
+            ))
+            if args.dsir_top_k
+            else None
+        ),
     )
     metrics = p.metrics()
     with open(os.path.join(args.root, "metrics.json"), "w") as f:
