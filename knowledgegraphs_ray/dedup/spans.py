@@ -357,10 +357,12 @@ def remove_duplicated_spans(
     token covered by a corpus-duplicated w-token window is cut. Docs whose
     whole text was duplicated are dropped unless ``keep_empty``.
 
-    Requires the dup-hash set to fit the broadcast tier (it does whenever
-    this runs after paragraph/exact dedup has taken out boilerplate); at
-    crawl-scale duplication run :func:`duplicated_window_stats` + a
-    threshold filter first, or raise ``stride``.
+    Two tiers: below ``broadcast_limit`` duplicated hashes the dup set
+    ships once and every block cuts locally (text never shuffles); above
+    it, (doc_id, start, whash) window rows flow through one hash join
+    against the dup table and the per-doc cut positions come back as a
+    (doc_id, starts) table joined onto the corpus — text shuffles exactly
+    once, windows as 24-byte rows.
     """
     dup = _dup_hash_table(
         docs,
@@ -373,10 +375,9 @@ def remove_duplicated_spans(
     ).materialize()
     n_dup = dup.count()
     if n_dup > broadcast_limit:
-        raise ValueError(
-            f"{n_dup} duplicated window hashes exceed broadcast_limit="
-            f"{broadcast_limit}; raise stride / pre-dedup the corpus, or use "
-            "duplicated_window_stats (join tier) + a document-level filter"
+        return _remove_join_tier(
+            docs, dup, id_col=id_col, text_col=text_col, w=w, stride=stride,
+            lower=lower, keep_empty=keep_empty,
         )
     ref = ray.put(_dup_array(dup))
     return docs.map_batches(
@@ -392,3 +393,141 @@ def remove_duplicated_spans(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def _remove_join_tier(
+    docs: ray.data.Dataset,
+    dup: ray.data.Dataset,
+    *,
+    id_col: str,
+    text_col: str,
+    w: int,
+    stride: int,
+    lower: bool,
+    keep_empty: bool,
+) -> ray.data.Dataset:
+    """Scale tier: dup-hash set too large to broadcast. Window rows hash-
+    join the dup table; per-doc cut starts aggregate as per-block string
+    partials (a doc's windows scatter across whash buckets, so fragments
+    merge per doc afterwards — the merge table is affected-doc-sized)."""
+    import pandas as pd
+
+    from knowledgegraphs_ray.extract.joins import bucket_join, native_join
+
+    def wins(batch: pa.Table) -> pa.Table:
+        did, starts, wh, _, _ = _doc_windows(
+            batch, id_col=id_col, text_col=text_col, w=w, stride=stride,
+            lower=lower,
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids[did], pa.int64()),
+                "start": pa.array(starts, pa.int64()),
+                "whash": pa.array(wh, pa.int64()),
+            }
+        )
+
+    windows = docs.map_batches(wins, batch_format="pyarrow", zero_copy_batch=True)
+    hits = bucket_join(
+        windows, dup, left_on="whash", right_on="whash", how="inner"
+    )
+
+    # co-locate each doc's hit rows in one bucket (hash of doc id), then
+    # aggregate starts per doc with ONE vectorized polars group_by per
+    # bucket — no per-doc Python, docs never straddle buckets
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # bucket_join's per-bucket pandas merge can float-upcast int columns
+        # in buckets where one side was empty; restore exact int64 here
+        batch = pa.table(
+            {
+                id_col: pc.cast(batch[id_col], pa.int64()),
+                "start": pc.cast(batch["start"], pa.int64()),
+            }
+        )
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
+        return batch.append_column("__b", pa.array(b.astype(np.int64), pa.int64()))
+
+    def bucket_agg(group: pa.Table) -> pa.Table:
+        df = pl.from_arrow(group.select([id_col, "start"]))
+        agg = df.group_by(id_col).agg(
+            dup_starts=pl.col("start").cast(pl.Utf8).str.join(",")
+        )
+        return agg.to_arrow().cast(
+            pa.schema([(id_col, pa.int64()), ("dup_starts", pa.string())])
+        )
+
+    _starts_schema = pa.schema([(id_col, pa.int64()), ("dup_starts", pa.string())])
+
+    def fix_schema(t: pa.Table) -> pa.Table:
+        # empty groupby partitions arrive column-less (Ray empty-block
+        # quirk); the downstream hash join needs one constant schema
+        if t.num_columns == 0:
+            return _starts_schema.empty_table()
+        return t.cast(_starts_schema)
+
+    starts_tbl = (
+        hits.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__b")
+        .map_groups(bucket_agg, batch_format="pyarrow")
+        .map_batches(fix_schema, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    # bucket_join, not Dataset.join: Ray's hash-join finalize builds
+    # column-less right tables for partitions with no right rows (sparse
+    # affected-doc tables guarantee some), which Acero rejects
+    joined = bucket_join(
+        docs, starts_tbl, left_on=id_col, right_on=id_col, how="left",
+        right_cols=[id_col, "dup_starts"],
+    )
+    return joined.map_batches(
+        _CutWithStarts(
+            id_col=id_col, text_col=text_col, w=w, lower=lower,
+            keep_empty=keep_empty,
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+class _CutWithStarts:
+    """Cut tokens covered by the per-doc dup-window starts carried in the
+    ``dup_starts`` column (comma-joined, unordered — sorted after parse);
+    same coverage/rebuild semantics as the broadcast kernel."""
+
+    def __init__(self, *, id_col, text_col, w, lower, keep_empty):
+        self.id_col, self.text_col = id_col, text_col
+        self.w, self.lower, self.keep_empty = w, lower, keep_empty
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        starts_col = batch["dup_starts"].to_pylist()
+        batch = batch.drop_columns(["dup_starts"])
+        texts = batch[self.text_col].to_pandas().to_numpy(dtype=object)
+        n_docs = len(texts)
+        n_removed = np.zeros(n_docs, dtype=np.int64)
+        df = pl.from_arrow(batch.select([self.text_col]))
+        toks = df[self.text_col].str.extract_all(TOKEN_RE)
+        for i, raw in enumerate(starts_col):
+            if not raw:
+                continue
+            starts = np.unique(np.array(raw.split(","), dtype=np.int64))
+            t = toks[i].to_numpy()
+            covered = np.zeros(len(t) + 1, dtype=np.int64)
+            np.add.at(covered, np.minimum(starts, len(t)), 1)
+            np.add.at(covered, np.minimum(starts + self.w, len(t)), -1)
+            mask = np.cumsum(covered[: len(t)]) > 0
+            n_removed[i] = int(mask.sum())
+            texts[i] = " ".join(t[~mask])
+        out = batch.set_column(
+            batch.schema.get_field_index(self.text_col),
+            self.text_col,
+            pa.array(texts, pa.string()),
+        ).append_column("n_removed_tokens", pa.array(n_removed, pa.int64()))
+        if not self.keep_empty:
+            out = out.filter(pc.not_equal(out[self.text_col], ""))
+        return out

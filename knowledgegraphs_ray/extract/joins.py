@@ -88,6 +88,7 @@ def bucket_join(
     how: str = "inner",
     salt_threshold: int | None = None,
     n_salts: int = 8,
+    right_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Partitioned hash join: both sides bucketed on the key hash, buckets
     co-located via groupby, merged per bucket.
@@ -98,7 +99,16 @@ def bucket_join(
     side's hot rows replicate once per salt. A hot left row meets each right
     match in exactly one salt, so results are identical to the unsalted
     join; only the bucket sizes change. Leave ``None`` to salt manually
-    upstream via ``canon.skew``."""
+    upstream via ``canon.skew``.
+
+    ``right_cols``: the right side's column names. Without it the merge
+    infers each side's columns per bucket by dropping all-null union
+    columns — a heuristic that cannot tell a sparse-match left-join
+    bucket's missing right side apart from genuinely null payloads. Pass
+    it when the right side can be empty in some buckets (sparse
+    annotation tables) to get one deterministic output schema."""
+    if right_cols is not None:
+        assert right_on in right_cols, "right_cols must include the key"
     salt_hot: set = set()
     if salt_threshold is not None:
         assert how in ("inner", "left"), "auto-salting supports inner/left joins"
@@ -148,6 +158,20 @@ def bucket_join(
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         l = g[g["__side"] == 0].drop(columns=["__side", "__bucket"])
         r = g[g["__side"] == 1].drop(columns=["__side", "__bucket"])
+        if right_cols is not None:
+            # deterministic side split: no all-null inference, empty-side-safe
+            rc = [c for c in right_cols if c != right_on]
+            l = l[[c for c in l.columns if c not in rc]]
+            # reindex, not slice: a bucket assembled ONLY from left-side
+            # blocks never saw the right columns at all
+            r = r.reindex(columns=[right_on, *rc, "__salt"])
+            out = l.merge(
+                r,
+                how=how,
+                left_on=[left_on, "__salt"],
+                right_on=[right_on, "__salt"],
+            )
+            return out.drop(columns=["__salt"])
         if l.empty or (r.empty and how == "inner"):
             # schema-stable empty result (union of both sides' columns —
             # matches the merge output except for rare shared non-key names);
@@ -155,8 +179,13 @@ def bucket_join(
             drop = [c for c in ("__side", "__bucket", "__salt") if c in g.columns]
             return g.drop(columns=drop).head(0)
         # drop the all-null columns the union introduced from the other side
-        l = l.dropna(axis=1, how="all")
-        r = r.dropna(axis=1, how="all")
+        # — but never on an EMPTY frame, where how="all" holds vacuously for
+        # every column and a left join's empty right bucket would lose its
+        # key column (KeyError in the merge)
+        if not l.empty:
+            l = l.dropna(axis=1, how="all")
+        if not r.empty:
+            r = r.dropna(axis=1, how="all")
         # __salt joins too: a hot left row must meet each right match in
         # exactly ONE salt even when two (key, salt) combos share a bucket
         out = l.merge(

@@ -137,11 +137,17 @@ def test_remove_duplicated_spans_semantics():
     assert again["n_dup_windows"].sum() == 0
 
 
-def test_remove_spans_raises_past_broadcast_limit():
-    with pytest.raises(ValueError, match="broadcast_limit"):
-        remove_duplicated_spans(
-            ray.data.from_items(SPAN_ROWS), w=8, broadcast_limit=0
-        ).materialize()
+def test_remove_spans_past_broadcast_limit_uses_join_tier():
+    # past the broadcast limit the removal falls back to the hash-join
+    # tier instead of raising (round-3 close); outputs stay identical,
+    # which test_remove_spans_join_tier_equals_broadcast_tier pins
+    out = remove_duplicated_spans(
+        ray.data.from_items(SPAN_ROWS), w=8, broadcast_limit=0
+    ).materialize()
+    gold = remove_duplicated_spans(ray.data.from_items(SPAN_ROWS), w=8)
+    assert sorted(out.to_pandas()["doc_id"]) == sorted(
+        gold.to_pandas()["doc_id"]
+    )
 
 
 def test_perplexity_filter_keeps_fluent_head():
@@ -178,3 +184,28 @@ def test_read_table_filter_pushdown(sf_dir):
     gold = gold[gold.o_totalprice > 100_000.0]
     assert len(pushed) == len(gold) > 0
     assert set(pushed.o_orderkey) == set(gold.o_orderkey)
+
+
+def test_remove_spans_join_tier_equals_broadcast_tier():
+    """Scale tier (dup set too large to broadcast, forced via
+    broadcast_limit=0): window rows hash-join the dup table and the
+    per-doc cut starts come back through a bucketed join — output must be
+    row-identical to the broadcast tier, including untouched docs."""
+    rows = [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta theta unique1 one two"},
+        {"doc_id": 2, "text": "prefix alpha beta gamma delta epsilon zeta eta theta suffix"},
+        {"doc_id": 3, "text": "alpha beta gamma delta epsilon zeta eta theta"},  # fully dup
+        {"doc_id": 4, "text": "completely different words with no duplication at all here"},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    a = (
+        remove_duplicated_spans(ds, w=8)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    b = (
+        remove_duplicated_spans(ds, w=8, broadcast_limit=0)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    assert list(a["doc_id"]) == [1, 2, 4]  # fully-dup doc dropped
+    assert a.loc[2, "n_removed_tokens"] == 0  # untouched doc intact
