@@ -12,6 +12,7 @@ from collections.abc import Callable
 from typing import Any
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from knowledgegraphs_ray.dedup.exact import dedup_exact
@@ -63,6 +64,16 @@ def q_kg_triples_events(sf_dir: str):
     from knowledgegraphs_ray.pipelines.relational import extract_events_kg
 
     return decode_triples(extract_events_kg(sf_dir))
+
+
+def q_kg_pagerank(sf_dir: str):
+    """Entity PageRank over the star-KG link graph (graph/pagerank.py):
+    5 integer fixed-point iterations over the kg:p_* object-property edges;
+    bit-exact vs the unrolled-CTE DuckDB oracle."""
+    from knowledgegraphs_ray.graph.pagerank import pagerank
+    from knowledgegraphs_ray.pipelines.relational import extract_link_edges
+
+    return pagerank(extract_link_edges(sf_dir, STAR_TABLES), iters=5)
 
 
 def q_fk_containment(sf_dir: str):
@@ -759,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q_clean_corpus,
         "corpus_sample": q_corpus_sample,
         "kg_pred_stats": q_kg_pred_stats,
+        "kg_pagerank": q_kg_pagerank,
         "purchases_last_view": q_purchases_last_view,
         "lineitem_orders_join": q_lineitem_orders_join,
         "candidate_keys_customer": q_candidate_keys_customer,
@@ -874,6 +886,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_attr_classes_customer": _plan_sql(["customer"], attrs_to_classes=True),
         "kg_transcripts": sqlgen.transcript_triples_sql(),
         "kg_triples_events": _events_vdim_sql(),
+        # kg_pagerank: integer fixed-point iteration — identical floor-div
+        # arithmetic on both sides, so the CTE unroll is a true value oracle
+        "kg_pagerank": __import__(
+            "knowledgegraphs_ray.graph.pagerank", fromlist=["pagerank_oracle_sql"]
+        ).pagerank_oracle_sql(
+            "SELECT subj AS src, obj AS dst FROM ("
+            + _plan_sql(STAR_TABLES)
+            + ") WHERE pred LIKE 'kg:p~_%' ESCAPE '~'",
+            iters=5,
+        ),
         "fk_containment": (
             "SELECT count(*) AS n_src_rows, "
             "CAST(coalesce(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dangling, "

@@ -107,6 +107,47 @@ def extract_kg(
     return ds
 
 
+def extract_link_edges(
+    sf_dir: str,
+    tables: list[str] | None = None,
+    *,
+    schema: SchemaGraph | None = None,
+) -> ray.data.Dataset:
+    """(src, dst) entity-link edge Dataset = the kg:p_* object-property
+    triples ONLY, for graph analytics (graph/pagerank.py).
+
+    Equivalent to filtering the full extraction on ``pred LIKE 'kg:p_%'``
+    (which is what the DuckDB oracle does) but prunes at the PLAN level:
+    each table's emits are cut to LinkEmit before the kernel runs, so
+    ``needed_columns`` shrinks to PK+FK columns — the parquet read never
+    loads data columns and the kernel never materializes literal strings."""
+    from knowledgegraphs_ray.extract.kernel import decode_triples
+    from knowledgegraphs_ray.rules.compiler import LinkEmit
+
+    import pyarrow as pa
+
+    g = schema or tpch_schema(tables)
+    rules = compile_rules(g)
+    for plan in rules.plans.values():
+        plan.emits = [e for e in plan.emits if isinstance(e, LinkEmit)]
+    names = [
+        t
+        for t in (tables or list(g.tables))
+        if t in rules.plans and rules.plans[t].emits
+    ]
+    parts = [extract_table_triples(sf_dir, t, rules, g) for t in names]
+    ds = parts[0]
+    for p in parts[1:]:
+        ds = ds.union(p)
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b["subj"], "dst": b["obj"]})
+
+    return decode_triples(ds).map_batches(
+        to_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def events_schema() -> SchemaGraph:
     """Schema for the driver's event-stream table with ``user_id`` declared
     as an FK to a VIRTUAL ``user`` dimension — no physical user table exists;

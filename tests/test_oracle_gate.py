@@ -32,6 +32,7 @@ SUBSET = [
     "dsir_weights",         # DSIR importance weights, integer log ratios (r3)
     "semantic_dedup",       # SemDeDup exact tier, recursive-CTE components (r3)
     "c4_clean",             # C4 line-level cleaning, list_filter oracle (r3)
+    "kg_pagerank",          # integer fixed-point PageRank, unrolled CTEs (r3)
 ]
 
 
