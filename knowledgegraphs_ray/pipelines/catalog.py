@@ -76,6 +76,22 @@ def q_kg_pagerank(sf_dir: str):
     return pagerank(extract_link_edges(sf_dir, STAR_TABLES), iters=5)
 
 
+_COMPONENT_TABLES = ["customer", "supplier", "nation"]
+
+
+def q_kg_components(sf_dir: str):
+    """Connected components over the customer/supplier/nation link edges
+    (graph/components.py): every entity labelled with the lexicographically
+    smallest IRI reachable from it. The subgraph is chosen so components
+    are region-sized (5 of them), keeping the recursive-CTE oracle's
+    transitive closure polynomial at sf0.01 — the full star graph is one
+    giant component and the closure would be quadratic in corpus size."""
+    from knowledgegraphs_ray.graph.components import connected_components
+    from knowledgegraphs_ray.pipelines.relational import extract_link_edges
+
+    return connected_components(extract_link_edges(sf_dir, _COMPONENT_TABLES))
+
+
 def q_fk_containment(sf_dir: str):
     res = containment_check(
         ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"]),
@@ -771,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_sample": q_corpus_sample,
         "kg_pred_stats": q_kg_pred_stats,
         "kg_pagerank": q_kg_pagerank,
+        "kg_components": q_kg_components,
         "purchases_last_view": q_purchases_last_view,
         "lineitem_orders_join": q_lineitem_orders_join,
         "candidate_keys_customer": q_candidate_keys_customer,
@@ -895,6 +912,16 @@ def oracle_sql() -> dict[str, str]:
             + _plan_sql(STAR_TABLES)
             + ") WHERE pred LIKE 'kg:p~_%' ESCAPE '~'",
             iters=5,
+        ),
+        # kg_components: undirected reachability, representative = min
+        # reachable IRI on both sides (UnionFind rule == CTE min(label))
+        "kg_components": __import__(
+            "knowledgegraphs_ray.graph.components",
+            fromlist=["components_oracle_sql"],
+        ).components_oracle_sql(
+            "SELECT subj AS src, obj AS dst FROM ("
+            + _plan_sql(_COMPONENT_TABLES)
+            + ") WHERE pred LIKE 'kg:p~_%' ESCAPE '~'"
         ),
         "fk_containment": (
             "SELECT count(*) AS n_src_rows, "

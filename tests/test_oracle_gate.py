@@ -33,6 +33,7 @@ SUBSET = [
     "semantic_dedup",       # SemDeDup exact tier, recursive-CTE components (r3)
     "c4_clean",             # C4 line-level cleaning, list_filter oracle (r3)
     "kg_pagerank",          # integer fixed-point PageRank, unrolled CTEs (r3)
+    "kg_components",        # link-graph connected components, recursive CTE (r3)
 ]
 
 
