@@ -81,6 +81,8 @@ def run_bench() -> dict:
     timed("semantic_dedup", catalog.q_semantic_dedup)
     timed("bpe_token_counts", catalog.q_bpe_token_counts)
     timed("c4_clean", catalog.q_c4_clean)
+    timed("kg_pagerank", catalog.q_kg_pagerank)
+    timed("kg_components", catalog.q_kg_components)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

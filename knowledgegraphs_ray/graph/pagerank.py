@@ -22,13 +22,13 @@ out-edges) evaporates rather than being redistributed — the classic
 
 Two tiers, exact-equivalent (tier-equivalence pytest):
 
-* **broadcast** (node count <= ``broadcast_limit``): edges are integer-
-  encoded ONCE against a driver-held node index and materialized; each
-  iteration ships one node-sized int64 rank array via ``ray.put`` and
-  streams the encoded edges through a vectorized contribution kernel
-  (per-batch ``groupby(dst).sum`` partials -> ``sum_partials``). No edge
-  shuffle per iteration — the iteration cost is one map pass over edges
-  plus a node-sized partial merge.
+* **broadcast** (HLL node estimate <= 0.8 × ``broadcast_limit``): the node
+  set is built by a tree-unique merge over edge blocks (no shuffle), edges
+  are integer-encoded ONCE against the broadcast index and materialized;
+  each iteration ships one node-sized int64 rank array via ``ray.put``,
+  scatter-adds per-group dense contribution vectors (int64-exact), and
+  tree-sums <= 32 of them. NOTHING shuffles, ever — per-iteration cost is
+  one map pass over encoded edges + O(log tasks) dense adds.
 * **join** (beyond the broadcast limit): ranks stay a Dataset; each
   iteration is hash-join(edges_with_outdeg, ranks) -> per-batch partial
   sums by dst -> node left-join — the Pregel-style shuffle-per-superstep
@@ -87,88 +87,162 @@ def pagerank(
     # expensive upstream (e.g. the triple-extraction kernel) never re-runs;
     # at cluster scale the blocks live in / spill from the object store
     edges = edges.materialize()
-    nodes = _distinct_nodes(edges, src, dst).materialize()
-    n_nodes = nodes.count()
-    if n_nodes == 0:
+    if edges.count() == 0:
         return ray.data.from_arrow(
             pa.table({"node": pa.array([], pa.string()), "pr": pa.array([], pa.int64())})
         )
-    if n_nodes <= broadcast_limit:
+    # an HLL sketch (±1.6%) picks the tier without paying a distinct-node
+    # shuffle: below the (margin-guarded) limit the broadcast tier builds
+    # its exact node set with a tree-unique merge instead
+    est = _estimate_node_count(edges, src, dst)
+    if est <= 0.8 * broadcast_limit:
         return _pagerank_broadcast(
-            edges, nodes, src=src, dst=dst, iters=iters,
+            edges, src=src, dst=dst, iters=iters,
             damping_pct=damping_pct, scale=scale, base=base,
         )
+    nodes = _distinct_nodes(edges, src, dst).materialize()
     return _pagerank_join(
         edges, nodes, src=src, dst=dst, iters=iters,
         damping_pct=damping_pct, scale=scale, base=base,
     )
 
 
+def _estimate_node_count(edges: ray.data.Dataset, src: str, dst: str) -> int:
+    """Approximate distinct src ∪ dst: per-block HLL registers (4 KiB each)
+    max-merged on the driver — one cheap map pass, no shuffle."""
+    import polars as pl
+
+    from knowledgegraphs_ray.util.hll import (
+        DEFAULT_P,
+        hll_add_hashes,
+        hll_estimate,
+        hll_merge,
+        hll_new,
+    )
+
+    def sketch(b: pa.Table) -> pd.DataFrame:
+        s = pl.from_arrow(
+            pa.table({"v": pa.chunked_array(
+                [b[src].combine_chunks(), b[dst].combine_chunks()]
+            ).cast(pa.string())})
+        )["v"]
+        h = s.hash(seed=7).to_numpy().astype(np.uint64)
+        return pd.DataFrame({"regs": [hll_add_hashes(hll_new(DEFAULT_P), h)]})
+
+    parts = edges.map_batches(
+        sketch, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    regs = hll_new(DEFAULT_P)
+    for r in parts["regs"]:
+        regs = hll_merge(regs, np.asarray(r, dtype=np.uint8))
+    return int(round(hll_estimate(regs)))
+
+
 def _pagerank_broadcast(
-    edges, nodes, *, src, dst, iters, damping_pct, scale, base
+    edges, *, src, dst, iters, damping_pct, scale, base
 ) -> ray.data.Dataset:
-    # node index: sorted for determinism; node-count-sized on the driver
-    # (<= broadcast_limit by construction). Broadcast as an Arrow array —
-    # pc.index_in is a vectorized hash lookup, no Python strings per edge.
-    node_tbl = pa.concat_tables(ray.get(nodes.to_arrow_refs())).combine_chunks()
-    node_pa = pc.array_sort_indices(node_tbl["node"].combine_chunks())
-    node_pa = node_tbl["node"].combine_chunks().take(node_pa)
+    # exact node set via tree-unique over the edge blocks (per-leaf
+    # pc.unique, pairwise unique-merge — O(log blocks) rounds, node-sized
+    # intermediates, no hash shuffle); sorted for determinism. Driver-held
+    # (<= ~broadcast_limit by the HLL tier guard), broadcast as an Arrow
+    # array — pc.index_in is a vectorized hash lookup, no Python strings
+    # per edge.
+    @ray.remote
+    def leaf_unique(block: pa.Table) -> pa.Array:
+        return pc.unique(
+            pa.chunked_array(
+                [block[src].combine_chunks(), block[dst].combine_chunks()]
+            ).cast(pa.string())
+        )
+
+    @ray.remote
+    def merge_unique(a: pa.Array, b: pa.Array) -> pa.Array:
+        return pc.unique(pa.chunked_array([a, b]).combine_chunks())
+
+    refs = [leaf_unique.remote(r) for r in edges.to_arrow_refs()]
+    while len(refs) > 1:
+        nxt = [merge_unique.remote(refs[i], refs[i + 1]) for i in range(0, len(refs) - 1, 2)]
+        if len(refs) % 2:
+            nxt.append(refs[-1])
+        refs = nxt
+    node_pa = ray.get(refs[0])
+    node_pa = node_pa.take(pc.array_sort_indices(node_pa))
     node_arr = node_pa.to_numpy(zero_copy_only=False)
     vs_ref = ray.put(node_pa)
     n = len(node_arr)
 
     class Encode:
         """String edges -> int64 (s, d) via pc.index_in against the
-        broadcast node value set; the set ships once per actor."""
+        broadcast node value set; instance-passed (task pool — no actor
+        spawn), the set ray.get once per worker process (plasma-local
+        after the first call)."""
 
-        def __init__(self):
-            self._vs = ray.get(vs_ref)
+        def __init__(self, ref):
+            self.ref = ref
+            self._vs = None
 
         def __call__(self, b: pa.Table) -> pa.Table:
+            if self._vs is None:
+                self._vs = ray.get(self.ref)
             s = pc.index_in(b[src].combine_chunks().cast(pa.string()), self._vs)
             d = pc.index_in(b[dst].combine_chunks().cast(pa.string()), self._vs)
             return pa.table({"s": s.cast(pa.int64()), "d": d.cast(pa.int64())})
 
     enc = edges.map_batches(
-        Encode, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+        Encode(vs_ref), batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    # out-degree: per-batch bincount partials, merged on the driver
-    # (node-sized — same bound as the index itself)
-    def deg_partial(b: pa.Table) -> pd.DataFrame:
-        cnt = np.bincount(b["s"].to_numpy(zero_copy_only=False), minlength=0)
-        nz = np.flatnonzero(cnt)
-        return pd.DataFrame({"s": nz.astype(np.int64), "outdeg": cnt[nz].astype(np.int64)})
+    # group the encoded edge blocks into <= 32 reduce tasks up front; the
+    # grouping is the loop invariant, so every iteration reuses it
+    all_refs = enc.to_arrow_refs()
+    n_tasks = max(1, min(32, len(all_refs)))
+    groups = [all_refs[i::n_tasks] for i in range(n_tasks) if all_refs[i::n_tasks]]
 
-    deg_df = sum_partials(
-        enc.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True),
-        keys=["s"], sum_cols=["outdeg"],
-    ).to_pandas()
-    outdeg = np.zeros(n, dtype=np.int64)
-    outdeg[deg_df["s"].to_numpy()] = deg_df["outdeg"].to_numpy()
+    @ray.remote
+    def dense_deg(blocks: list) -> np.ndarray:
+        out = np.zeros(n, dtype=np.int64)
+        for b in ray.get(blocks):  # refs nested in a list resolve manually
+            cnt = np.bincount(b["s"].to_numpy(zero_copy_only=False), minlength=n)
+            out += cnt.astype(np.int64)
+        return out
+
+    @ray.remote
+    def dense_contrib(blocks: list, r: np.ndarray, deg: np.ndarray) -> np.ndarray:
+        # r/deg are top-level ObjectRef args — Ray resolves them zero-copy
+        # from plasma; plain tasks (no actor pool churn per iteration)
+        out = np.zeros(n, dtype=np.int64)
+        for b in ray.get(blocks):
+            s = b["s"].to_numpy(zero_copy_only=False)
+            d = b["d"].to_numpy(zero_copy_only=False)
+            c = (r[s] * damping_pct) // 100 // deg[s]
+            np.add.at(out, d, c)  # int64 scatter-add: exact, no float round-trip
+        return out
+
+    @ray.remote
+    def add2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return a + b
+
+    def tree_sum(refs: list) -> np.ndarray:
+        # node-sized dense vectors tree-reduce in O(log tasks) rounds —
+        # the iteration never shuffles the edge set (the r1-r3 design paid a
+        # 2M-row hash exchange per iteration; this ships <= 32 dense arrays)
+        while len(refs) > 1:
+            nxt = [add2.remote(refs[i], refs[i + 1]) for i in range(0, len(refs) - 1, 2)]
+            if len(refs) % 2:
+                nxt.append(refs[-1])
+            refs = nxt
+        return ray.get(refs[0])
+
+    outdeg = tree_sum([dense_deg.remote(g) for g in groups])
     outdeg_ref = ray.put(outdeg)
 
     ranks = np.full(n, scale, dtype=np.int64)
     for _ in range(iters):
         ranks_ref = ray.put(ranks)
-
-        def contrib(b: pa.Table, _r=ranks_ref) -> pd.DataFrame:
-            # ray.get of an int64 array is zero-copy from plasma — a plain
-            # task (no actor pool churn per iteration) pays nothing per batch
-            r, deg = ray.get(_r), ray.get(outdeg_ref)
-            s = b["s"].to_numpy(zero_copy_only=False)
-            d = b["d"].to_numpy(zero_copy_only=False)
-            c = (r[s] * damping_pct) // 100 // deg[s]
-            df = pd.DataFrame({"d": d, "c": c})
-            return df.groupby("d", as_index=False, sort=False).agg(c=("c", "sum"))
-
-        agg = sum_partials(
-            enc.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True),
-            keys=["d"], sum_cols=["c"],
-        ).to_pandas()
-        ranks = np.full(n, base, dtype=np.int64)
-        if len(agg):
-            ranks[agg["d"].to_numpy()] += agg["c"].to_numpy()
+        total = tree_sum(
+            [dense_contrib.remote(g, ranks_ref, outdeg_ref) for g in groups]
+        )
+        ranks = base + total
 
     return ray.data.from_arrow(
         pa.table({"node": pa.array(node_arr, pa.string()), "pr": pa.array(ranks)})

@@ -102,13 +102,22 @@ def decontaminate(
     text_col: str = "text",
     broadcast_limit: int = 5_000_000,
     remove: bool = False,
+    prefilter: str = "bloom",
 ) -> ray.data.Dataset:
     """Annotate (or filter) the corpus by benchmark n-gram overlap.
 
     Returns the corpus columns + ``n_contaminated`` (int64 distinct shared
     grams) + ``contaminated`` (bool); ``remove=True`` instead returns only
     the clean rows (original schema plus the two columns).
-    """
+
+    ``prefilter`` applies to the join tier only: ``"bloom"`` (default)
+    builds a mergeable Bloom bitmap over the benchmark grams
+    (``util/bloom.py``, ~14 bits/gram at p=1e-3 — hundreds of MB where the
+    string set would be tens of GB) and probes every corpus gram map-side,
+    so only probe-positive rows enter the hash join. No false negatives and
+    the join verifies exactly, so the result is identical to
+    ``prefilter="none"`` — only the shuffle volume changes (contaminated +
+    false-positive rows instead of every gram occurrence)."""
     bench = _distinct_grams(
         benchmark, n=n, id_col=id_col, text_col=text_col
     ).materialize()
@@ -155,6 +164,33 @@ def decontaminate(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if prefilter == "bloom":
+        from knowledgegraphs_ray.util.bloom import (
+            bloom_contains,
+            bloom_from_dataset,
+            bloom_params,
+        )
+
+        m_bits, k_hashes = bloom_params(n_bench, fp_rate=1e-3)
+        bits_ref = ray.put(bloom_from_dataset(bench, "gram", m_bits=m_bits, k=k_hashes))
+
+        class BloomProbe:
+            """Broadcast bitmap; instance-passed so each task caches the
+            zero-copy ray.get once."""
+
+            def __init__(self, ref):
+                self.ref = ref
+                self._bits = None
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                if self._bits is None:
+                    self._bits = ray.get(self.ref)
+                mask = bloom_contains(self._bits, b["gram"], k=k_hashes)
+                return b.filter(pa.array(mask))
+
+        doc_grams = doc_grams.map_batches(
+            BloomProbe(bits_ref), batch_format="pyarrow", zero_copy_batch=True
+        )
     hit_rows = bucket_join(doc_grams, bench, left_on="gram", right_on="gram")
     partial = hit_rows.map_batches(
         lambda df: df.groupby(id_col, as_index=False)

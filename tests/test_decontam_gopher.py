@@ -39,15 +39,17 @@ def test_decontaminate_tiers_agree():
         [{"doc_id": 100, "text": "a quick brown fox jumps far"}]
     )
     outs = []
-    for lim in (10_000, 0):  # broadcast tier, forced join tier
+    # broadcast tier; join tier with bloom pre-filter; join tier without
+    for lim, pf in ((10_000, "bloom"), (0, "bloom"), (0, "none")):
         out = (
-            decontaminate(corpus, bench, n=3, broadcast_limit=lim)
+            decontaminate(corpus, bench, n=3, broadcast_limit=lim, prefilter=pf)
             .to_pandas()
             .sort_values("doc_id")
             .reset_index(drop=True)
         )
         outs.append(out[["doc_id", "n_contaminated", "contaminated"]])
     assert outs[0].equals(outs[1])
+    assert outs[0].equals(outs[2])
     by_id = outs[0].set_index("doc_id")
     # docs 1 and 3 share 'quick brown fox' / 'brown fox jumps'; doc 2 clean
     assert by_id.loc[1, "n_contaminated"] == 2
