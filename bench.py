@@ -83,6 +83,7 @@ def run_bench() -> dict:
     timed("c4_clean", catalog.q_c4_clean)
     timed("kg_pagerank", catalog.q_kg_pagerank)
     timed("kg_components", catalog.q_kg_components)
+    timed("incremental_dedup", catalog.q_incremental_dedup)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

@@ -89,6 +89,7 @@ def bucket_join(
     salt_threshold: int | None = None,
     n_salts: int = 8,
     right_cols: list[str] | None = None,
+    left_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Partitioned hash join: both sides bucketed on the key hash, buckets
     co-located via groupby, merged per bucket.
@@ -161,7 +162,12 @@ def bucket_join(
         if right_cols is not None:
             # deterministic side split: no all-null inference, empty-side-safe
             rc = [c for c in right_cols if c != right_on]
-            l = l[[c for c in l.columns if c not in rc]]
+            if left_cols is not None:
+                # same determinism for the left side: a bucket assembled
+                # ONLY from right-side blocks never saw the left columns
+                l = l.reindex(columns=[*left_cols, "__salt"])
+            else:
+                l = l[[c for c in l.columns if c not in rc]]
             # reindex, not slice: a bucket assembled ONLY from left-side
             # blocks never saw the right columns at all
             r = r.reindex(columns=[right_on, *rc, "__salt"])

@@ -534,6 +534,24 @@ def q_embedding_pairs_exact(sf_dir: str):
     return exact_cosine_pairs(ds, threshold=0.4).select_columns(["doc_a", "doc_b"])
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Cross-corpus novelty filter (streaming-ingestion dedup): history =
+    docs with doc_id % 5 == 0, arriving shard = doc_id % 2 == 0; keep shard
+    rows whose text no history doc carries. ``broadcast_limit=0`` forces the
+    scale tier — Bloom probe over the history + exact verify join — so the
+    gate exercises the 100 TB path, which is exact by construction."""
+    from knowledgegraphs_ray.dedup.incremental import novel_rows
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    seen = docs.map_batches(
+        lambda df: df[df["doc_id"] % 5 == 0], batch_format="pandas"
+    )
+    new = docs.map_batches(
+        lambda df: df[df["doc_id"] % 2 == 0], batch_format="pandas"
+    )
+    return novel_rows(new, seen, column="text", broadcast_limit=0)
+
+
 def q_decontaminated_docs(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 20 == 0 act as the
     held-out eval set; every other doc is annotated with its distinct
@@ -812,6 +830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_pairs_exact": q_embedding_pairs_exact,
         "decontaminated_docs": q_decontaminated_docs,
+        "incremental_dedup": q_incremental_dedup,
         "gopher_quality": q_gopher_quality,
         "corpus_shuffle": q_corpus_shuffle,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1109,6 +1128,12 @@ def oracle_sql() -> dict[str, str]:
         "link_exact_documents": _link_exact_sql(),
         "canonical_mentions": _canonical_mentions_sql(),
         "decontaminated_docs": _decontam_sql(),
+        "incremental_dedup": (
+            "SELECT d.doc_id, d.text FROM documents d "
+            "WHERE d.doc_id % 2 = 0 AND NOT EXISTS ("
+            "SELECT 1 FROM documents s "
+            "WHERE s.doc_id % 5 = 0 AND s.text = d.text)"
+        ),
         "gopher_quality": _gopher_sql(),
         "corpus_shuffle": _corpus_shuffle_sql(),
         "paragraph_dedup": __import__(

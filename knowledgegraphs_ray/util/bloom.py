@@ -108,6 +108,8 @@ def bloom_from_dataset(
 
     @ray.remote
     def block_bitmap(block: pa.Table) -> np.ndarray:
+        if block.num_rows == 0:  # empty blocks can be zero-COLUMN tables
+            return bloom_new(m_bits)
         return bloom_add(bloom_new(m_bits), block[column], k=k)
 
     @ray.remote
