@@ -678,6 +678,54 @@ def q_dsir_weights(sf_dir: str):
     )
 
 
+def _docs_with_tokens(sf_dir: str, columns: list[str]) -> ray.data.Dataset:
+    """documents with text replaced by its TOKEN_RE match count (n_tokens) —
+    shared front end for the token-accounting operators (mixture_budget,
+    chunk_sequences); text is dropped so downstream shuffles move 8 bytes,
+    not documents."""
+    from knowledgegraphs_ray.text.analysis import TOKEN_RE
+
+    def tok(batch: pa.Table) -> pa.Table:
+        out = batch.filter(pc.is_valid(batch["text"].combine_chunks()))
+        n = pc.cast(
+            pc.count_substring_regex(out["text"].combine_chunks(), TOKEN_RE),
+            pa.int64(),
+        )
+        return out.append_column("n_tokens", n).drop_columns(["text"])
+
+    return _docs(sf_dir, columns).map_batches(
+        tok, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+MIXTURE_BUDGETS = {"en": 5000, "de": 2000, "fr": 1500}
+
+
+def q_mixture_budget(sf_dir: str):
+    """Token-budget source mixing (training_data.py:mixture_budget): per-lang
+    token budgets filled in seeded-md5 priority order; es/zh ride the default
+    budget. One sort on (lang, hash) + segment-cumsum scan + map-only cut."""
+    from knowledgegraphs_ray.pipelines.training_data import mixture_budget
+
+    return mixture_budget(
+        _docs_with_tokens(sf_dir, ["doc_id", "text", "lang"]),
+        budgets=MIXTURE_BUDGETS,
+        default_budget=500,
+        seed=7,
+    )
+
+
+def q_chunk_sequences(sf_dir: str):
+    """Document -> overlapping training-sequence chunks
+    (training_data.py:chunk_sequences): 40-token windows at stride 30.
+    Map-only arange row expansion, no shuffle."""
+    from knowledgegraphs_ray.pipelines.training_data import chunk_sequences
+
+    return chunk_sequences(
+        _docs_with_tokens(sf_dir, ["doc_id", "text"]), chunk_size=40, stride=30
+    )
+
+
 def q_c4_clean(sf_dir: str):
     """C4 line-level cleaning (text/c4.py) over a multi-line augmentation
     of the documents table (the raw testdata is single-line): each doc
@@ -843,6 +891,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": q_semantic_dedup,
         "bpe_token_counts": q_bpe_token_counts,
         "c4_clean": q_c4_clean,
+        "mixture_budget": q_mixture_budget,
+        "chunk_sequences": q_chunk_sequences,
     }
 
 
@@ -1184,6 +1234,16 @@ def oracle_sql() -> dict[str, str]:
                 "ELSE 'Another good line here!' END AS text FROM documents) c4in"
             )
         ),
+        "mixture_budget": __import__(
+            "knowledgegraphs_ray.pipelines.training_data",
+            fromlist=["mixture_budget_oracle_sql"],
+        ).mixture_budget_oracle_sql(
+            budgets=MIXTURE_BUDGETS, default_budget=500, seed=7
+        ),
+        "chunk_sequences": __import__(
+            "knowledgegraphs_ray.pipelines.training_data",
+            fromlist=["chunk_sequences_oracle_sql"],
+        ).chunk_sequences_oracle_sql(chunk_size=40, stride=30),
     }
 
 

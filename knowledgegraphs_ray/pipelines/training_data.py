@@ -341,3 +341,190 @@ def seeded_shuffle_oracle_sql(
         f"SELECT {id_col}, CAST(row_number() OVER (ORDER BY {h}, {id_col}) - 1 "
         f"AS BIGINT) AS pos FROM {table}"
     )
+
+
+def _md5_u64(keys) -> np.ndarray:
+    """uint64 from the first 8 md5 bytes of each string — the SQL-twin hash
+    (('0x' || substr(md5(k),1,16))::UBIGINT in DuckDB)."""
+    import hashlib
+
+    return np.fromiter(
+        (int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") for s in keys),
+        dtype=np.uint64,
+    )
+
+
+def mixture_budget(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    token_col: str = "n_tokens",
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    seed: int = 0,
+    hash_fn: str = "md5",
+) -> ray.data.Dataset:
+    """Token-BUDGET source mixing — the counterpart of ``stratified_sample``
+    when the mixture recipe is stated in tokens per source, not rates
+    ("1B tokens of en, 200M of de"): within each stratum take documents in
+    seeded-hash priority order until the stratum's token budget is filled.
+    A document is kept iff its INCLUSIVE running token sum under
+    ``ORDER BY h(seed:id), id`` stays <= budget — so the boundary document
+    that would overflow the budget is dropped, making the selection a pure
+    function of (seed, budgets, corpus) at any parallelism.
+
+    One range-partitioned sort on (stratum, hash) is the only exchange; the
+    running sum is the :func:`sorted_segment_cumsum` block scan (O(num_blocks)
+    driver metadata) and the budget cut is a map-only filter. hash_fn="md5"
+    is the SQL-twin tier; "splitmix" the vectorized integer-id 100-TB tier.
+
+    -> (id, stratum, token, cum_tokens) of selected rows."""
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        if hash_fn == "splitmix":
+            from knowledgegraphs_ray.pipelines.transcripts import _splitmix64
+
+            ids = df[id_col].to_numpy().astype(np.uint64)
+            h = _splitmix64(ids + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15))
+        else:
+            h = _md5_u64(f"{seed}:{i}" for i in df[id_col].astype(str))
+        return df.assign(__mix_h=h)
+
+    from knowledgegraphs_ray.util.segrank import sorted_segment_cumsum
+
+    cum = sorted_segment_cumsum(
+        ds.map_batches(key, batch_format="pandas"),
+        key_cols=[stratum_col],
+        order_cols=["__mix_h", id_col],
+        val_col=token_col,
+        out_col="cum_tokens",
+    )
+
+    def cut(batch: pa.Table) -> pa.Table:
+        strata = batch[stratum_col].combine_chunks().cast(pa.string())
+        lim = np.full(batch.num_rows, default_budget, dtype=np.int64)
+        sv = strata.to_numpy(zero_copy_only=False)
+        for s, b in budgets.items():
+            lim[sv == s] = b
+        keep = pc.less_equal(batch["cum_tokens"], pa.array(lim, pa.int64()))
+        return batch.filter(keep).drop_columns(["__mix_h"])
+
+    return cum.map_batches(cut, batch_format="pyarrow")
+
+
+def mixture_budget_oracle_sql(
+    *,
+    budgets: dict[str, int],
+    default_budget: int = 0,
+    seed: int = 0,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+) -> str:
+    """DuckDB twin of ``mixture_budget(hash_fn="md5")`` over raw document
+    text (n_tokens = TOKEN_RE match count, same expression as the Ray path)."""
+    case = " ".join(f"WHEN '{s}' THEN {int(b)}" for s, b in sorted(budgets.items()))
+    return f"""
+WITH t AS (
+  SELECT {id_col}, {stratum_col},
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 16))::UBIGINT AS h
+  FROM {table} WHERE text IS NOT NULL
+), c AS (
+  SELECT {id_col}, {stratum_col}, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY {stratum_col} ORDER BY h, {id_col}
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT {id_col}, {stratum_col}, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+FROM c
+WHERE cum <= CASE {stratum_col} {case} ELSE {int(default_budget)} END
+"""
+
+
+def chunk_sequences(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    chunk_size: int = 128,
+    stride: int = 96,
+) -> ray.data.Dataset:
+    """Document -> training-sequence chunking with overlap: a document of
+    ``n`` tokens yields chunks covering token spans
+    ``[i*stride, min(i*stride + chunk_size, n))`` for
+    ``i in 0..n_chunks-1`` with
+    ``n_chunks = 1 if n <= chunk_size else ceil((n - chunk_size)/stride) + 1``
+    (the sliding-window convention: the last window is the first one whose
+    end reaches ``n``; ``stride < chunk_size`` gives ``chunk_size - stride``
+    tokens of overlap for context continuity).
+
+    Map-only row expansion — each batch emits its own chunks via np.repeat
+    and an arange-minus-offsets index, no shuffle, no Python per row.
+
+    -> (id, chunk_idx, tok_start, tok_end, chunk_tokens), all int64."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch[token_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        n_chunks = np.where(
+            n <= 0,
+            0,
+            np.where(n <= chunk_size, 1, (n - chunk_size + stride - 1) // stride + 1),
+        ).astype(np.int64)
+        total = int(n_chunks.sum())
+        offsets = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        idx = np.arange(total, dtype=np.int64) - offsets
+        rep_n = np.repeat(n, n_chunks)
+        start = idx * stride
+        end = np.minimum(start + chunk_size, rep_n)
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, n_chunks)),
+                "chunk_idx": pa.array(idx, pa.int64()),
+                "tok_start": pa.array(start, pa.int64()),
+                "tok_end": pa.array(end, pa.int64()),
+                "chunk_tokens": pa.array(end - start, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_sequences_oracle_sql(
+    *,
+    chunk_size: int = 128,
+    stride: int = 96,
+    table: str = "documents",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of ``chunk_sequences`` over raw document text
+    (n_tokens = TOKEN_RE match count); generate_series is the lateral
+    row-expansion twin of the arange-minus-offsets kernel."""
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n
+  FROM {table} WHERE text IS NOT NULL
+), k AS (
+  SELECT {id_col}, n,
+         CASE WHEN n <= 0 THEN 0
+              WHEN n <= {chunk_size} THEN 1
+              ELSE (n - {chunk_size} + {stride} - 1) // {stride} + 1 END AS n_chunks
+  FROM t
+), e AS (
+  SELECT {id_col}, n,
+         UNNEST(generate_series(0, CAST(n_chunks - 1 AS BIGINT))) AS i
+  FROM k WHERE n_chunks > 0
+)
+SELECT {id_col},
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(i * {stride} AS BIGINT) AS tok_start,
+       CAST(least(i * {stride} + {chunk_size}, n) AS BIGINT) AS tok_end,
+       CAST(least(i * {stride} + {chunk_size}, n) - i * {stride} AS BIGINT)
+         AS chunk_tokens
+FROM e
+"""

@@ -363,3 +363,78 @@ def sorted_segment_rank(
         carry_key = m["last_key"]
 
     return ray.data.from_arrow_refs(ranked)
+
+
+@ray.remote(num_returns=2)
+def _cumsum_block(block: pa.Table, key_cols: list[str], val_col: str, out_col: str):
+    """-> (block + local inclusive-cumsum column over key runs, boundary meta).
+    ``last_run_sum`` is the sum of the trailing run's values — the carry a
+    following block adds when it continues the same key."""
+    n = block.num_rows
+    if n == 0:
+        return block.append_column(out_col, pa.array([], pa.int64())), {"n": 0}
+    change = _run_bounds(block, key_cols)
+    starts = np.flatnonzero(change)
+    run_id = np.cumsum(change) - 1
+    v = block[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    c = np.cumsum(v)
+    # cumulative total just before each run start (0 for the block head)
+    prev = np.concatenate(([0], c))[starts]
+    seg = c - prev[run_id]
+    first_run = int(starts[1] if len(starts) > 1 else n)
+    meta = {
+        "n": n,
+        "first_key": tuple(block[col][0].as_py() for col in key_cols),
+        "last_key": tuple(block[col][n - 1].as_py() for col in key_cols),
+        "first_run": first_run,
+        "last_run_sum": int(seg[-1]),
+    }
+    return block.append_column(out_col, pa.array(seg, pa.int64())), meta
+
+
+def sorted_segment_cumsum(
+    ds: ray.data.Dataset,
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    val_col: str,
+    out_col: str = "cum",
+    assume_sorted: bool = False,
+) -> ray.data.Dataset:
+    """-> ``ds`` sorted by ``key_cols + order_cols`` with an added ``out_col``
+    = INCLUSIVE running sum of ``val_col`` (int64) within the row's key group
+    under that order — the distributed twin of
+    ``SUM(val) OVER (PARTITION BY key ORDER BY ord ROWS UNBOUNDED PRECEDING)``.
+
+    Same scan shape as :func:`sorted_segment_rank`: one range-partitioned
+    sort, per-block vectorized cumsum, O(num_blocks) boundary metadata on the
+    driver threading the trailing-run sum into the next block's first run.
+    Key/order columns must be non-null; make ``order_cols`` unique per key for
+    determinism under ties. ``assume_sorted=True`` skips the sort."""
+    sorted_ds = ds if assume_sorted else ds.sort(key_cols + order_cols)
+    refs = sorted_ds.to_arrow_refs()
+    out_blocks: list = []
+    meta_refs: list = []
+    for r in refs:
+        out, m = _cumsum_block.remote(r, key_cols, val_col, out_col)
+        out_blocks.append(out)
+        meta_refs.append(m)
+    metas = ray.get(meta_refs)
+
+    carry_key: tuple | None = None
+    carry_sum = 0
+    for i, m in enumerate(metas):
+        if m["n"] == 0:
+            continue
+        off = carry_sum if m["first_key"] == carry_key else 0
+        if off:
+            out_blocks[i] = _offset_first_run.remote(
+                out_blocks[i], out_col, m["first_run"], off, "int64"
+            )
+        if m["first_key"] == m["last_key"]:
+            carry_sum = off + m["last_run_sum"]
+        else:
+            carry_sum = m["last_run_sum"]
+        carry_key = m["last_key"]
+
+    return ray.data.from_arrow_refs(out_blocks)

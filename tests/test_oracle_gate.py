@@ -34,6 +34,8 @@ SUBSET = [
     "c4_clean",             # C4 line-level cleaning, list_filter oracle (r3)
     "kg_pagerank",          # integer fixed-point PageRank, unrolled CTEs (r3)
     "kg_components",        # link-graph connected components, recursive CTE (r3)
+    "mixture_budget",       # token-budget source mixing, window-cumsum twin (r3)
+    "chunk_sequences",      # stride chunking, generate_series twin (r3)
 ]
 
 

@@ -116,6 +116,37 @@ def test_sorted_segment_rank_straddling_blocks():
     pd.testing.assert_frame_equal(got[["k", "o", "u", "r"]].astype({"r": "int64"}), expect)
 
 
+def test_sorted_segment_cumsum_straddling_blocks():
+    """Inclusive per-key running sum with keys spanning many tiny blocks —
+    the carry threads the trailing-run sum into the next block's first run."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from knowledgegraphs_ray.util.segrank import sorted_segment_cumsum
+
+    rng = np.random.default_rng(1)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 7, n),
+            "o": rng.permutation(n),
+            "v": rng.integers(-50, 200, n),
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(23)
+    out = sorted_segment_cumsum(
+        ds, key_cols=["k"], order_cols=["o"], val_col="v", out_col="cum"
+    ).to_pandas()
+    expect = df.sort_values(["k", "o"]).reset_index(drop=True)
+    expect["cum"] = expect.groupby("k")["v"].cumsum()
+    got = out.sort_values(["k", "o"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "o", "v", "cum"]].astype({"cum": "int64"}),
+        expect.astype({"cum": "int64"}),
+    )
+
+
 def test_context_window_assume_sorted_matches_default():
     """assume_sorted=True on a pre-sorted input (the flagship's one-sort
     chain) must equal the sorting path bit-for-bit — including nulls in the
