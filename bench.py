@@ -84,6 +84,8 @@ def run_bench() -> dict:
     timed("kg_pagerank", catalog.q_kg_pagerank)
     timed("kg_components", catalog.q_kg_components)
     timed("incremental_dedup", catalog.q_incremental_dedup)
+    timed("mixture_budget", catalog.q_mixture_budget)
+    timed("chunk_sequences", catalog.q_chunk_sequences)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

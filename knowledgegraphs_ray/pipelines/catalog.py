@@ -261,20 +261,21 @@ def q_purchases_last_view(sf_dir: str):
     import pandas as pd
     from knowledgegraphs_ray.extract.asof import asof_join
 
-    ev = ray.data.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"]
+    # Predicate pushdown: the event_type filter runs inside the parquet
+    # scan (row-group stats + scan-level filtering), so non-matching rows
+    # never enter the object store. Branching one read would re-execute the
+    # full scan per consumer anyway — two pruned reads are strictly less IO.
+    import pyarrow.dataset as pads
+
+    purchases = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        filter=pads.field("event_type") == "purchase",
     )
-    purchases = ev.map_batches(
-        lambda t: t.filter(pa.compute.equal(t["event_type"], "purchase")).drop(
-            ["event_type"]
-        ),
-        batch_format="pyarrow",
-    )
-    views = ev.map_batches(
-        lambda t: t.filter(pa.compute.equal(t["event_type"], "view")).drop(
-            ["event_type", "event_id"]
-        ),
-        batch_format="pyarrow",
+    views = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts"],
+        filter=pads.field("event_type") == "view",
     )
     joined = asof_join(purchases, views, key="user_id", ts_col="ts", right_cols=[])
 
@@ -414,13 +415,14 @@ def q_purchase_sessions(sf_dir: str):
     from knowledgegraphs_ray.extract.rangejoin import interval_join
     from knowledgegraphs_ray.streaming.windows import sessionize
 
+    import pyarrow.dataset as pads
+
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet",
-        columns=["event_id", "user_id", "ts", "event_type", "value"],
+        columns=["event_id", "user_id", "ts", "value"],
     )
 
     def purchases(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df["event_type"] == "purchase"]
         return pd.DataFrame(
             {
                 "event_id": df["event_id"].astype("int64"),
@@ -429,10 +431,13 @@ def q_purchase_sessions(sf_dir: str):
             }
         )
 
-    points = ev.map_batches(purchases, batch_format="pandas")
-    intervals = sessionize(
-        ev.drop_columns(["event_type"]), gap_sec=1800
-    )
+    # purchase filter pushed into the parquet scan (see q_purchases_last_view)
+    points = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts"],
+        filter=pads.field("event_type") == "purchase",
+    ).map_batches(purchases, batch_format="pandas")
+    intervals = sessionize(ev, gap_sec=1800)
     out = interval_join(
         points,
         intervals,
