@@ -731,6 +731,43 @@ def q_chunk_sequences(sf_dir: str):
     )
 
 
+def q_top_docs_per_lang(sf_dir: str):
+    """Per-group top-k (util/topk.py): the 5 longest documents per language
+    (score = TOKEN_RE count, ties on doc_id). Partial per-batch prune ->
+    sort of the survivors -> segment-rank cut; never a full-corpus
+    map_groups."""
+    from knowledgegraphs_ray.util.topk import topk_per_group
+
+    docs = _docs_with_tokens(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        lambda df: df.rename(columns={"n_tokens": "score"}), batch_format="pandas"
+    )
+    return topk_per_group(
+        docs, key_cols=["lang"], score_col="score", id_col="doc_id", k=5
+    )
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Distributed anti join (Ray Dataset.join left_anti): customers with
+    no PENDING orders — the retention/QA staple. Hash-partitioned both
+    sides (no broadcast assumption); the status filter is pushed into the
+    orders scan."""
+    import pyarrow.dataset as pads
+
+    from knowledgegraphs_ray.extract.joins import native_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    pending = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderstatus") == "P",
+    )
+    return native_join(
+        cust, pending, left_on="c_custkey", right_on="o_custkey", how="left_anti"
+    )
+
+
 def q_c4_clean(sf_dir: str):
     """C4 line-level cleaning (text/c4.py) over a multi-line augmentation
     of the documents table (the raw testdata is single-line): each doc
@@ -898,6 +935,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": q_c4_clean,
         "mixture_budget": q_mixture_budget,
         "chunk_sequences": q_chunk_sequences,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "customers_without_orders": q_customers_without_orders,
     }
 
 
@@ -1249,6 +1288,26 @@ def oracle_sql() -> dict[str, str]:
             "knowledgegraphs_ray.pipelines.training_data",
             fromlist=["chunk_sequences_oracle_sql"],
         ).chunk_sequences_oracle_sql(chunk_size=40, stride=30),
+        "top_docs_per_lang": __import__(
+            "knowledgegraphs_ray.util.topk", fromlist=["topk_per_group_oracle_sql"]
+        ).topk_per_group_oracle_sql(
+            key_cols=["lang"],
+            score_expr=(
+                "CAST(len(regexp_extract_all(text, '"
+                + __import__(
+                    "knowledgegraphs_ray.text.analysis", fromlist=["TOKEN_RE"]
+                ).TOKEN_RE
+                + "')) AS BIGINT)"
+            ),
+            id_col="doc_id",
+            k=5,
+            table="(SELECT * FROM documents WHERE text IS NOT NULL) d",
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_nationkey FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P')"
+        ),
     }
 
 

@@ -245,3 +245,37 @@ def test_pack_sequences_bfd_matches_ffd_quality():
     n_exact = exact["pack_id"].nunique()
     n_bfd = bfd["pack_id"].nunique()
     assert n_bfd <= np.ceil(n_exact * 1.02) + 2
+
+
+def test_topk_per_group_straddling_blocks():
+    """topk_per_group equals the pandas groupby-head reference with hot keys
+    spanning many tiny blocks, and the partial prune never drops a winner."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from knowledgegraphs_ray.util.topk import topk_per_group
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, n),
+            "id": np.arange(n),
+            "score": rng.integers(0, 50, n),  # heavy ties -> id tiebreak matters
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(19)
+    got = (
+        topk_per_group(ds, key_cols=["k"], score_col="score", id_col="id", k=7)
+        .to_pandas()
+        .sort_values(["k", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(["k", "score", "id"], ascending=[True, False, True]).copy()
+    exp["rank"] = exp.groupby("k").cumcount()
+    exp = exp[exp["rank"] < 7].sort_values(["k", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["k", "id", "score", "rank"]].astype("int64"),
+        exp[["k", "id", "score", "rank"]].astype("int64"),
+    )

@@ -36,6 +36,8 @@ SUBSET = [
     "kg_components",        # link-graph connected components, recursive CTE (r3)
     "mixture_budget",       # token-budget source mixing, window-cumsum twin (r3)
     "chunk_sequences",      # stride chunking, generate_series twin (r3)
+    "top_docs_per_lang",    # per-group top-k, row_number window twin (r3)
+    "customers_without_orders",  # distributed left_anti join, NOT EXISTS twin (r3)
 ]
 
 
