@@ -587,6 +587,21 @@ def q_gopher_quality(sf_dir: str):
     return gopher_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_quality_classifier(sf_dir: str):
+    """Trained (distributed logistic regression) quality-filter scores: the
+    frozen micro-weights are the output of
+    ``text.classifier.train_quality_weights()`` (seeded synthetic wiki-vs-noise
+    corpus; per-block gradient partials), reproduced bit-for-bit in
+    tests/test_quality_classifier.py. Inference is map-only."""
+    from knowledgegraphs_ray.text import classifier as qc
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(qc.score, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "score_micro", "keep"])
+    )
+
+
 def q_corpus_shuffle(sf_dir: str):
     """Deterministic training-order shuffle: pos = rank under
     ORDER BY md5('42:'||doc_id) — a pure function of (seed, id), identical
@@ -922,6 +937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminated_docs": q_decontaminated_docs,
         "incremental_dedup": q_incremental_dedup,
         "gopher_quality": q_gopher_quality,
+        "quality_classifier": q_quality_classifier,
         "corpus_shuffle": q_corpus_shuffle,
         "paragraph_dedup": q_paragraph_dedup,
         "frequent_tokens": q_frequent_tokens,
@@ -1229,6 +1245,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE s.doc_id % 5 = 0 AND s.text = d.text)"
         ),
         "gopher_quality": _gopher_sql(),
+        "quality_classifier": __import__(
+            "knowledgegraphs_ray.text.classifier",
+            fromlist=["oracle_sql"],
+        ).oracle_sql(),
         "corpus_shuffle": _corpus_shuffle_sql(),
         "paragraph_dedup": __import__(
             "knowledgegraphs_ray.dedup.paragraphs",
