@@ -253,10 +253,19 @@ def pq_topk(
     column: str = "embedding",
     books: np.ndarray | None = None,
     concurrency: int | None = None,
+    rerank_r: int | None = None,
 ) -> ray.data.Dataset:
     """ADC top-k: (query_id, neighbor_id, rank) with rank ordered by
     (adc score desc, neighbor_id asc). Queries keep their exact vectors
-    (asymmetric); the corpus side is scanned as codes."""
+    (asymmetric); the corpus side is scanned as codes.
+
+    ``rerank_r``: two-stage retrieval — take the top ``rerank_r`` ADC
+    candidates per query, then rescore THOSE with exact cosine over their
+    float vectors (one broadcast-id-set filter pass; the gathered rerank set
+    is O(num_queries × rerank_r), driver-bounded by construction) and emit
+    the exact top-k. ``rerank_r >= corpus size`` degenerates to the exact
+    answer; in practice a few-hundred-candidate rerank recovers near-1.0
+    recall at code-scan cost."""
     if books is None:
         books = train_pq(ds, m=m, k=n_codes, column=column)
     qdf = (
@@ -279,19 +288,55 @@ def pq_topk(
     luts = np.einsum("qmd,mkd->qmk", q_subs, books)
     luts_ref = ray.put({"ids": q_ids, "luts": luts})
 
+    n_cand = rerank_r if rerank_r is not None else k
     codes = encode_pq(ds, books, column=column, concurrency=concurrency)
     local = codes.map_batches(
-        AdcScorer(luts_ref, k=k, id_column=id_column),
+        AdcScorer(luts_ref, k=n_cand, id_column=id_column),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    def merge(g: pd.DataFrame, _n=n_cand) -> pd.DataFrame:
         g = g.sort_values(
             ["score", "neighbor_id"], ascending=[False, True], kind="mergesort"
-        ).head(k)
+        ).head(_n)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["query_id", "neighbor_id", "rank"]]
 
-    return local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    cand = local.groupby("query_id").map_groups(merge, batch_format="pandas")
+    if rerank_r is None:
+        return cand
+
+    # --- exact rerank of the ADC candidates -------------------------------
+    cdf = cand.to_pandas()  # O(num_queries × rerank_r) rows — bounded
+    cand_ids = pa.array(np.unique(cdf["neighbor_id"].to_numpy()))
+    vecs = (
+        ds.map_batches(
+            lambda b: b.filter(pa.compute.is_in(b[id_column], value_set=cand_ids)),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values(id_column)
+    )
+    v_ids = vecs[id_column].to_numpy()
+    v_mat = _normalize(
+        np.stack([np.asarray(v, dtype=np.float64) for v in vecs[column]])
+    )
+    pos = {int(i): j for j, i in enumerate(v_ids)}
+    out = []
+    for qi, qid in enumerate(q_ids):
+        mine = cdf[cdf["query_id"] == qid]["neighbor_id"].to_numpy()
+        sub = v_mat[[pos[int(i)] for i in mine]]
+        scores = sub @ q_mat[qi]
+        order = np.lexsort((mine, -scores))[:k]
+        out.append(
+            pd.DataFrame(
+                {
+                    "query_id": np.repeat(qid, len(order)),
+                    "neighbor_id": mine[order],
+                    "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                }
+            )
+        )
+    return ray.data.from_pandas(pd.concat(out, ignore_index=True))

@@ -83,3 +83,50 @@ def test_pq_recall_vs_exact(sf_dir):
         recalls.append(len(a & e) / 10)
     # 32 B/vector vs 256 B exact — 0.5-0.7 observed; bound with slack
     assert np.mean(recalls) >= 0.4
+
+
+def test_full_rerank_equals_exact(sf_dir):
+    """Two-stage retrieval with rerank_r = corpus size degenerates to the
+    exact brute-force answer (same ordering rule, same tie-break)."""
+    ds = _emb_ds(sf_dir)
+    qids = [1, 7, 42]
+    n = ds.count()
+    reranked = (
+        PQ.pq_topk(ds, qids, k=10, m=8, n_codes=16, rerank_r=n)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exact = (
+        brute_force_topk(ds, qids, k=10)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        reranked[["query_id", "neighbor_id", "rank"]].astype("int64"),
+        exact[["query_id", "neighbor_id", "rank"]].astype("int64"),
+    )
+
+
+def test_partial_rerank_recall_not_worse(sf_dir):
+    ds = _emb_ds(sf_dir)
+    qids = [1, 7, 42]
+    books = PQ.train_pq(ds, m=16, k=32)
+    plain = PQ.pq_topk(ds, qids, k=10, books=books).to_pandas()
+    rr = PQ.pq_topk(ds, qids, k=10, books=books, rerank_r=100).to_pandas()
+    exact = brute_force_topk(ds, qids, k=10).to_pandas()
+
+    def recall(df):
+        return np.mean(
+            [
+                len(
+                    set(df[df.query_id == q].neighbor_id)
+                    & set(exact[exact.query_id == q].neighbor_id)
+                )
+                / 10
+                for q in qids
+            ]
+        )
+
+    assert recall(rr) >= recall(plain)
