@@ -86,6 +86,7 @@ def run_bench() -> dict:
     timed("incremental_dedup", catalog.q_incremental_dedup)
     timed("mixture_budget", catalog.q_mixture_budget)
     timed("chunk_sequences", catalog.q_chunk_sequences)
+    timed("quality_classifier", catalog.q_quality_classifier)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)
