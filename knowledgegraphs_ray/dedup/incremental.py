@@ -9,10 +9,14 @@ granularity to row granularity.
 
 Scale design (history ≫ shard, shard itself possibly large):
 
-* **broadcast tier** (distinct history values <= ``broadcast_limit``): the
-  history's distinct value set is collected once via per-block combiners,
-  ``ray.put`` as an Arrow array, and every new-shard batch probes it with a
-  vectorized ``is_in`` — map-only over the shard, nothing shuffles.
+* **broadcast tier** (history values <= ``broadcast_limit`` after per-block
+  unique): the history's value set is collected once via per-block
+  combiners, ``ray.put`` as an Arrow array, and every new-shard batch
+  probes it with a vectorized ``is_in`` — map-only over the shard, nothing
+  shuffles. NOTHING in this operator ever runs a global distinct shuffle:
+  per-block unique is enough because every consumer tolerates cross-block
+  duplicates (``is_in`` sets, idempotent Bloom folds, and a keep-unmatched
+  left join whose matched rows are dropped whatever their multiplicity).
 * **bloom tier** (default above the limit): one map pass over the history
   folds every value into a mergeable Bloom bitmap (``util/bloom.py``,
   ~14 bits/distinct at p=1e-3 — a few hundred MB where the string set would
@@ -49,19 +53,6 @@ from knowledgegraphs_ray.util.bloom import (
 _SENTINEL = "__seen__"
 
 
-def _distinct_values(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
-    """One-column Dataset of the distinct ``column`` values. Per-block
-    combiner first so the exchange moves distinct values, not the corpus."""
-    local = ds.map_batches(
-        lambda b: pa.table({column: pc.unique(b[column].combine_chunks())}),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return local.groupby(column).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
-    )
-
-
 def novel_rows(
     new: ray.data.Dataset,
     seen: ray.data.Dataset,
@@ -80,19 +71,46 @@ def novel_rows(
     ``column``.
     """
     seen_column = seen_column or column
-    seen_vals = _distinct_values(
-        seen.select_columns([seen_column]), seen_column
-    ).materialize()
+    # Per-block unique ONLY — no global distinct shuffle anywhere in this
+    # operator. Every consumer tolerates cross-block duplicates: ``is_in``
+    # value sets ignore them, Bloom folds are idempotent, and the verify
+    # join's keep-unmatched filter drops matched rows however many right
+    # copies they hit. ``n_seen`` is therefore an UPPER BOUND on the
+    # distinct count (sum of per-block distincts) — tier selection and
+    # Bloom sizing both stay safe under an overestimate.
+    from knowledgegraphs_ray.util.blocks import compact_nonempty
+
+    sch = seen.schema()
+    if sch is None:  # schema-less (fully empty) history: everything is novel
+        return new
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        vtype = base.field(seen_column).type
+    else:  # pandas-born dataset: numpy dtype -> arrow (object/str -> string)
+        np_t = dict(zip(sch.names, sch.types)).get(seen_column)
+        try:
+            vtype = pa.from_numpy_dtype(np_t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            vtype = pa.string()
+    vals_schema = pa.schema([(seen_column, vtype)])
+    seen_vals = compact_nonempty(
+        seen.select_columns([seen_column]).map_batches(
+            lambda b, _c=seen_column: pa.table(
+                {_c: pc.unique(b[_c].combine_chunks()).cast(vtype)}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        vals_schema,
+    )
     n_seen = seen_vals.count()
 
     if n_seen <= broadcast_limit:
-        # skip empty blocks: a groupby partition with no rows materializes
-        # as a zero-COLUMN table, which concat_tables rejects
         blocks = [t for t in ray.get(seen_vals.to_arrow_refs()) if t.num_rows]
         if not blocks:
             return new
         tbl = pa.concat_tables(blocks)
-        vs_ref = ray.put(tbl[seen_column].combine_chunks())
+        vs_ref = ray.put(pc.unique(tbl[seen_column].combine_chunks()))
 
         class NotSeen:
             """Broadcast value set; instance-passed so each task pays the
@@ -112,12 +130,10 @@ def novel_rows(
             NotSeen(vs_ref), batch_format="pyarrow", zero_copy_batch=True
         )
 
-    # bloom tier: fold the RAW history (duplicates idempotent — no shuffle)
+    # bloom tier: fold the materialized per-block-unique values (duplicates
+    # idempotent — no shuffle, no second read of the raw history)
     m_bits, k = bloom_params(n_seen, fp_rate=fp_rate)
-    bits_ref = ray.put(
-        bloom_from_dataset(seen.select_columns([seen_column]), seen_column,
-                           m_bits=m_bits, k=k)
-    )
+    bits_ref = ray.put(bloom_from_dataset(seen_vals, seen_column, m_bits=m_bits, k=k))
 
     class BloomSplit:
         """emit='neg' passes definitively-novel rows (probe negative);
