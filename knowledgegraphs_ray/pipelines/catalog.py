@@ -587,6 +587,18 @@ def q_gopher_quality(sf_dir: str):
     return gopher_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weighted sample without replacement (Efraimidis-Spirakis exponential
+    keys, weight = n_chars): per-block prune to k then one (blocks x k)-row
+    sort — the corpus never shuffles. Selection is a pure function of
+    (seed, ids, weights); the SQL twin reproduces it bit-for-bit."""
+    from knowledgegraphs_ray.pipelines.training_data import weighted_sample
+
+    return weighted_sample(
+        _docs(sf_dir, ["doc_id", "n_chars"]), k=100, weight_col="n_chars", seed=7
+    )
+
+
 def q_quality_classifier(sf_dir: str):
     """Trained (distributed logistic regression) quality-filter scores: the
     frozen micro-weights are the output of
@@ -937,6 +949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminated_docs": q_decontaminated_docs,
         "incremental_dedup": q_incremental_dedup,
         "gopher_quality": q_gopher_quality,
+        "weighted_sample": q_weighted_sample,
         "quality_classifier": q_quality_classifier,
         "corpus_shuffle": q_corpus_shuffle,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1245,6 +1258,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE s.doc_id % 5 = 0 AND s.text = d.text)"
         ),
         "gopher_quality": _gopher_sql(),
+        "weighted_sample": __import__(
+            "knowledgegraphs_ray.pipelines.training_data",
+            fromlist=["weighted_sample_oracle_sql"],
+        ).weighted_sample_oracle_sql(k=100, seed=7),
         "quality_classifier": __import__(
             "knowledgegraphs_ray.text.classifier",
             fromlist=["oracle_sql"],

@@ -528,3 +528,81 @@ SELECT {id_col},
          AS chunk_tokens
 FROM e
 """
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    *,
+    k: int = 100,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """Exact weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    per row draw u = (md5(seed:id)[:8] + 1) / 2^64 and keep the k rows with
+    the SMALLEST -ln(u) / w — each row's inclusion probability is
+    proportional to its weight, and the selection is a pure function of
+    (seed, ids, weights): identical at any parallelism, resumable, and
+    value-oracle-checkable.
+
+    Map-only at corpus scale: every block prunes to its local k before the
+    tiny (num_blocks × k)-row final sort — the corpus never shuffles.
+
+    Float discipline for the SQL twin: -ln(u) is quantized to integer
+    micro-nats with Arrow's round (half-away, same as DuckDB's), absorbing
+    the 1-2 ulp libm spread between numpy and DuckDB ln; the rank key is
+    then CAST(L AS DOUBLE) / w — a correctly-rounded division of exactly
+    represented operands, bitwise identical on both sides. Ties (same
+    quantized key) break by id. Zero/negative weights are clamped to 1.
+    """
+    import hashlib
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(f"{seed}:{i}".encode()).digest()[:8], "big")
+                for i in df[id_col].astype(str)
+            ),
+            dtype=np.uint64,
+            count=len(df),
+        )
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        nats = pa.array(-np.log(u), type=pa.float64())
+        L = pc.cast(pc.round(pc.multiply(nats, 1_000_000.0)), pa.int64())
+        w = np.maximum(df[weight_col].to_numpy().astype(np.float64), 1.0)
+        skey = L.to_numpy(zero_copy_only=False).astype(np.float64) / w
+        out = df.assign(__wskey=skey)
+        # local prune: only this block's k best survive the exchange
+        return out.nsmallest(min(k, len(out)), ["__wskey", id_col]).reset_index(
+            drop=True
+        )
+
+    pruned = ds.map_batches(keyed, batch_format="pandas")
+    return (
+        pruned.sort(["__wskey", id_col])
+        .limit(k)
+        .drop_columns(["__wskey"])
+    )
+
+
+def weighted_sample_oracle_sql(
+    *,
+    table: str = "documents",
+    k: int = 100,
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    seed: int = 7,
+    out_cols: str = "doc_id, n_chars",
+) -> str:
+    """DuckDB twin of ``weighted_sample`` — same md5 uniform, same micro-nat
+    quantization, same exact division and tie-break."""
+    h = (
+        f"('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 16))::UBIGINT"
+    )
+    return (
+        f"SELECT {out_cols} FROM ("
+        f"SELECT *, CAST(round(-ln(({h} + 1) / 18446744073709551616.0) "
+        f"* 1000000.0) AS BIGINT) AS L FROM {table}) "
+        f"ORDER BY CAST(L AS DOUBLE) / greatest({weight_col}, 1), {id_col} "
+        f"LIMIT {k}"
+    )

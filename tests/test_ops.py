@@ -279,3 +279,37 @@ def test_topk_per_group_straddling_blocks():
         got[["k", "id", "score", "rank"]].astype("int64"),
         exp[["k", "id", "score", "rank"]].astype("int64"),
     )
+
+
+def test_weighted_sample_properties():
+    """ES weighted sampling: parallelism-invariant selection; heavy rows
+    overrepresented roughly in proportion to weight."""
+    import pandas as pd
+
+    from knowledgegraphs_ray.pipelines.training_data import weighted_sample
+
+    n = 2000
+    # two weight classes: 10% of rows carry 20x the weight
+    w = np.where(np.arange(n) % 10 == 0, 2000, 100)
+    df = pd.DataFrame({"doc_id": np.arange(n), "n_chars": w})
+
+    s3 = (
+        weighted_sample(ray.data.from_pandas(df).repartition(3), k=200)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    s7 = (
+        weighted_sample(ray.data.from_pandas(df).repartition(7), k=200)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert s3.equals(s7)  # pure function of (seed, ids, weights)
+    assert len(s3) == 200
+
+    heavy = (s3["doc_id"] % 10 == 0).mean()
+    # heavy rows are 10% of the population with ~69% of the total weight;
+    # without replacement the selected share lands well above 10% and below
+    # the with-replacement share — generous statistical bounds
+    assert 0.3 <= heavy <= 0.95

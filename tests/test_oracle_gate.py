@@ -38,6 +38,8 @@ SUBSET = [
     "chunk_sequences",      # stride chunking, generate_series twin (r3)
     "top_docs_per_lang",    # per-group top-k, row_number window twin (r3)
     "customers_without_orders",  # distributed left_anti join, NOT EXISTS twin (r3)
+    "quality_classifier",   # trained LR quality filter, micro-weight twin (r3)
+    "weighted_sample",      # Efraimidis-Spirakis weighted sample, ES-key twin (r3)
 ]
 
 
