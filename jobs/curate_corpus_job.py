@@ -53,6 +53,13 @@ def main() -> int:
     ap.add_argument("--dsir-top-k", type=int, default=None,
                     help="keep top-k most target-like survivors "
                          "(target = doc_id %% 10 == 0)")
+    ap.add_argument("--classifier-min-micro", type=int, default=None,
+                    help="model-quality gate: keep docs with trained-classifier "
+                         "score_micro >= this (0 = keep-side of the decision "
+                         "boundary)")
+    ap.add_argument("--weighted-k", type=int, default=None,
+                    help="final size cap: length-weighted sample without "
+                         "replacement down to k docs")
     ap.add_argument("--embeddings", default=None,
                     help="(doc_id, embedding) Parquet: enable SemDeDup")
     ap.add_argument("--semantic-threshold", type=float, default=0.95)
@@ -117,6 +124,8 @@ def main() -> int:
             if args.embeddings
             else None
         ),
+        classifier_min_micro=args.classifier_min_micro,
+        weighted_k=args.weighted_k,
         dsir_top_k=args.dsir_top_k,
         dsir_target=(
             (lambda: ingest().map_batches(

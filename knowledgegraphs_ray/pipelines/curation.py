@@ -159,6 +159,8 @@ def curate_run(
     embeddings=None,
     dsir_top_k: int | None = None,
     dsir_target=None,
+    classifier_min_micro: int | None = None,
+    weighted_k: int | None = None,
 ) -> "CheckpointedPipeline":
     """Run (or resume) the curation chain under ``root``.
 
@@ -178,8 +180,12 @@ def curate_run(
     (doc_id, embedding) Dataset) inserts SemDeDup after the lexical
     near-dedup; ``dsir_top_k`` + ``dsir_target`` (zero-arg callable ->
     target-domain docs) keeps only the top-k most target-like survivors
-    (text/dsir.py) before mixture sampling. Stage names are stable, so a
-    resume with the same flags skips finished stages as usual.
+    (text/dsir.py) before mixture sampling; ``classifier_min_micro``
+    inserts the trained-model quality gate (text/classifier.py, frozen
+    distributed-LR weights) after the rule gates; ``weighted_k`` caps the
+    final corpus with a length-weighted Efraimidis-Spirakis sample before
+    packing. Stage names are stable, so a resume with the same flags skips
+    finished stages as usual.
     """
     from knowledgegraphs_ray.dedup.minhash import (
         components_from_pairs,
@@ -244,6 +250,29 @@ def curate_run(
         src = pre_dedup
         p.stage("gopher", lambda: gopher_filter(p.dataset(src)))
         pre_dedup = "gopher"
+    if classifier_min_micro is not None:
+        # model-based quality gate AFTER the rule gates (the GPT-3/LLaMA
+        # wiki-vs-crawl classifier placement): map-only scoring with the
+        # frozen distributed-LR weights, keep score_micro >= threshold
+        from knowledgegraphs_ray.text import classifier as _qc
+
+        clf_src = pre_dedup
+
+        def _clf_gate(src_name=clf_src, thr=classifier_min_micro):
+            import pyarrow.compute as _pc
+
+            def gate(b):
+                scored = _qc.score(b)
+                return b.filter(
+                    _pc.greater_equal(scored["score_micro"], thr)
+                )
+
+            return p.dataset(src_name).map_batches(
+                gate, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+        p.stage("clf_filtered", _clf_gate)
+        pre_dedup = "clf_filtered"
     if benchmark is not None:
         from knowledgegraphs_ray.text.decontam import decontaminate
 
@@ -319,10 +348,25 @@ def curate_run(
             hash_fn="splitmix",
         ),
     )
+    pre_pack = "sampled"
+    if weighted_k is not None:
+        # final size cap as a length-weighted sample without replacement
+        # (Efraimidis-Spirakis): longer docs proportionally likelier to
+        # survive, selection a pure function of (seed, ids, weights)
+        from knowledgegraphs_ray.pipelines.training_data import weighted_sample
+
+        wk_src = pre_pack
+        p.stage(
+            "weighted",
+            lambda: weighted_sample(
+                p.dataset(wk_src), k=weighted_k, weight_col="n_tokens"
+            ),
+        )
+        pre_pack = "weighted"
     p.stage(
         "packed",
         lambda: pack_sequences(
-            p.dataset("sampled", columns=["doc_id", "n_tokens"]),
+            p.dataset(pre_pack, columns=["doc_id", "n_tokens"]),
             budget=pack_budget,
         ),
     )

@@ -250,3 +250,32 @@ def test_curate_run_with_semdedup_and_dsir(tmp_path):
     # every selected doc is cat-domain (target-like)
     assert all(i % 3 == 0 for i in sel["doc_id"])
     assert m["sampled"]["rows"] == 8  # default_rate=1.0 passes all through
+
+
+def test_curate_run_with_classifier_and_weighted_cap(tmp_path):
+    """Trained-classifier quality gate after the rule gates; final
+    length-weighted ES cap before packing. Stage names stable for resume."""
+    from knowledgegraphs_ray.pipelines.curation import curate_run
+
+    def corpus():
+        return ray.data.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"],
+        )
+
+    p = curate_run(
+        str(tmp_path / "c"),
+        corpus,
+        min_tokens=5,
+        classifier_min_micro=0,
+        weighted_k=50,
+    )
+    m = p.metrics()
+    assert list(m) == [
+        "filtered", "clf_filtered", "exact_dedup", "near_dedup",
+        "sampled", "weighted", "packed",
+    ]
+    assert m["filtered"]["rows"] >= m["clf_filtered"]["rows"] > 0
+    assert m["weighted"]["rows"] == 50
+    # the gate drops rows, never adds columns
+    assert p.dataset("clf_filtered").schema().names == p.dataset("filtered").schema().names
