@@ -587,6 +587,26 @@ def q_gopher_quality(sf_dir: str):
     return gopher_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_corpus_diff(sf_dir: str):
+    """Snapshot delta between two corpus versions (state/diff.py): old =
+    doc_id % 7 != 0, new = doc_id % 5 != 0 with text perturbed at
+    doc_id % 11 == 0 — exercises all four statuses. Text never shuffles;
+    the delta is one full-outer join of (id, md5) rows."""
+    from knowledgegraphs_ray.state.diff import corpus_diff
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    old = docs.map_batches(lambda df: df[df["doc_id"] % 7 != 0], batch_format="pandas")
+
+    def perturb(df):
+        df = df[df["doc_id"] % 5 != 0].copy()
+        m = df["doc_id"] % 11 == 0
+        df.loc[m, "text"] = df.loc[m, "text"] + "!"
+        return df
+
+    new = docs.map_batches(perturb, batch_format="pandas")
+    return corpus_diff(old, new)
+
+
 def q_weighted_sample(sf_dir: str):
     """Weighted sample without replacement (Efraimidis-Spirakis exponential
     keys, weight = n_chars): per-block prune to k then one (blocks x k)-row
@@ -949,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminated_docs": q_decontaminated_docs,
         "incremental_dedup": q_incremental_dedup,
         "gopher_quality": q_gopher_quality,
+        "corpus_diff": q_corpus_diff,
         "weighted_sample": q_weighted_sample,
         "quality_classifier": q_quality_classifier,
         "corpus_shuffle": q_corpus_shuffle,
@@ -1258,6 +1279,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE s.doc_id % 5 = 0 AND s.text = d.text)"
         ),
         "gopher_quality": _gopher_sql(),
+        "corpus_diff": __import__(
+            "knowledgegraphs_ray.state.diff",
+            fromlist=["corpus_diff_oracle_sql"],
+        ).corpus_diff_oracle_sql(
+            old_table="(SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0)",
+            new_table=(
+                "(SELECT doc_id, CASE WHEN doc_id % 11 = 0 THEN text || '!' "
+                "ELSE text END AS text FROM documents WHERE doc_id % 5 <> 0)"
+            ),
+        ),
         "weighted_sample": __import__(
             "knowledgegraphs_ray.pipelines.training_data",
             fromlist=["weighted_sample_oracle_sql"],

@@ -40,6 +40,7 @@ SUBSET = [
     "customers_without_orders",  # distributed left_anti join, NOT EXISTS twin (r3)
     "quality_classifier",   # trained LR quality filter, micro-weight twin (r3)
     "weighted_sample",      # Efraimidis-Spirakis weighted sample, ES-key twin (r3)
+    "corpus_diff",          # snapshot delta, full-outer md5 twin (r3)
 ]
 
 
