@@ -587,6 +587,19 @@ def q_gopher_quality(sf_dir: str):
     return gopher_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_embedding_clusters(sf_dir: str):
+    """K-means cluster assignment over the embeddings table: frozen
+    distributed-Lloyd centroids (sim/clusters.py, micro-quantized,
+    parallelism-invariant provenance in tests/test_clusters.py); assignment
+    is one matmul per batch — map-only, shuffle-free."""
+    from knowledgegraphs_ray.sim.clusters import assign_clusters
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return assign_clusters(ds)
+
+
 def q_corpus_diff(sf_dir: str):
     """Snapshot delta between two corpus versions (state/diff.py): old =
     doc_id % 7 != 0, new = doc_id % 5 != 0 with text perturbed at
@@ -969,6 +982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminated_docs": q_decontaminated_docs,
         "incremental_dedup": q_incremental_dedup,
         "gopher_quality": q_gopher_quality,
+        "embedding_clusters": q_embedding_clusters,
         "corpus_diff": q_corpus_diff,
         "weighted_sample": q_weighted_sample,
         "quality_classifier": q_quality_classifier,
@@ -1279,6 +1293,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE s.doc_id % 5 = 0 AND s.text = d.text)"
         ),
         "gopher_quality": _gopher_sql(),
+        "embedding_clusters": __import__(
+            "knowledgegraphs_ray.sim.clusters", fromlist=["oracle_sql"]
+        ).oracle_sql(),
         "corpus_diff": __import__(
             "knowledgegraphs_ray.state.diff",
             fromlist=["corpus_diff_oracle_sql"],

@@ -41,6 +41,7 @@ SUBSET = [
     "quality_classifier",   # trained LR quality filter, micro-weight twin (r3)
     "weighted_sample",      # Efraimidis-Spirakis weighted sample, ES-key twin (r3)
     "corpus_diff",          # snapshot delta, full-outer md5 twin (r3)
+    "embedding_clusters",   # frozen distributed-Lloyd assignment twin (r3)
 ]
 
 
