@@ -87,6 +87,9 @@ def run_bench() -> dict:
     timed("mixture_budget", catalog.q_mixture_budget)
     timed("chunk_sequences", catalog.q_chunk_sequences)
     timed("quality_classifier", catalog.q_quality_classifier)
+    timed("weighted_sample", catalog.q_weighted_sample)
+    timed("corpus_diff", catalog.q_corpus_diff)
+    timed("embedding_clusters", catalog.q_embedding_clusters)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)
