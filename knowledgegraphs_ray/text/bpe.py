@@ -228,3 +228,124 @@ def bpe_token_counts(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def build_vocab(tok: BPETokenizer, counts: pl.DataFrame) -> dict[str, int]:
+    """Deterministic dense id table: <unk>=0, then the training alphabet
+    (sorted base symbols incl. EOW forms), then merge products in merge
+    order. A pure function of (counts, merges) — identical at any
+    parallelism, so token ids are stable across runs and shards."""
+    base: set[str] = set()
+    for w in counts["word"]:
+        if w:
+            base.update(w[:-1])
+            base.add(w[-1] + _EOW)
+    vocab = {"<unk>": 0}
+    for s in sorted(base):
+        vocab[s] = len(vocab)
+    for a, b in tok.merges:
+        m = a + b
+        if m not in vocab:
+            vocab[m] = len(vocab)
+    return vocab
+
+
+class EncodeIdsBlock:
+    """Broadcast (tokenizer, vocab) once; per-block word memo; emits the
+    document's dense token-id sequence as list<int32> (OOV symbols -> 0)."""
+
+    def __init__(self, ref, *, id_col: str = "doc_id", text_col: str = "text"):
+        self.ref = ref
+        self.id_col = id_col
+        self.text_col = text_col
+        self._tv = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import re
+
+        if self._tv is None:
+            self._tv = ray.get(self.ref)
+        tok, vocab = self._tv
+        memo: dict[str, list[int]] = {}
+        pat = re.compile(TOKEN_RE)
+        out_ids = []
+        for t in batch[self.text_col].to_pylist():
+            t = (t or "")
+            t = t.lower() if tok.lower else t
+            ids: list[int] = []
+            for w in pat.findall(t):
+                enc = memo.get(w)
+                if enc is None:
+                    enc = [vocab.get(s, 0) for s in tok.encode_word(w)]
+                    memo[w] = enc
+                ids.extend(enc)
+            out_ids.append(ids)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "token_ids": pa.array(out_ids, pa.list_(pa.int32())),
+            }
+        )
+
+
+def encode_token_ids(
+    docs: ray.data.Dataset,
+    tokenizer: BPETokenizer,
+    vocab: dict[str, int],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """-> (id_col, token_ids list<int32>) per document, map-only."""
+    ref = ray.put((tokenizer, vocab))
+    return docs.map_batches(
+        EncodeIdsBlock(ref, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def chunk_token_ids(
+    encoded: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    chunk_size: int = 128,
+    stride: int = 96,
+) -> ray.data.Dataset:
+    """Expand each document's id sequence into overlapping fixed-window
+    training sequences: (doc_id, seq_idx, token_ids, n_tokens). Same window
+    rule as pipelines.training_data.chunk_sequences (oracle-checked there);
+    here the actual ids travel. Map-only — a document's chunks are a local
+    decision."""
+
+    def kern(batch: pa.Table) -> pa.Table:
+        ids_col = batch["token_ids"].combine_chunks()
+        flat = ids_col.flatten().to_numpy(zero_copy_only=False)
+        offsets = ids_col.offsets.to_numpy(zero_copy_only=False)
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        o_doc, o_seq, o_ids, o_n = [], [], [], []
+        for di in range(len(doc_ids)):
+            start, end = int(offsets[di]), int(offsets[di + 1])
+            n = end - start
+            if n == 0:
+                continue
+            n_chunks = max(1, -(-(max(n - chunk_size, 0)) // stride) + 1)
+            for ci in range(n_chunks):
+                lo = start + ci * stride
+                hi = min(lo + chunk_size, end)
+                if lo >= end:
+                    break
+                o_doc.append(doc_ids[di])
+                o_seq.append(ci)
+                o_ids.append(flat[lo:hi])
+                o_n.append(hi - lo)
+        return pa.table(
+            {
+                id_col: pa.array(o_doc, pa.int64()),
+                "seq_idx": pa.array(o_seq, pa.int64()),
+                "token_ids": pa.array([x.tolist() for x in o_ids], pa.list_(pa.int32())),
+                "n_tokens": pa.array(o_n, pa.int64()),
+            }
+        )
+
+    return encoded.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)

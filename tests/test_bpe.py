@@ -114,3 +114,84 @@ def test_encode_unknown_chars_fall_back_to_symbols():
     tok = BPETokenizer(merges=[("l", "o"), ("lo", "w" + _EOW)])
     assert tok.encode("low") == ["low" + _EOW]
     assert tok.encode("xyz") == ["x", "y", "z" + _EOW]
+
+
+def test_encode_ids_consistent_with_counts(sf_dir):
+    """token_ids lengths == the oracle-adjacent n_bpe_tokens; every id is in
+    the vocab range; vocab is deterministic."""
+    import ray.data
+
+    from knowledgegraphs_ray.text.bpe import (
+        bpe_token_counts,
+        build_vocab,
+        encode_token_ids,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    counts = word_counts(docs)
+    tok = train_bpe(counts, num_merges=50)
+    vocab = build_vocab(tok, counts)
+    assert build_vocab(tok, counts) == vocab  # pure function
+
+    enc = encode_token_ids(docs, tok, vocab).to_pandas().sort_values("doc_id")
+    cnt = bpe_token_counts(docs, tok).to_pandas().sort_values("doc_id")
+    assert (enc["token_ids"].map(len).to_numpy() == cnt["n_bpe_tokens"].to_numpy()).all()
+    mx = max((max(x) for x in enc["token_ids"] if len(x)), default=0)
+    assert 0 <= mx < len(vocab)
+
+
+def test_chunk_token_ids_matches_count_chunker(sf_dir):
+    """chunk_token_ids (ids travel) and chunk_sequences (counts only,
+    oracle-checked) agree on the chunk structure, and each chunk's ids are
+    the right slice of the document sequence."""
+    import numpy as np
+    import ray.data
+
+    from knowledgegraphs_ray.pipelines.training_data import chunk_sequences
+    from knowledgegraphs_ray.text.bpe import (
+        build_vocab,
+        chunk_token_ids,
+        encode_token_ids,
+        train_bpe,
+        word_counts,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    counts = word_counts(docs)
+    tok = train_bpe(counts, num_merges=50)
+    vocab = build_vocab(tok, counts)
+    enc = encode_token_ids(docs, tok, vocab)
+    chunks = (
+        chunk_token_ids(enc, chunk_size=32, stride=24)
+        .to_pandas()
+        .sort_values(["doc_id", "seq_idx"])
+        .reset_index(drop=True)
+    )
+    # count-twin: feed the id lengths through the oracle-checked chunker
+    lens = enc.to_pandas()
+    lens["n_tokens"] = lens["token_ids"].map(len)
+    twin = (
+        chunk_sequences(
+            ray.data.from_pandas(lens[["doc_id", "n_tokens"]]),
+            chunk_size=32,
+            stride=24,
+        )
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    twin = twin[twin["chunk_tokens"] > 0].reset_index(drop=True)
+    assert len(chunks) == len(twin)
+    assert (chunks["doc_id"].to_numpy() == twin["doc_id"].to_numpy()).all()
+    assert (chunks["n_tokens"].to_numpy() == twin["chunk_tokens"].to_numpy()).all()
+    # slice fidelity on a sample of docs
+    full = {r.doc_id: list(r.token_ids) for r in lens.itertuples()}
+    for r in chunks.head(200).itertuples():
+        lo = r.seq_idx * 24
+        assert list(r.token_ids) == full[r.doc_id][lo : lo + 32]
