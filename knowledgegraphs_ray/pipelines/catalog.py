@@ -587,6 +587,16 @@ def q_gopher_quality(sf_dir: str):
     return gopher_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_lm_bigram_ppl(sf_dir: str):
+    """Interpolated bigram-LM perplexity (pruned-KenLM direction): two
+    combine-before-shuffle count passes train the model, scoring is one
+    broadcast-join map over doc blocks. Integer micro-nat surprisals keep
+    the double ppl column bit-identical to the DuckDB twin."""
+    from knowledgegraphs_ray.text.lm import bigram_perplexity
+
+    return bigram_perplexity(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_embedding_clusters(sf_dir: str):
     """K-means cluster assignment over the embeddings table: frozen
     distributed-Lloyd centroids (sim/clusters.py, micro-quantized,
@@ -982,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminated_docs": q_decontaminated_docs,
         "incremental_dedup": q_incremental_dedup,
         "gopher_quality": q_gopher_quality,
+        "lm_bigram_ppl": q_lm_bigram_ppl,
         "embedding_clusters": q_embedding_clusters,
         "corpus_diff": q_corpus_diff,
         "weighted_sample": q_weighted_sample,
@@ -1293,6 +1304,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE s.doc_id % 5 = 0 AND s.text = d.text)"
         ),
         "gopher_quality": _gopher_sql(),
+        "lm_bigram_ppl": __import__(
+            "knowledgegraphs_ray.text.lm",
+            fromlist=["bigram_perplexity_oracle_sql"],
+        ).bigram_perplexity_oracle_sql(),
         "embedding_clusters": __import__(
             "knowledgegraphs_ray.sim.clusters", fromlist=["oracle_sql"]
         ).oracle_sql(),

@@ -209,3 +209,61 @@ def test_remove_spans_join_tier_equals_broadcast_tier():
     pd.testing.assert_frame_equal(a, b[a.columns])
     assert list(a["doc_id"]) == [1, 2, 4]  # fully-dup doc dropped
     assert a.loc[2, "n_removed_tokens"] == 0  # untouched doc intact
+
+
+def test_bigram_ppl_tiers_and_fit(sf_dir):
+    """Pruning tiers: an unpruned bigram_limit reproduces the full model
+    exactly; a hard prune only raises surprisal (backoff branch). The
+    self-trained bigram model fits better than the unigram model on
+    average (interpolation with the true bigram distribution)."""
+    import ray.data
+
+    from knowledgegraphs_ray.text.lm import bigram_perplexity, perplexity
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    full = (
+        bigram_perplexity(docs)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    unpruned = (
+        bigram_perplexity(docs, bigram_limit=10_000_000)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert full.equals(unpruned)
+
+    pruned = (
+        bigram_perplexity(docs, bigram_limit=50)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (
+        pruned["surprisal_micro"].to_numpy() >= full["surprisal_micro"].to_numpy()
+    ).all()
+
+    uni = (
+        perplexity(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert full["ppl"].mean() < uni["ppl"].mean()
+
+
+def test_bigram_vocab_cap_oov_path(sf_dir):
+    """Bounded-vocab tier: OOV tokens and vocab-crossing bigrams route
+    through the pooled-tail backoff without error; schema unchanged."""
+    import ray.data
+
+    from knowledgegraphs_ray.text.lm import bigram_perplexity
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = bigram_perplexity(docs, vocab_limit=20, bigram_limit=100).to_pandas()
+    assert len(out) == 500
+    assert (out["surprisal_micro"] >= 0).all()
+    assert set(out.columns) == {"doc_id", "n_tokens", "surprisal_micro", "ppl"}

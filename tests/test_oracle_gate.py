@@ -42,6 +42,7 @@ SUBSET = [
     "weighted_sample",      # Efraimidis-Spirakis weighted sample, ES-key twin (r3)
     "corpus_diff",          # snapshot delta, full-outer md5 twin (r3)
     "embedding_clusters",   # frozen distributed-Lloyd assignment twin (r3)
+    "lm_bigram_ppl",        # interpolated bigram LM, micro-nat twin (r3)
 ]
 
 
