@@ -587,6 +587,40 @@ def q_gopher_quality(sf_dir: str):
     return gopher_stats(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_chat_pairs(sf_dir: str):
+    """SFT-pair extraction: adjacent (user turn -> assistant turn) pairs per
+    conversation. lead() via util.segrank.lead_within_group — the transcript
+    table arrives already sorted by (conv_id, turn_idx) from the segrank
+    path, so the lead pass is O(num_blocks) single-row halos with NO extra
+    sort or shuffle."""
+    from knowledgegraphs_ray.util.segrank import lead_within_group
+
+    t = transcripts_from_events(sf_dir)
+    led = lead_within_group(
+        t,
+        key_cols=["conv_id"],
+        order_cols=["turn_idx"],
+        cols=["text", "role"],
+        assume_sorted=True,  # segrank emits (user_id==conv_id, turn_idx) order
+    )
+
+    def pairs(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(b["role"], "user"), pc.equal(b["lead_role"], "assistant")
+        )
+        f = b.filter(pc.fill_null(keep, False))
+        return pa.table(
+            {
+                "conv_id": f["conv_id"],
+                "turn_idx": f["turn_idx"].cast(pa.int32()),
+                "prompt": f["text"],
+                "response": f["lead_text"],
+            }
+        )
+
+    return led.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_lm_bigram_ppl(sf_dir: str):
     """Interpolated bigram-LM perplexity (pruned-KenLM direction): two
     combine-before-shuffle count passes train the model, scoring is one
@@ -992,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminated_docs": q_decontaminated_docs,
         "incremental_dedup": q_incremental_dedup,
         "gopher_quality": q_gopher_quality,
+        "chat_pairs": q_chat_pairs,
         "lm_bigram_ppl": q_lm_bigram_ppl,
         "embedding_clusters": q_embedding_clusters,
         "corpus_diff": q_corpus_diff,
@@ -1304,6 +1339,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE s.doc_id % 5 = 0 AND s.text = d.text)"
         ),
         "gopher_quality": _gopher_sql(),
+        "chat_pairs": (
+            "WITH t AS (" + sqlgen.TRANSCRIPTS_CTE + "), led AS ("
+            "SELECT conv_id, turn_idx, role, text, "
+            "lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS lead_role, "
+            "lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS lead_text "
+            "FROM t) "
+            "SELECT conv_id, CAST(turn_idx AS INTEGER) AS turn_idx, "
+            "text AS prompt, lead_text AS response FROM led "
+            "WHERE role = 'user' AND lead_role = 'assistant'"
+        ),
         "lm_bigram_ppl": __import__(
             "knowledgegraphs_ray.text.lm",
             fromlist=["bigram_perplexity_oracle_sql"],

@@ -438,3 +438,77 @@ def sorted_segment_cumsum(
         carry_key = m["last_key"]
 
     return ray.data.from_arrow_refs(out_blocks)
+
+
+@ray.remote
+def _lead_block(
+    block: pa.Table, key_cols: list[str], cols: list[str], *next_heads
+) -> pa.Table:
+    """Append lead_<col> columns = next row's value within the same key
+    group (null at group boundaries / corpus end). The block sees only the
+    head row(s) of its successor blocks — O(1) halo, no shuffle."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    n = block.num_rows
+    ext = block
+    heads = [h for h in next_heads if h.num_rows]
+    if heads:
+        ext = pa.concat_tables([block] + heads, promote_options="default")
+    idx_np = np.arange(1, n + 1, dtype=np.int64)
+    valid = idx_np < ext.num_rows
+    idx = pa.array(np.where(valid, idx_np, 0), pa.int64())
+    idx = pc.if_else(pa.array(valid), idx, pa.scalar(None, pa.int64()))
+    same = None
+    for kcol in key_cols:
+        eq = pc.fill_null(
+            pc.equal(pc.take(ext[kcol].combine_chunks(), idx), block[kcol]),
+            False,
+        )
+        same = eq if same is None else pc.and_(same, eq)
+    out = block
+    for c in cols:
+        taken = pc.take(ext[c].combine_chunks(), idx)
+        lead = pc.if_else(same, taken, pa.scalar(None, ext.schema.field(c).type))
+        out = out.append_column(f"lead_{c}", lead)
+    return out
+
+
+def lead_within_group(
+    ds: "ray.data.Dataset",
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    cols: list[str],
+    assume_sorted: bool = False,
+) -> "ray.data.Dataset":
+    """SQL lead() over (PARTITION BY key ORDER BY order): adds
+    ``lead_<col>`` columns, null at group boundaries. One sort (skippable
+    with ``assume_sorted``) + O(num_blocks) single-row halos."""
+    sorted_ds = ds if assume_sorted else ds.sort(key_cols + order_cols)
+    from knowledgegraphs_ray.util.blocks import _as_arrow, _num_rows
+
+    raw = sorted_ds.to_arrow_refs()
+    raw_counts = ray.get([_num_rows.remote(r) for r in raw])
+    # drop 0-row blocks (sort can emit schema-poisoned empties) and convert
+    # pandas pass-through blocks; order is preserved
+    refs = [_as_arrow.remote(r) for r, n in zip(raw, raw_counts) if n > 0]
+    counts = [n for n in raw_counts if n > 0]
+    if not refs:
+        return sorted_ds
+    halos = [_halo_slices.remote(r, 1) for r in refs]
+    heads = [h for h, _ in halos]
+
+    def gather_next(i: int) -> list:
+        need, out, j = 1, [], i + 1
+        while j < len(refs) and need > 0:
+            out.append(heads[j])
+            need -= min(counts[j], 1)
+            j += 1
+        return out
+
+    out = [
+        _lead_block.remote(r, key_cols, cols, *gather_next(i))
+        for i, r in enumerate(refs)
+    ]
+    return ray.data.from_arrow_refs(out)

@@ -313,3 +313,31 @@ def test_weighted_sample_properties():
     # without replacement the selected share lands well above 10% and below
     # the with-replacement share — generous statistical bounds
     assert 0.3 <= heavy <= 0.95
+
+
+def test_lead_within_group_straddles_blocks():
+    """lead() values are correct when a group straddles block boundaries,
+    and null at group boundaries / corpus end."""
+    import pandas as pd
+
+    from knowledgegraphs_ray.util.segrank import lead_within_group
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 3,
+            "o": list(range(5)) + list(range(3)),
+            "v": [f"t{i}" for i in range(8)],
+        }
+    )
+    for parts in (1, 3, 8):
+        ds = ray.data.from_pandas(df).repartition(parts)
+        out = (
+            lead_within_group(ds, key_cols=["k"], order_cols=["o"], cols=["v"])
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        expect = df.copy()
+        expect["lead_v"] = expect.groupby("k")["v"].shift(-1)
+        expect = expect.sort_values(["k", "o"]).reset_index(drop=True)
+        assert out["lead_v"].fillna("-").tolist() == expect["lead_v"].fillna("-").tolist()

@@ -43,6 +43,7 @@ SUBSET = [
     "corpus_diff",          # snapshot delta, full-outer md5 twin (r3)
     "embedding_clusters",   # frozen distributed-Lloyd assignment twin (r3)
     "lm_bigram_ppl",        # interpolated bigram LM, micro-nat twin (r3)
+    "chat_pairs",           # SFT pair extraction, lead() window twin (r3)
 ]
 
 
