@@ -90,6 +90,8 @@ def run_bench() -> dict:
     timed("weighted_sample", catalog.q_weighted_sample)
     timed("corpus_diff", catalog.q_corpus_diff)
     timed("embedding_clusters", catalog.q_embedding_clusters)
+    timed("lm_bigram_ppl", catalog.q_lm_bigram_ppl)
+    timed("chat_pairs", catalog.q_chat_pairs)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)
