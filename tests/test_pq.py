@@ -130,3 +130,57 @@ def test_partial_rerank_recall_not_worse(sf_dir):
         )
 
     assert recall(rr) >= recall(plain)
+
+
+def test_ivf_pq_full_probe_equals_pq(sf_dir):
+    """n_probe == n_list scans everything -> identical to the plain ADC
+    scan (same codebooks, same merge semantics)."""
+    ds = _emb_ds(sf_dir)
+    qids = [1, 7, 42]
+    books = PQ.train_pq(ds, m=8, k=16)
+    plain = (
+        PQ.pq_topk(ds, qids, k=10, books=books)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    full = (
+        PQ.ivf_pq_topk(ds, qids, k=10, n_list=8, n_probe=8, m=8, n_codes=16)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        plain[["query_id", "neighbor_id", "rank"]].astype("int64"),
+        full[["query_id", "neighbor_id", "rank"]].astype("int64"),
+    )
+
+
+def test_ivf_pq_probe_recall_and_rerank(sf_dir):
+    """Reduced probes keep most of the ADC answer; exact rerank on top of
+    the probed candidates returns valid ranks and the query itself."""
+    ds = _emb_ds(sf_dir)
+    qids = [1, 7, 42]
+    approx = PQ.ivf_pq_topk(
+        ds, qids, k=10, n_list=8, n_probe=4, m=16, n_codes=32
+    ).to_pandas()
+    exact = brute_force_topk(ds, qids, k=10).to_pandas()
+    rec = np.mean(
+        [
+            len(
+                set(approx[approx.query_id == q].neighbor_id)
+                & set(exact[exact.query_id == q].neighbor_id)
+            )
+            / 10
+            for q in qids
+        ]
+    )
+    assert rec >= 0.3  # half the corpus scanned at 32 B/vector
+
+    rr = PQ.ivf_pq_topk(
+        ds, qids, k=10, n_list=8, n_probe=4, m=16, n_codes=32, rerank_r=100
+    ).to_pandas()
+    for q in qids:
+        mine = rr[rr.query_id == q]
+        assert q in set(mine.neighbor_id)  # the query vector itself
+        assert mine["rank"].tolist() == list(range(1, len(mine) + 1))
