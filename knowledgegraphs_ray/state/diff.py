@@ -40,7 +40,7 @@ def corpus_diff(
     *,
     id_col: str = "doc_id",
     column: str = "text",
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
     """-> (doc_id int64, status string) with status in
     {added, removed, changed, unchanged}.
@@ -78,6 +78,15 @@ def corpus_diff(
     if o.count() == 0:
         return _all_as(n, _RKEY, "added")
 
+    import ray
+
+    if num_partitions is None:
+        # one aggregator actor per ~2 CPUs (the minhash join-tier rule):
+        # each hash-join partition is an actor slot, and oversubscribing
+        # them starves the scan stages on small clusters
+        num_partitions = max(
+            2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        )
     j = o.join(
         n,
         join_type="full_outer",
