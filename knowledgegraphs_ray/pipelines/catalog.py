@@ -141,6 +141,23 @@ def q_ann_topk(sf_dir: str):
     return brute_force_topk(ds, query_ids=[0, 1, 2], k=10)
 
 
+def q_ann_ivf_pq_topk(sf_dir: str):
+    """IVF-PQ with n_probe == n_list (every list scanned) and exact rerank
+    over the whole corpus: the result is EXACT — the brute-force SQL is a
+    true oracle — while the full compressed-index machinery (coarse assign,
+    PQ encode, ADC candidate scan, rerank gather) runs under the gate. The
+    approximate reduced-probe tier is recall-tested in tests/test_pq.py."""
+    from knowledgegraphs_ray.sim.pq import ivf_pq_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return ivf_pq_topk(
+        ds, query_ids=[0, 1, 2], k=10, n_list=16, n_probe=16,
+        rerank_r=ds.count(),
+    )
+
+
 def q_kg_triples_dedup(sf_dir: str):
     """D5: exact (s,p,o) dedup — the duplicated union collapses back to the
     original set because IRIs are deterministic (retry idempotence)."""
@@ -988,6 +1005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": q_lang_id,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
         "doc_fingerprints": q_doc_fingerprints,
         "mentions_documents": q_mentions_documents,
         "link_exact_documents": q_link_exact_documents,
@@ -1180,6 +1198,10 @@ def oracle_sql() -> dict[str, str]:
         # ann_ivf_topk probes ALL lists (n_probe == n_list) -> exact: the
         # brute-force SQL is a true oracle for the full IVF path
         "ann_ivf_topk": _ANN_TOPK_SQL,
+        # ann_ivf_pq_topk probes ALL lists and exact-reranks the full
+        # corpus -> exact: the brute-force SQL is a true oracle for the
+        # complete IVF-PQ path
+        "ann_ivf_pq_topk": _ANN_TOPK_SQL,
         # doc_fingerprints: the byte-level polynomial rolling hash IS
         # SQL-expressible as a Horner fold over codepoints (== bytes for the
         # ASCII testdata; a non-ASCII doc would surface as a value mismatch,

@@ -44,6 +44,7 @@ SUBSET = [
     "embedding_clusters",   # frozen distributed-Lloyd assignment twin (r3)
     "lm_bigram_ppl",        # interpolated bigram LM, micro-nat twin (r3)
     "chat_pairs",           # SFT pair extraction, lead() window twin (r3)
+    "ann_ivf_pq_topk",      # full IVF-PQ path, exact by construction (r3)
 ]
 
 
