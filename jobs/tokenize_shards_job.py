@@ -74,9 +74,24 @@ def main() -> int:
     # reuses the exact vocabulary
     os.makedirs(args.root, exist_ok=True)
     tok_path = os.path.join(args.root, "tokenizer.json")
+    # the artifact records the params it was trained with; a resume with
+    # DIFFERENT params must not silently encode with the stale vocabulary
+    params = {
+        "num_merges": args.num_merges,
+        "input": args.input or ("synthetic:%d" % args.synthetic if args.synthetic
+                                else os.path.join(args.sf_dir, "documents.parquet")),
+    }
+    art = None
     if os.path.exists(tok_path):
         with open(tok_path) as f:
             art = json.load(f)
+        if art.get("params") != params:
+            raise SystemExit(
+                f"{tok_path} was trained with params {art.get('params')} but this "
+                f"invocation asks for {params}; delete the artifact (or use a "
+                "fresh --root) to retrain"
+            )
+    if art is not None:
         from knowledgegraphs_ray.text.bpe import BPETokenizer
 
         tok = BPETokenizer(merges=[tuple(m) for m in art["merges"]])
@@ -86,7 +101,7 @@ def main() -> int:
         tok = train_bpe(counts, num_merges=args.num_merges)
         vocab = build_vocab(tok, counts)
         with open(tok_path, "w") as f:
-            json.dump({"merges": tok.merges, "vocab": vocab}, f)
+            json.dump({"merges": tok.merges, "vocab": vocab, "params": params}, f)
 
     p = CheckpointedPipeline(args.root)
     p.stage("token_ids", lambda: encode_token_ids(ingest(), tok, vocab))

@@ -566,7 +566,14 @@ def weighted_sample(
             dtype=np.uint64,
             count=len(df),
         )
-        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        # +1 in the INTEGER domain, matching the twin's UBIGINT (h + 1)
+        # before the cast — double(h) + 1.0 differs by 1 ulp from
+        # double(h + 1) for ~1/4096 of hashes (h near 2^64 where the
+        # float grid is coarser than 1), so the parity would otherwise
+        # rest on the micro-nat quantization absorbing the spread.
+        # uint64 wraparound at h == 2^64-1 has probability 2^-64 — the
+        # twin would overflow-error there first; acceptable.
+        u = (h + np.uint64(1)).astype(np.float64) / 18446744073709551616.0
         nats = pa.array(-np.log(u), type=pa.float64())
         L = pc.cast(pc.round(pc.multiply(nats, 1_000_000.0)), pa.int64())
         w = np.maximum(df[weight_col].to_numpy().astype(np.float64), 1.0)

@@ -28,7 +28,16 @@ _RKEY = "__diff_id_r"
 def _hashed(ds: ray.data.Dataset, id_col: str, column: str, out_h: str,
             out_id: str) -> ray.data.Dataset:
     def kern(df: pd.DataFrame) -> pd.DataFrame:
-        h = [hashlib.md5(str(t).encode()).hexdigest() for t in df[column]]
+        # NULL payloads hash a NUL-prefixed sentinel no real varchar can
+        # collide with; the SQL twin coalesces to the same sentinel so a
+        # null-text row classifies identically on both sides (str(None)
+        # would hash as the literal 'None' while md5(NULL) is NULL).
+        h = [
+            hashlib.md5(
+                ("\x00NULL" if pd.isna(t) else str(t)).encode()
+            ).hexdigest()
+            for t in df[column]
+        ]
         return pd.DataFrame({out_id: df[id_col].astype("int64"), out_h: h})
 
     return ds.map_batches(kern, batch_format="pandas")
@@ -134,7 +143,10 @@ def corpus_diff_oracle_sql(
         "CASE WHEN o.h IS NULL THEN 'added' "
         "WHEN n.h IS NULL THEN 'removed' "
         "WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END AS status "
-        f"FROM (SELECT {id_col}, md5(CAST({column} AS VARCHAR)) AS h FROM {old_table}) o "
-        f"FULL OUTER JOIN (SELECT {id_col}, md5(CAST({column} AS VARCHAR)) AS h "
+        f"FROM (SELECT {id_col}, "
+        f"md5(coalesce(CAST({column} AS VARCHAR), chr(0) || 'NULL')) AS h "
+        f"FROM {old_table}) o "
+        f"FULL OUTER JOIN (SELECT {id_col}, "
+        f"md5(coalesce(CAST({column} AS VARCHAR), chr(0) || 'NULL')) AS h "
         f"FROM {new_table}) n ON o.{id_col} = n.{id_col}"
     )

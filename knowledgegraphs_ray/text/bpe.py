@@ -305,6 +305,46 @@ def encode_token_ids(
     )
 
 
+def _chunk_ids_kernel(
+    batch: pa.Table, id_col: str, chunk_size: int, stride: int
+) -> pa.Table:
+    """Per-block window expansion; module-level so the sliced-block
+    regression test can feed it a genuinely sliced ListArray directly."""
+    ids_col = batch["token_ids"].combine_chunks()
+    # flatten() rebases values to the slice start on a SLICED ListArray
+    # while .offsets stays absolute into the parent values buffer —
+    # rebase the offsets to flatten()'s frame so sliced zero-copy
+    # blocks index correctly (offsets[0] == 0 on unsliced arrays).
+    flat = ids_col.flatten().to_numpy(zero_copy_only=False)
+    offsets = ids_col.offsets.to_numpy(zero_copy_only=False)
+    offsets = offsets - offsets[0]
+    doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
+    o_doc, o_seq, o_ids, o_n = [], [], [], []
+    for di in range(len(doc_ids)):
+        start, end = int(offsets[di]), int(offsets[di + 1])
+        n = end - start
+        if n == 0:
+            continue
+        n_chunks = max(1, -(-(max(n - chunk_size, 0)) // stride) + 1)
+        for ci in range(n_chunks):
+            lo = start + ci * stride
+            hi = min(lo + chunk_size, end)
+            if lo >= end:
+                break
+            o_doc.append(doc_ids[di])
+            o_seq.append(ci)
+            o_ids.append(flat[lo:hi])
+            o_n.append(hi - lo)
+    return pa.table(
+        {
+            id_col: pa.array(o_doc, pa.int64()),
+            "seq_idx": pa.array(o_seq, pa.int64()),
+            "token_ids": pa.array([x.tolist() for x in o_ids], pa.list_(pa.int32())),
+            "n_tokens": pa.array(o_n, pa.int64()),
+        }
+    )
+
+
 def chunk_token_ids(
     encoded: ray.data.Dataset,
     *,
@@ -317,35 +357,9 @@ def chunk_token_ids(
     rule as pipelines.training_data.chunk_sequences (oracle-checked there);
     here the actual ids travel. Map-only — a document's chunks are a local
     decision."""
+    import functools
 
-    def kern(batch: pa.Table) -> pa.Table:
-        ids_col = batch["token_ids"].combine_chunks()
-        flat = ids_col.flatten().to_numpy(zero_copy_only=False)
-        offsets = ids_col.offsets.to_numpy(zero_copy_only=False)
-        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
-        o_doc, o_seq, o_ids, o_n = [], [], [], []
-        for di in range(len(doc_ids)):
-            start, end = int(offsets[di]), int(offsets[di + 1])
-            n = end - start
-            if n == 0:
-                continue
-            n_chunks = max(1, -(-(max(n - chunk_size, 0)) // stride) + 1)
-            for ci in range(n_chunks):
-                lo = start + ci * stride
-                hi = min(lo + chunk_size, end)
-                if lo >= end:
-                    break
-                o_doc.append(doc_ids[di])
-                o_seq.append(ci)
-                o_ids.append(flat[lo:hi])
-                o_n.append(hi - lo)
-        return pa.table(
-            {
-                id_col: pa.array(o_doc, pa.int64()),
-                "seq_idx": pa.array(o_seq, pa.int64()),
-                "token_ids": pa.array([x.tolist() for x in o_ids], pa.list_(pa.int32())),
-                "n_tokens": pa.array(o_n, pa.int64()),
-            }
-        )
-
+    kern = functools.partial(
+        _chunk_ids_kernel, id_col=id_col, chunk_size=chunk_size, stride=stride
+    )
     return encoded.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)

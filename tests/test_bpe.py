@@ -195,3 +195,36 @@ def test_chunk_token_ids_matches_count_chunker(sf_dir):
     for r in chunks.head(200).itertuples():
         lo = r.seq_idx * 24
         assert list(r.token_ids) == full[r.doc_id][lo : lo + 32]
+
+
+def test_chunk_token_ids_sliced_block_regression():
+    """A SLICED ListArray block (possible under zero_copy_batch) must chunk
+    identically to the unsliced one: flatten() rebases values while .offsets
+    stays absolute, so the kernel has to rebase offsets (ADVICE r3). Feeds
+    the kernel directly — Ray ingestion can normalize slices away."""
+    import pyarrow as pa
+
+    from knowledgegraphs_ray.text.bpe import _chunk_ids_kernel
+
+    ids = [list(range(i * 10, i * 10 + n)) for i, n in enumerate([5, 40, 0, 70, 33])]
+    full = pa.table(
+        {
+            "doc_id": pa.array(list(range(5)), pa.int64()),
+            "token_ids": pa.array(ids, pa.list_(pa.int32())),
+        }
+    )
+    sliced = full.slice(2)  # drops two leading lists
+    # document the hazard on the RAW sliced array: absolute offsets vs
+    # rebased flatten() — the kernel's `offsets - offsets[0]` guards the
+    # case where combine_chunks returns such a view unnormalized
+    raw = sliced["token_ids"].chunk(0)
+    assert raw.offsets[0].as_py() > 0
+    assert len(raw.flatten()) == raw.offsets[-1].as_py() - raw.offsets[0].as_py()
+
+    got = _chunk_ids_kernel(sliced, "doc_id", 16, 8).to_pandas()
+    # chunk ids must be actual slices of the source lists
+    src = {i: ids[i] for i in range(2, 5)}
+    assert len(got) > 0
+    for r in got.itertuples():
+        lo = r.seq_idx * 8
+        assert list(r.token_ids) == src[r.doc_id][lo : lo + 16]
