@@ -175,29 +175,43 @@ def publish_dataset(
     writers = producer._writers
     n_parts = producer.num_partitions
 
-    def block(batch: pd.DataFrame) -> pd.DataFrame:
-        keys = (
-            batch[key_col].astype(str).tolist()
-            if key_col
-            else [None] * len(batch)
-        )
-        values = [
-            json.dumps(rec, sort_keys=True, default=str)
-            for rec in batch.to_dict("records")
-        ]
-        by_part: dict[int, tuple[list, list]] = {}
-        for i, (k, v) in enumerate(zip(keys, values)):
-            p = _hash_key(k, n_parts) if k is not None else i % n_parts
-            ks, vs = by_part.setdefault(p, ([], []))
-            ks.append(k)
-            vs.append(v)
-        acked = sum(
-            len(ray.get(writers[p].append.remote(ks, vs)))
-            for p, (ks, vs) in sorted(by_part.items())
-        )
+    def block(batch: pa.Table) -> pd.DataFrame:
+        import numpy as np
+
+        n = batch.num_rows
+        if n == 0:
+            return pd.DataFrame({"acked": [0]})
+        # ONE Arrow->Python traversal for the whole block (the encoding is
+        # inherently per-record — it IS the wire format — but everything
+        # around it is batched: no per-row dict churn, no append loop)
+        recs = batch.to_pylist()
+        values = [json.dumps(r, sort_keys=True, default=str) for r in recs]
+        if key_col:
+            keys = [str(r[key_col]) for r in recs]
+            parts = np.fromiter(
+                (_hash_key(k, n_parts) for k in keys), dtype=np.int64, count=n
+            )
+        else:
+            keys = None
+            parts = np.arange(n, dtype=np.int64) % n_parts
+        # group rows by partition with one stable argsort + searchsorted —
+        # preserves within-partition input order (the per-key order contract)
+        order = np.argsort(parts, kind="stable")
+        bounds = np.searchsorted(parts[order], np.arange(n_parts + 1))
+        pending = []
+        for p in range(n_parts):
+            lo, hi = int(bounds[p]), int(bounds[p + 1])
+            if lo == hi:
+                continue
+            idx = order[lo:hi]
+            ks = [keys[i] for i in idx] if keys is not None else [None] * (hi - lo)
+            pending.append(writers[p].append.remote(ks, [values[i] for i in idx]))
+        acked = sum(len(x) for x in ray.get(pending))  # parallel acks
         return pd.DataFrame({"acked": [acked]})
 
-    acct = ds.map_batches(block, batch_format="pandas").to_pandas()
+    acct = ds.map_batches(
+        block, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
     return int(acct["acked"].sum())
 
 
