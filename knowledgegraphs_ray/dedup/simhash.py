@@ -115,29 +115,30 @@ def hamming(a: np.ndarray, b: np.ndarray | np.uint64) -> np.ndarray:
         return (x * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
-def simhash_near_dup_pairs(
-    ds: ray.data.Dataset,
+def simhash_pairs_from_fingerprints(
+    fps: ray.data.Dataset,
     *,
     id_col: str = "doc_id",
-    text_col: str = "text",
     max_distance: int = 3,
     max_bucket: int = 500,
-    hash_fn: str = "polars",
+    dedup: str = "exchange",
 ) -> ray.data.Dataset:
-    """-> (doc_a, doc_b, distance) pairs with Hamming distance <= max_distance.
+    """(id, simhash) rows -> (doc_a, doc_b, distance) near-dup pairs.
 
-    n_bands = max_distance + 1 guarantees no false negatives (pigeonhole)
-    PROVIDED no colliding bucket exceeds ``max_bucket``: the first-collision
-    dedup in ``pairs`` permanently drops a pair whose first-colliding bucket
-    was truncated (ADVICE r2), so under heavy bucket skew raise
-    ``max_bucket`` (or pre-split hot fingerprint bands) to keep the
-    exactness guarantee."""
+    ``dedup="exchange"`` (default): every band whose bucket retains BOTH
+    members (after the deterministic sort-by-id ``max_bucket`` truncation)
+    emits the pair, then one global distinct over the slim pair rows
+    (``_pairs.distinct_pairs`` — per-block partials + a native hash
+    aggregate). Pigeonhole exactness then holds whenever ANY of a pair's
+    colliding buckets stays under the cap — strictly stronger than the old
+    first-collision rule, which permanently dropped a pair whose FIRST
+    colliding bucket was truncated (r3 verdict wart #2).
+
+    ``dedup="local"``: the shuffle-free first-collision rule (emit only
+    where the pair's first colliding band is this bucket — decidable
+    locally since both fingerprints are in hand). Exact only while no
+    colliding bucket exceeds ``max_bucket``."""
     n_bands = max_distance + 1
-    fps = ds.map_batches(
-        lambda b: simhash_batch(b, id_col=id_col, text_col=text_col, hash_fn=hash_fn),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
     banded = fps.map_batches(
         lambda b: simhash_bands(b, id_col=id_col, n_bands=n_bands),
         batch_format="pyarrow",
@@ -152,39 +153,72 @@ def simhash_near_dup_pairs(
             "distance": pd.Series([], dtype="int64"),
         }
     )
+    local_dedup = dedup == "local"
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """Emit a pair ONLY from the bucket of its FIRST colliding band —
-        global dedup without a pair shuffle (both fingerprints are in hand,
-        so the first-collision test is local). Caveat shared with the
-        minhash Verify stage: if a pair's first-collision bucket is
-        truncated by max_bucket, the pair is dropped rather than recovered
-        from a later band."""
         g = g.drop_duplicates(id_col).sort_values(id_col).head(max_bucket)
         ids = g[id_col].to_numpy()
         if len(ids) < 2:
             return empty
         fp = g["simhash"].to_numpy().astype(np.uint64)
-        band_id = int(g["band_id"].iloc[0])
         iu, ju = np.triu_indices(len(ids), k=1)
         d = hamming(fp[iu], fp[ju])
         keep = d <= max_distance
         iu, ju, d = iu[keep], ju[keep], d[keep]
         if not len(iu):
             return empty
-        shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(width))[None, :]
-        ba = (fp[iu][:, None] >> shifts) & mask
-        bb = (fp[ju][:, None] >> shifts) & mask
-        first = (ba == bb).argmax(axis=1)  # this bucket guarantees >= 1 hit
-        keep2 = first == band_id
+        if local_dedup:
+            band_id = int(g["band_id"].iloc[0])
+            shifts = (np.arange(n_bands, dtype=np.uint64) * np.uint64(width))[None, :]
+            ba = (fp[iu][:, None] >> shifts) & mask
+            bb = (fp[ju][:, None] >> shifts) & mask
+            first = (ba == bb).argmax(axis=1)  # this bucket guarantees >= 1 hit
+            keep2 = first == band_id
+            iu, ju, d = iu[keep2], ju[keep2], d[keep2]
         return pd.DataFrame(
             {
-                "doc_a": ids[iu[keep2]].astype("int64"),
-                "doc_b": ids[ju[keep2]].astype("int64"),
-                "distance": d[keep2].astype("int64"),
+                "doc_a": ids[iu].astype("int64"),
+                "doc_b": ids[ju].astype("int64"),
+                "distance": d.astype("int64"),
             }
         )
 
-    return banded.groupby(["band_id", "band_bits"]).map_groups(
+    emitted = banded.groupby(["band_id", "band_bits"]).map_groups(
         pairs, batch_format="pandas"
+    )
+    if local_dedup:
+        return emitted
+    from knowledgegraphs_ray.dedup._pairs import distinct_pairs
+
+    schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("distance", pa.int64())]
+    )
+    return distinct_pairs(emitted, carry=("distance",), schema=schema)
+
+
+def simhash_near_dup_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_distance: int = 3,
+    max_bucket: int = 500,
+    hash_fn: str = "polars",
+    dedup: str = "exchange",
+) -> ray.data.Dataset:
+    """-> (doc_a, doc_b, distance) pairs with Hamming distance <= max_distance.
+
+    n_bands = max_distance + 1 guarantees no false negatives (pigeonhole);
+    see ``simhash_pairs_from_fingerprints`` for the truncation/dedup tiers."""
+    fps = ds.map_batches(
+        lambda b: simhash_batch(b, id_col=id_col, text_col=text_col, hash_fn=hash_fn),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return simhash_pairs_from_fingerprints(
+        fps,
+        id_col=id_col,
+        max_distance=max_distance,
+        max_bucket=max_bucket,
+        dedup=dedup,
     )
