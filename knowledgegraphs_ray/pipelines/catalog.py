@@ -996,8 +996,17 @@ def q_doc_fingerprints(sf_dir: str):
     )
 
 
+def q_mapping_selection(sf_dir: str):
+    """T2/T3/T4 + H4 mapping-selection cascade over a deterministic synthetic
+    candidate table — every branch oracle-checked (selection_gate docstring)."""
+    from knowledgegraphs_ray.linking.selection_gate import mapping_selection
+
+    return mapping_selection(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
+        "mapping_selection": q_mapping_selection,
         "kg_triples_customer": q_kg_triples_customer,
         "kg_triples_orders": q_kg_triples_orders,
         "kg_triples_star": q_kg_triples_star,
@@ -1143,7 +1152,10 @@ def oracle_sql() -> dict[str, str]:
         "WHEN score_de >= score_es AND score_de >= score_fr THEN 'de' "
         "WHEN score_es >= score_fr THEN 'es' ELSE 'fr' END"
     )
+    from knowledgegraphs_ray.linking.selection_gate import mapping_selection_sql
+
     return {
+        "mapping_selection": mapping_selection_sql(),
         "kg_triples_customer": _plan_sql(["customer"]),
         "kg_triples_orders": _plan_sql(["orders"]),
         "kg_triples_star": _plan_sql(STAR_TABLES),
