@@ -996,6 +996,18 @@ def q_doc_fingerprints(sf_dir: str):
     )
 
 
+def q_dsir_bigram_weights(sf_dir: str):
+    """Hashed uni+bigram DSIR tier (the paper's estimator): fixed 8192-bucket
+    feature space keeps the broadcast model O(n_buckets) for any vocabulary;
+    md5 bucket hash for DuckDB parity (text/dsir.py:dsir_hashed_weights)."""
+    from knowledgegraphs_ray.text.dsir import dsir_hashed_weights
+
+    raw = _docs(sf_dir, ["doc_id", "text"])
+    return dsir_hashed_weights(
+        raw, target_mask=lambda t: t["doc_id"].to_numpy() % 10 == 0
+    )
+
+
 def q_mapping_selection(sf_dir: str):
     """T2/T3/T4 + H4 mapping-selection cascade over a deterministic synthetic
     candidate table — every branch oracle-checked (selection_gate docstring)."""
@@ -1007,6 +1019,7 @@ def q_mapping_selection(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "mapping_selection": q_mapping_selection,
+        "dsir_bigram_weights": q_dsir_bigram_weights,
         "kg_triples_customer": q_kg_triples_customer,
         "kg_triples_orders": q_kg_triples_orders,
         "kg_triples_star": q_kg_triples_star,
@@ -1156,6 +1169,9 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "mapping_selection": mapping_selection_sql(),
+        "dsir_bigram_weights": __import__(
+            "knowledgegraphs_ray.text.dsir", fromlist=["dsir_hashed_oracle_sql"]
+        ).dsir_hashed_oracle_sql(),
         "kg_triples_customer": _plan_sql(["customer"]),
         "kg_triples_orders": _plan_sql(["orders"]),
         "kg_triples_star": _plan_sql(STAR_TABLES),

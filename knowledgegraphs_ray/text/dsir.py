@@ -231,6 +231,215 @@ def dsir_weights(
     )
 
 
+def _gram_frame(
+    batch: pa.Table, *, text_col: str, lower: bool, flags
+) -> pl.DataFrame:
+    """-> (__i row index, __t flag, gram) — unigrams + space-joined bigrams
+    per row, vectorized (the DSIR paper's hashed uni+bigram feature set).
+    Each input row is one document, so the bigram shift never crosses a
+    row boundary (``.over("__i")``)."""
+    s = pl.from_arrow(batch[text_col]).rename("t")
+    if lower:
+        s = s.str.to_lowercase()
+    ex = (
+        pl.DataFrame(
+            {
+                "__i": pl.int_range(0, len(s), eager=True),
+                "__t": pl.Series(flags),
+                "tok": s.str.extract_all(TOKEN_RE),
+            }
+        )
+        .explode("tok")
+        .drop_nulls("tok")
+        .with_columns(
+            big=pl.col("tok") + " " + pl.col("tok").shift(-1).over("__i")
+        )
+    )
+    uni = ex.select("__i", "__t", gram=pl.col("tok"))
+    bi = ex.drop_nulls("big").select("__i", "__t", gram=pl.col("big"))
+    return pl.concat([uni, bi])
+
+
+def _gram_buckets(grams: pl.Series, *, n_buckets: int, hash_fn: str):
+    """gram strings -> int64 bucket ids. ``hash_fn="md5"`` is the
+    DuckDB-reproducible path (('0x'||substr(md5(g),1,16))::UBIGINT %
+    n_buckets), hashed once per UNIQUE gram; "polars" is the seeded fast
+    path for production runs that don't need SQL parity."""
+    import numpy as np
+
+    if hash_fn == "md5":
+        from knowledgegraphs_ray.dedup.simhash import _md5_token_hashes
+
+        h = _md5_token_hashes(grams.to_numpy())
+    else:
+        h = grams.hash(seed=7).to_numpy().astype("uint64")
+    return (h % np.uint64(n_buckets)).astype("int64")
+
+
+def dsir_hashed_weights(
+    raw: ray.data.Dataset,
+    *,
+    target_mask,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lower: bool = True,
+    n_buckets: int = 8192,
+    hash_fn: str = "md5",
+    driver_limit: int = 5_000_000,
+) -> ray.data.Dataset:
+    """Hashed n-gram DSIR tier (the paper's estimator): features are
+    unigrams + bigrams hashed into a FIXED ``n_buckets`` bucket space, so
+    the broadcast model is two int64 arrays of ``n_buckets`` entries no
+    matter how large the vocabulary grows — the open-vocabulary 100-TB
+    shape. Smoothing uses the fixed bucket count as the vocabulary size
+    (``p(b) = (count_b + 1) / (total + n_buckets)``), which keeps the
+    model parallelism- and corpus-partitioning-invariant.
+
+    -> (id_col, n_grams, logweight_micro); micro-nat integer quantization
+    as in :func:`dsir_weights`.
+    """
+    import numpy as np
+
+    def count_block(batch: pa.Table) -> pa.Table:
+        flags = np.asarray(target_mask(batch), dtype=bool)
+        g = _gram_frame(batch, text_col=text_col, lower=lower, flags=flags)
+        if g.height == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "n_raw": pa.array([], pa.int64()),
+                    "n_t": pa.array([], pa.int64()),
+                }
+            )
+        g = g.with_columns(
+            bucket=pl.Series(
+                _gram_buckets(g["gram"], n_buckets=n_buckets, hash_fn=hash_fn)
+            )
+        )
+        agg = g.group_by("bucket").agg(
+            n_raw=pl.len().cast(pl.Int64),
+            n_t=pl.col("__t").cast(pl.Int64).sum(),
+        )
+        return agg.to_arrow()
+
+    merged = merge_partials(
+        raw.map_batches(count_block, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["bucket"],
+        agg={"n_raw": "sum", "n_t": "sum"},
+        driver_limit=driver_limit,
+    ).to_pandas()
+
+    d_raw = float(int(merged["n_raw"].sum())) + float(n_buckets)
+    d_t = float(int(merged["n_t"].sum())) + float(n_buckets)
+    q_raw = np.full(
+        n_buckets, math.floor((-math.log(1.0 / d_raw)) * 1000000.0), dtype=np.int64
+    )
+    q_t = np.full(
+        n_buckets, math.floor((-math.log(1.0 / d_t)) * 1000000.0), dtype=np.int64
+    )
+    # libm per nonzero bucket (bounded by n_buckets) — the _q_series contract
+    for b, nr, nt in zip(merged["bucket"], merged["n_raw"], merged["n_t"]):
+        q_raw[int(b)] = math.floor((-math.log((int(nr) + 1) / d_raw)) * 1000000.0)
+        q_t[int(b)] = math.floor((-math.log((int(nt) + 1) / d_t)) * 1000000.0)
+    ref = ray.put((q_raw, q_t))
+
+    class _WeighHashed:
+        """Instance-passed broadcast gather (task pool, no actor state)."""
+
+        def __init__(self, ref):
+            self.ref = ref
+            self._m = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self._m is None:
+                self._m = ray.get(self.ref)
+            qr, qt = self._m
+            n = batch.num_rows
+            g = _gram_frame(
+                batch, text_col=text_col, lower=lower, flags=np.zeros(n, bool)
+            )
+            n_grams = np.zeros(n, dtype=np.int64)
+            weight = np.zeros(n, dtype=np.int64)
+            if g.height:
+                buckets = _gram_buckets(
+                    g["gram"], n_buckets=n_buckets, hash_fn=hash_fn
+                )
+                rows = g["__i"].to_numpy()
+                np.add.at(n_grams, rows, 1)
+                np.add.at(weight, rows, qr[buckets] - qt[buckets])
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    "n_grams": n_grams,
+                    "logweight_micro": weight,
+                }
+            )
+
+    return raw.map_batches(
+        _WeighHashed(ref), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def dsir_hashed_oracle_sql(
+    *,
+    table: str = "documents",
+    target_where: str = "doc_id % 10 = 0",
+    id_col: str = "doc_id",
+    lower: bool = True,
+    n_buckets: int = 8192,
+) -> str:
+    """DuckDB twin of :func:`dsir_hashed_weights` (md5 bucket hash)."""
+    expr = "lower(text)" if lower else "text"
+    return f"""
+WITH toks AS (
+  SELECT {id_col},
+         unnest(regexp_extract_all({expr}, '{TOKEN_RE}')) AS g,
+         unnest(generate_series(1, len(regexp_extract_all({expr}, '{TOKEN_RE}')))) AS pos
+  FROM {table}
+),
+grams AS (
+  SELECT {id_col}, g AS gram FROM toks
+  UNION ALL
+  SELECT {id_col}, gram FROM (
+    SELECT {id_col},
+           g || ' ' || lead(g) OVER (PARTITION BY {id_col} ORDER BY pos) AS gram
+    FROM toks
+  ) WHERE gram IS NOT NULL
+),
+b AS (
+  SELECT {id_col},
+         CAST(('0x' || substr(md5(gram), 1, 16))::UBIGINT % {n_buckets} AS BIGINT) AS bucket
+  FROM grams
+),
+counts AS (
+  SELECT bucket, count(*) AS n_raw,
+         count(*) FILTER (WHERE {target_where}) AS n_t
+  FROM b GROUP BY bucket
+),
+denoms AS (
+  SELECT CAST(sum(n_raw) AS DOUBLE) + {n_buckets} AS d_raw,
+         CAST(sum(n_t) AS DOUBLE) + {n_buckets} AS d_t
+  FROM counts
+),
+q AS (
+  SELECT bucket,
+         CAST(floor((-ln((n_raw + 1) / (SELECT d_raw FROM denoms))) * 1000000.0) AS BIGINT) AS q_raw,
+         CAST(floor((-ln((n_t + 1) / (SELECT d_t FROM denoms))) * 1000000.0) AS BIGINT) AS q_target
+  FROM counts
+),
+scored AS (
+  SELECT b.{id_col}, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(q.q_raw - q.q_target) AS BIGINT) AS logweight_micro
+  FROM b JOIN q USING (bucket)
+  GROUP BY b.{id_col}
+)
+SELECT d.{id_col},
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(s.logweight_micro, 0) AS logweight_micro
+FROM {table} d LEFT JOIN scored s USING ({id_col})
+""".strip()
+
+
 def dsir_select(
     raw: ray.data.Dataset,
     target: ray.data.Dataset | None = None,

@@ -165,3 +165,46 @@ def test_dsir_masked_single_pass_equals_two_dataset_path():
         dsir_weights(raw)  # neither target form
     with pytest.raises(ValueError):
         dsir_weights(raw, _target(raw), target_mask=lambda t: None)  # both
+
+
+def test_dsir_hashed_bigram_parallelism_invariant_and_oracle():
+    """The hashed uni+bigram tier must be invariant to input partitioning
+    (fixed-bucket smoothing, integer sums) and match its DuckDB twin."""
+    from knowledgegraphs_ray.text.dsir import (
+        dsir_hashed_oracle_sql,
+        dsir_hashed_weights,
+    )
+
+    df = pd.DataFrame(DSIR_ROWS)
+    mask = lambda t: t["doc_id"].to_numpy() % 10 == 0
+    outs = []
+    for nb in (1, 4):
+        ds = ray.data.from_pandas(df).repartition(nb)
+        out = (
+            dsir_hashed_weights(ds, target_mask=mask, n_buckets=64)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    con = duckdb.connect()
+    con.register("docs_df", df)
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_df")
+    gold = (
+        con.execute(dsir_hashed_oracle_sql(n_buckets=64))
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        outs[0].astype({"n_grams": "int64", "logweight_micro": "int64"}),
+        gold.astype({"n_grams": "int64", "logweight_micro": "int64"}),
+    )
+    # target-like doc outranks the finance doc; empty doc is weight 0
+    w = dict(zip(outs[0].doc_id, outs[0].logweight_micro))
+    assert w[2] > w[3] and w[4] == 0
+    # bigrams counted: "cat purr whiskers nap" -> 4 uni + 3 bi
+    n = dict(zip(outs[0].doc_id, outs[0].n_grams))
+    assert n[2] == 7
