@@ -1008,6 +1008,28 @@ def q_dsir_bigram_weights(sf_dir: str):
     )
 
 
+def q_curation_chain(sf_dir: str):
+    """The composed curation chain (quality filter -> exact dedup -> minhash
+    near-dup resolve -> stratified sample) run end-to-end through the real
+    checkpointed pipeline; md5 sample tier so the DuckDB composition twin
+    (curation.curation_oracle_sql) value-checks the survivor set."""
+    import tempfile
+
+    from knowledgegraphs_ray.pipelines.curation import curate_run
+
+    root = tempfile.mkdtemp(prefix="curation_gate_", dir="/tmp")
+    p = curate_run(
+        root,
+        lambda: _docs(sf_dir, ["doc_id", "text", "lang"]),
+        min_tokens=20,
+        rates={"en": 0.5, "de": 0.25, "es": 1.0},
+        default_rate=0.1,
+        minhash_threshold=0.7,
+        sample_hash_fn="md5",
+    )
+    return p.dataset("sampled", columns=["doc_id", "lang", "n_tokens", "n_copies"])
+
+
 def q_mapping_selection(sf_dir: str):
     """T2/T3/T4 + H4 mapping-selection cascade over a deterministic synthetic
     candidate table — every branch oracle-checked (selection_gate docstring)."""
@@ -1020,6 +1042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "mapping_selection": q_mapping_selection,
         "dsir_bigram_weights": q_dsir_bigram_weights,
+        "curation_chain": q_curation_chain,
         "kg_triples_customer": q_kg_triples_customer,
         "kg_triples_orders": q_kg_triples_orders,
         "kg_triples_star": q_kg_triples_star,
@@ -1172,6 +1195,9 @@ def oracle_sql() -> dict[str, str]:
         "dsir_bigram_weights": __import__(
             "knowledgegraphs_ray.text.dsir", fromlist=["dsir_hashed_oracle_sql"]
         ).dsir_hashed_oracle_sql(),
+        "curation_chain": __import__(
+            "knowledgegraphs_ray.pipelines.curation", fromlist=["curation_oracle_sql"]
+        ).curation_oracle_sql(rates={"en": 0.5, "de": 0.25, "es": 1.0}),
         "kg_triples_customer": _plan_sql(["customer"]),
         "kg_triples_orders": _plan_sql(["orders"]),
         "kg_triples_star": _plan_sql(STAR_TABLES),

@@ -161,6 +161,7 @@ def curate_run(
     dsir_target=None,
     classifier_min_micro: int | None = None,
     weighted_k: int | None = None,
+    sample_hash_fn: str = "splitmix",
 ) -> "CheckpointedPipeline":
     """Run (or resume) the curation chain under ``root``.
 
@@ -345,7 +346,9 @@ def curate_run(
             p.dataset(pre_sample),
             rates=rates or {},
             default_rate=default_rate,
-            hash_fn="splitmix",
+            # "splitmix" = the vectorized 100-TB tier; "md5" = the
+            # SQL-twinnable tier the curation_chain oracle gate runs
+            hash_fn=sample_hash_fn,
         ),
     )
     pre_pack = "sampled"
@@ -371,6 +374,62 @@ def curate_run(
         ),
     )
     return p
+
+
+def curation_oracle_sql(
+    *,
+    min_tokens: int = 20,
+    max_punct_ratio: float = 0.2,
+    minhash_threshold: float = 0.7,
+    rates: dict[str, float] | None = None,
+    default_rate: float = 0.1,
+) -> str:
+    """DuckDB twin of the core curate_run chain (quality filter -> exact
+    dedup -> minhash near-dup resolve -> md5 stratified sample), composed
+    from the per-stage oracle generators so every stage's semantics are the
+    already-verified ones — the chain gate checks the COMPOSITION."""
+    from knowledgegraphs_ray.dedup.minhash import minhash_components_oracle_sql
+    from knowledgegraphs_ray.dedup.resolve import resolve_oracle_sql
+    from knowledgegraphs_ray.pipelines.training_data import (
+        TOKEN_RE,
+        stratified_sample_oracle_sql,
+    )
+
+    comp = minhash_components_oracle_sql(threshold=minhash_threshold, table="dd")
+    res = resolve_oracle_sql(
+        comp,
+        keep="longest",
+        table="dd",
+        out_cols="doc_id, lang, n_tokens, n_copies",
+    )
+    sample = stratified_sample_oracle_sql(
+        rates=rates or {},
+        default_rate=default_rate,
+        table="res",
+        out_cols="doc_id, lang, n_tokens, n_copies",
+    )
+    return f"""
+WITH f AS (
+  SELECT doc_id, text, lang,
+         CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+  WHERE text IS NOT NULL
+    AND len(regexp_extract_all(text, '{TOKEN_RE}')) >= {min_tokens}
+    AND (CASE WHEN length(text) > 0
+         THEN len(regexp_extract_all(text, '[.,;:!?]')) / CAST(length(text) AS DOUBLE)
+         ELSE 0.0 END) <= {max_punct_ratio}
+),
+dd AS (
+  SELECT doc_id, text, lang, n_tokens, n_copies FROM (
+    SELECT f.*,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+           count(*) OVER (PARTITION BY text) AS n_copies
+    FROM f
+  ) WHERE rn = 1
+),
+res AS ({res})
+{sample}
+"""
 
 
 def synth_documents(
