@@ -1039,60 +1039,19 @@ def q_mapping_selection(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering contract: the driver's correctness gate checks the FIRST 50
+    # entries in dict order.  Entries 1-26 are the queries that have never
+    # had a driver-side green row (round-3 additions past the old window,
+    # plus this round's new gates); entries 27-50 are previously-green
+    # queries whose code changed this round (decontam distinct path,
+    # simhash/embed truncation tier, IVF-PQ rerank bound) plus the flagship
+    # KG / dedup / linking / PII cores.  Entries 51+ were all green in
+    # CORRECTNESS_r03 and their code paths are unchanged since.
     return {
+        # --- never driver-verified (round-3 tail + round-4 additions) ---
         "mapping_selection": q_mapping_selection,
         "dsir_bigram_weights": q_dsir_bigram_weights,
         "curation_chain": q_curation_chain,
-        "kg_triples_customer": q_kg_triples_customer,
-        "kg_triples_orders": q_kg_triples_orders,
-        "kg_triples_star": q_kg_triples_star,
-        "kg_attr_classes_customer": q_kg_attr_classes_customer,
-        "kg_transcripts": q_kg_transcripts,
-        "kg_triples_events": q_kg_triples_events,
-        "fk_containment": q_fk_containment,
-        "dedup_exact_documents": q_dedup_exact_documents,
-        "text_token_stats": q_text_token_stats,
-        "text_quality": q_text_quality,
-        "lang_id": q_lang_id,
-        "ann_topk": q_ann_topk,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
-        "doc_fingerprints": q_doc_fingerprints,
-        "mentions_documents": q_mentions_documents,
-        "link_exact_documents": q_link_exact_documents,
-        "link_scored_documents": q_link_scored_documents,
-        "canonical_mentions": q_canonical_mentions,
-        "kg_triples_bridge": q_kg_triples_bridge,
-        "kg_triples_dedup": q_kg_triples_dedup,
-        "clean_corpus": q_clean_corpus,
-        "corpus_sample": q_corpus_sample,
-        "kg_pred_stats": q_kg_pred_stats,
-        "kg_pagerank": q_kg_pagerank,
-        "kg_components": q_kg_components,
-        "purchases_last_view": q_purchases_last_view,
-        "lineitem_orders_join": q_lineitem_orders_join,
-        "candidate_keys_customer": q_candidate_keys_customer,
-        "discovered_fks": q_discovered_fks,
-        "pricing_summary": q_pricing_summary,
-        "orders_customer_join": q_orders_customer_join,
-        "top_customers": q_top_customers,
-        "pii_schema": q_pii_schema,
-        "pii_scan_documents": q_pii_scan_documents,
-        "pii_redact_documents": q_pii_redact_documents,
-        "events_tumbling": q_events_tumbling,
-        "events_hopping": q_events_hopping,
-        "events_sessionize": q_events_sessionize,
-        "events_sessionize_incremental": q_events_sessionize_incremental,
-        "purchase_sessions": q_purchase_sessions,
-        "json_triples_events": q_json_triples_events,
-        "ngram_dedup_pairs": q_ngram_dedup_pairs,
-        "minhash_dedup_pairs": q_minhash_dedup_pairs,
-        "minhash_components": q_minhash_components,
-        "dedup_resolved_corpus": q_dedup_resolved_corpus,
-        "simhash_pairs": q_simhash_pairs,
-        "embedding_near_dups": q_embedding_near_dups,
-        "embedding_pairs_exact": q_embedding_pairs_exact,
-        "decontaminated_docs": q_decontaminated_docs,
         "incremental_dedup": q_incremental_dedup,
         "gopher_quality": q_gopher_quality,
         "chat_pairs": q_chat_pairs,
@@ -1116,6 +1075,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_sequences": q_chunk_sequences,
         "top_docs_per_lang": q_top_docs_per_lang,
         "customers_without_orders": q_customers_without_orders,
+        # --- previously green, code changed this round ---
+        "decontaminated_docs": q_decontaminated_docs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+        # --- previously green flagship cores ---
+        "kg_triples_star": q_kg_triples_star,
+        "kg_transcripts": q_kg_transcripts,
+        "kg_triples_events": q_kg_triples_events,
+        "kg_triples_dedup": q_kg_triples_dedup,
+        "kg_pred_stats": q_kg_pred_stats,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_components": q_kg_components,
+        "fk_containment": q_fk_containment,
+        "candidate_keys_customer": q_candidate_keys_customer,
+        "discovered_fks": q_discovered_fks,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "minhash_components": q_minhash_components,
+        "ngram_dedup_pairs": q_ngram_dedup_pairs,
+        "link_scored_documents": q_link_scored_documents,
+        "canonical_mentions": q_canonical_mentions,
+        "pii_scan_documents": q_pii_scan_documents,
+        "pii_redact_documents": q_pii_redact_documents,
+        "events_sessionize": q_events_sessionize,
+        "purchases_last_view": q_purchases_last_view,
+        # --- green in CORRECTNESS_r03, code unchanged since ---
+        "kg_triples_customer": q_kg_triples_customer,
+        "kg_triples_orders": q_kg_triples_orders,
+        "kg_attr_classes_customer": q_kg_attr_classes_customer,
+        "kg_triples_bridge": q_kg_triples_bridge,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "ann_topk": q_ann_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "doc_fingerprints": q_doc_fingerprints,
+        "mentions_documents": q_mentions_documents,
+        "link_exact_documents": q_link_exact_documents,
+        "clean_corpus": q_clean_corpus,
+        "corpus_sample": q_corpus_sample,
+        "lineitem_orders_join": q_lineitem_orders_join,
+        "pricing_summary": q_pricing_summary,
+        "orders_customer_join": q_orders_customer_join,
+        "top_customers": q_top_customers,
+        "pii_schema": q_pii_schema,
+        "events_tumbling": q_events_tumbling,
+        "events_hopping": q_events_hopping,
+        "events_sessionize_incremental": q_events_sessionize_incremental,
+        "purchase_sessions": q_purchase_sessions,
+        "json_triples_events": q_json_triples_events,
+        "dedup_resolved_corpus": q_dedup_resolved_corpus,
+        "embedding_pairs_exact": q_embedding_pairs_exact,
     }
 
 

@@ -231,3 +231,57 @@ def test_salvage_high_score_passthrough_and_unranked_rank():
     )
     out = salvage(g2, labels={"t:q": ["unrelated words"]}, num_raw_candidates=50)
     assert list(out["salvage_rank"]) == [51]
+
+
+def test_torch_scorer_contract():
+    """B2 seam readiness: the surrogate and the torch cross-encoder expose
+    identical stage contracts — same constructor head, same
+    ``__call__(pa.Table) -> pd.DataFrame`` with identical output
+    columns/dtypes — so ``TorchCrossEncoder`` drops into
+    ``score_candidates``'s actor pool unchanged when torch lands.
+    Reference: align/bertmap/bert_classifier.py:51-160."""
+    import inspect
+
+    import numpy as np
+    import pytest
+
+    from knowledgegraphs_ray.linking.torch_scorer import _TORCH, TorchCrossEncoder
+
+    idx = AnnotationIndex.build(
+        {"kg:e1": ["credit card", "payment card"], "kg:e2": ["bank account"]}
+    )
+    batch = pa.table(
+        {
+            "mention": ["credit card", "bank", "credit card"],
+            "cand_iri": ["kg:e1", "kg:e2", "kg:e2"],
+            "exact": [False, False, False],
+        }
+    )
+    out_s = SurrogateCrossEncoder(idx)(batch)
+
+    # seam: constructing the torch stage without torch raises a clear error
+    # that names the drop-in replacement (never a NameError/AttributeError).
+    if not _TORCH:
+        with pytest.raises(ImportError, match="SurrogateCrossEncoder"):
+            TorchCrossEncoder(idx, "/tmp/no-such-checkpoint")
+
+    # signature contract: same __call__ shape, index_ref-first constructor.
+    assert (
+        list(inspect.signature(SurrogateCrossEncoder.__call__).parameters)
+        == list(inspect.signature(TorchCrossEncoder.__call__).parameters)
+        == ["self", "batch"]
+    )
+    assert list(inspect.signature(TorchCrossEncoder.__init__).parameters)[1] == "index_ref"
+
+    # batch contract: a torch instance with the model seam stubbed to a
+    # deterministic predictor yields the same columns and dtypes.
+    t = object.__new__(TorchCrossEncoder)
+    t.labels = idx.labels
+    t._predict = lambda pairs: np.linspace(0.1, 0.9, num=len(pairs))
+    out_t = TorchCrossEncoder.__call__(t, batch)
+    assert isinstance(out_s, pd.DataFrame) and isinstance(out_t, pd.DataFrame)
+    assert list(out_s.columns) == list(out_t.columns)
+    assert [str(d) for d in out_s.dtypes] == [str(d) for d in out_t.dtypes]
+    assert out_t["bes"].between(0.0, 1.0).all()
+    # max-over-labels aggregation: kg:e1 has 2 labels -> bes = the larger score
+    assert out_t.loc[0, "bes"] > out_t.loc[0, "pj"] - 1e-12  # pj mirrors bes in the torch stage
