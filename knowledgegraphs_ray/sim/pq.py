@@ -355,6 +355,8 @@ def ivf_pq_topk(
     column: str = "embedding",
     concurrency: int | None = None,
     rerank_r: int | None = None,
+    cent: np.ndarray | None = None,
+    books: np.ndarray | None = None,
 ) -> ray.data.Dataset:
     """IVF-PQ: coarse centroid lists cut the scan to ``n_probe / n_list`` of
     the corpus, PQ codes cut the scanned bytes 32× — the FAISS composition,
@@ -362,11 +364,23 @@ def ivf_pq_topk(
     probed lists before the ADC gathers (one boolean ``isin`` per query —
     no data moves; the list assignment column is carried with the codes).
     ``n_probe == n_list`` degenerates to exactly ``pq_topk`` (full ADC
-    scan), which the tests pin. Optional exact rerank as in ``pq_topk``."""
+    scan), which the tests pin. Optional exact rerank as in ``pq_topk``.
+
+    ``cent`` / ``books`` accept a pre-trained index (train once, query
+    many — the production shape; also what ``tools/pq_recall_grid.py``
+    sweeps). When omitted they are trained from ``ds``.
+
+    Measured defaults (BASELINE.md round-4 recall grid, 1M 32-dim vectors
+    in 16-member near-duplicate families, n_list=1024, m=8, n_codes=64):
+    ``n_probe=8, rerank_r=5·k`` reaches recall@10 = 1.0 while scanning
+    0.8% of the corpus as codes; ``n_probe=1`` tops out at 0.916 (family
+    split across a centroid boundary) regardless of rerank depth."""
     from knowledgegraphs_ray.sim.ivf import assign_lists, train_centroids
 
-    cent = train_centroids(ds, n_list=n_list, column=column)
-    books = train_pq(ds, m=m, k=n_codes, column=column)
+    if cent is None:
+        cent = train_centroids(ds, n_list=n_list, column=column)
+    if books is None:
+        books = train_pq(ds, m=m, k=n_codes, column=column)
 
     qdf = (
         ds.map_batches(
