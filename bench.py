@@ -92,6 +92,9 @@ def run_bench() -> dict:
     timed("embedding_clusters", catalog.q_embedding_clusters)
     timed("lm_bigram_ppl", catalog.q_lm_bigram_ppl)
     timed("chat_pairs", catalog.q_chat_pairs)
+    timed("mapping_selection", catalog.q_mapping_selection)
+    timed("dsir_bigram_weights", catalog.q_dsir_bigram_weights)
+    timed("curation_chain", catalog.q_curation_chain)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

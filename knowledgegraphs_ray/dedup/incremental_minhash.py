@@ -1,0 +1,296 @@
+"""Incremental cross-corpus NEAR-duplicate detection: MinHash-LSH probe of
+an arriving shard against a PERSISTED band index of everything ingested so
+far.
+
+``dedup/incremental.py`` answers "has this EXACT text been seen before?"
+(Bloom + verify join over content hashes). This module answers the fuzzy
+version — "is this new document a near-duplicate of ANY historical
+document?" — the stage a continuously-crawled corpus needs so boilerplate
+re-crawls never re-enter the training set. Reference analogue: the
+reference dedups full annotation/triple sets within one run (D1/D5
+``AnnotationsDictionary.java``); cross-RUN near-dedup is the pre-training
+generalization.
+
+Scale shape (why this is an index probe, not a re-run of
+``minhash_candidate_pairs`` over history ∪ shard):
+
+* The index is the HISTORY'S BAND TABLE — (band_id, band_hash, doc_id)
+  rows, B×~24 bytes/doc — plus the signature table (P×8 bytes/doc), both
+  written once as partitioned Parquet (``save_minhash_index``). History
+  TEXT is never re-read, never re-hashed, never shuffled on later shards.
+* Probing shuffles only the SHARD's band rows into a hash join against the
+  index on (band_id, band_hash) — O(shard) exchange per ingest step, not
+  O(history + shard). Candidate pairs are slim (two int64 ids), distinct'd
+  with per-block partials, then verified by joining both signature tables
+  on (slot-agreement >= threshold) — the same join-tier verify as
+  ``minhash_candidate_pairs``, nothing corpus-sized on the driver.
+* Hot buckets (boilerplate band_hash shared by thousands of history docs)
+  inflate only the matching-pair output, which is bounded by TRUE near-dup
+  volume after verification; the join itself is hash-partitioned so a hot
+  key lands in one partition at worst. Upstream exact dedup (the curation
+  chain runs it first) removes identical-text floods before they reach
+  this stage.
+
+Determinism: same seeded constants as ``MinHashKernel`` ⇒ identical pairs
+at any parallelism, and the whole path admits an exact DuckDB oracle
+(``incremental_minhash_oracle_sql`` — the shared CTE prefix of
+``minhash_oracle_sql`` with the candidate join restricted to
+history × shard).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from knowledgegraphs_ray.dedup._pairs import distinct_pairs
+from knowledgegraphs_ray.dedup.minhash import (
+    MinHashKernel,
+    _oracle_cte_prefix,
+    _sig_matrix,
+)
+from knowledgegraphs_ray.extract.joins import native_join
+from knowledgegraphs_ray.util.blocks import compact_nonempty
+
+_EMPTY_PROBED = pd.DataFrame(
+    {
+        "new_doc": np.empty(0, "int64"),
+        "hist_doc": np.empty(0, "int64"),
+        "est_jaccard": np.empty(0, "float64"),
+    }
+)
+
+
+@dataclass
+class MinHashIndex:
+    """The persisted-index handle: two slim datasets + the sketch params.
+
+    ``bands``: (doc_id int64, band_id int64, band_hash int64) — the LSH
+    buckets. ``sigs``: (doc_id int64, sig fixed_size_binary(n_perm*8)) —
+    for verification. Params must match between build and probe; the
+    loader enforces it.
+    """
+
+    bands: ray.data.Dataset
+    sigs: ray.data.Dataset
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    n_perm: int = 128
+    n_bands: int = 16
+    shingle_k: int = 3
+
+    def params(self) -> dict:
+        return {
+            "id_col": self.id_col,
+            "text_col": self.text_col,
+            "n_perm": self.n_perm,
+            "n_bands": self.n_bands,
+            "shingle_k": self.shingle_k,
+        }
+
+    def kernel(self) -> MinHashKernel:
+        return MinHashKernel(
+            id_col=self.id_col,
+            text_col=self.text_col,
+            shingle_k=self.shingle_k,
+            n_perm=self.n_perm,
+            n_bands=self.n_bands,
+        )
+
+
+def build_minhash_index(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+) -> MinHashIndex:
+    """Sketch a corpus into a probeable index — two map-only passes, no
+    shuffle; the text never leaves its block."""
+    kern = MinHashKernel(
+        id_col=id_col,
+        text_col=text_col,
+        shingle_k=shingle_k,
+        n_perm=n_perm,
+        n_bands=n_bands,
+    )
+    bands = ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
+    sigs = ds.map_batches(
+        kern.signature_table, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return MinHashIndex(
+        bands=bands,
+        sigs=sigs,
+        id_col=id_col,
+        text_col=text_col,
+        n_perm=n_perm,
+        n_bands=n_bands,
+        shingle_k=shingle_k,
+    )
+
+
+def save_minhash_index(index: MinHashIndex, root: str) -> None:
+    """Persist as partitioned Parquet + a params manifest. Appending a new
+    shard to the index later = write its band/sig blocks into the same
+    directories (Parquet directories are unioned on read)."""
+    index.bands.write_parquet(os.path.join(root, "bands"))
+    index.sigs.write_parquet(os.path.join(root, "sigs"))
+    with open(os.path.join(root, "params.json"), "w") as f:
+        json.dump(index.params(), f)
+
+
+def load_minhash_index(root: str) -> MinHashIndex:
+    with open(os.path.join(root, "params.json")) as f:
+        params = json.load(f)
+    return MinHashIndex(
+        bands=ray.data.read_parquet(os.path.join(root, "bands")),
+        sigs=ray.data.read_parquet(os.path.join(root, "sigs")),
+        **params,
+    )
+
+
+def _rename(mapping: dict[str, str]):
+    def _r(b: pa.Table) -> pa.Table:
+        return b.rename_columns([mapping.get(c, c) for c in b.schema.names])
+
+    return _r
+
+
+def probe_minhash_index(
+    index: MinHashIndex,
+    new_ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.7,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """-> (new_doc, hist_doc, est_jaccard) rows: every shard document whose
+    estimated Jaccard against some indexed document reaches ``threshold``.
+
+    Shard docs are NOT compared to each other — run
+    ``minhash_candidate_pairs`` on the shard for that; composition =
+    within-shard pairs ∪ this probe, exactly the split a streaming ingest
+    wants (the history side never recomputes).
+    """
+    kern = index.kernel()
+    nparts = num_partitions or max(
+        2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    )
+
+    new_bands = new_ds.map_batches(
+        kern, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(_rename({"doc_id": "new_doc"}), batch_format="pyarrow")
+    hist_bands = index.bands.map_batches(
+        _rename({"doc_id": "hist_doc"}), batch_format="pyarrow"
+    )
+
+    # ONE hash join on the composite LSH key — O(shard bands + index bands)
+    # exchange, exact (both key columns join natively).
+    cand = native_join(
+        new_bands,
+        hist_bands,
+        left_on=("band_id", "band_hash"),
+        right_on=("band_id", "band_hash"),
+        num_partitions=nparts,
+    ).select_columns(["new_doc", "hist_doc", "band_id"])
+
+    PAIR_SCHEMA = pa.schema(
+        [("new_doc", pa.int64()), ("hist_doc", pa.int64()), ("band_id", pa.int64())]
+    )
+    cand = compact_nonempty(cand, PAIR_SCHEMA)
+    if cand.count() == 0:
+        return ray.data.from_pandas(_EMPTY_PROBED.copy())
+
+    # A pair colliding in k bands appears k times; one slim distinct.
+    pairs = distinct_pairs(
+        cand, keys=("new_doc", "hist_doc"), carry=("band_id",), schema=PAIR_SCHEMA
+    ).drop_columns(["band_id"])
+
+    # Verify: join both signature tables on, agreement >= threshold. The
+    # shard's signatures are recomputed map-only (cheap, shard-sized); the
+    # history's come from the index — its text is never touched.
+    sig_n = new_ds.map_batches(
+        kern.signature_table, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        _rename({"doc_id": "new_doc", "sig": "sig_n"}), batch_format="pyarrow"
+    )
+    sig_h = index.sigs.map_batches(
+        _rename({"doc_id": "hist_doc", "sig": "sig_h"}), batch_format="pyarrow"
+    )
+    j = native_join(
+        pairs, sig_n, left_on="new_doc", right_on="new_doc", num_partitions=nparts
+    ).materialize()  # sequential joins: 2x aggregator actors can starve slots
+    j = native_join(
+        j, sig_h, left_on="hist_doc", right_on="hist_doc", num_partitions=nparts
+    )
+
+    n_perm = kern.n_perm
+
+    def verify(batch: pa.Table) -> pd.DataFrame:
+        if batch.num_rows == 0 or "new_doc" not in batch.schema.names:
+            return _EMPTY_PROBED.copy()
+        a = batch["new_doc"].to_numpy(zero_copy_only=False)
+        b = batch["hist_doc"].to_numpy(zero_copy_only=False)
+        sa = _sig_matrix(batch["sig_n"], n_perm)
+        sb = _sig_matrix(batch["sig_h"], n_perm)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {
+                "new_doc": a[keep],
+                "hist_doc": b[keep],
+                "est_jaccard": est[keep].astype("float64"),
+            }
+        )
+
+    return j.map_batches(verify, batch_format="pyarrow")
+
+
+def incremental_minhash_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    history_pred: str = "doc_id % 2 = 0",
+    new_pred: str = "doc_id % 2 = 1",
+    threshold: float = 0.7,
+    n_perm: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+) -> str:
+    """Exact DuckDB oracle: the shared minhash CTE chain over the WHOLE
+    table, candidate join restricted to history-side × new-side bucket
+    collisions, verification = signature slot agreement >= threshold."""
+    prefix = _oracle_cte_prefix(
+        table=table,
+        id_col=id_col,
+        text_col=text_col,
+        n_perm=n_perm,
+        n_bands=n_bands,
+        shingle_k=shingle_k,
+    )
+    return f"""
+WITH {prefix}, cand AS (
+  SELECT DISTINCT y.doc_id AS new_doc, x.doc_id AS hist_doc
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+  WHERE x.doc_id IN (SELECT {id_col} FROM {table} WHERE {history_pred})
+    AND y.doc_id IN (SELECT {id_col} FROM {table} WHERE {new_pred})
+)
+SELECT new_doc, hist_doc, est_jaccard FROM (
+  SELECT c.new_doc, c.hist_doc,
+    len(list_filter(range(1, {n_perm + 1}), i -> sn.sig[i] = sh2.sig[i]))
+      / {float(n_perm)} AS est_jaccard
+  FROM cand c
+  JOIN sigs sn ON sn.doc_id = c.new_doc
+  JOIN sigs sh2 ON sh2.doc_id = c.hist_doc
+)
+WHERE est_jaccard >= {threshold}
+"""

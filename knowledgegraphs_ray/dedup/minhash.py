@@ -508,28 +508,18 @@ def _verify_by_join(
     return j.map_batches(verify, batch_format="pyarrow")
 
 
-def minhash_oracle_sql(
+def _oracle_cte_prefix(
     *,
-    table: str = "documents",
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    threshold: float = 0.8,
-    n_perm: int = 128,
-    n_bands: int = 16,
-    shingle_k: int = 3,
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_perm: int,
+    n_bands: int,
+    shingle_k: int,
 ) -> str:
-    """Generate the exact DuckDB oracle for ``minhash_candidate_pairs``.
-
-    Possible because every hash in the pipeline is SQL-expressible: token
-    hash = the byte-polynomial Horner fold (HUGEINT mod 2^64 — same trick as
-    the ``doc_fingerprints`` oracle), shingles = the same fold over token
-    hashes, permutations = (a*x+b) mod 2^64 min-folds with the IDENTICAL
-    seeded constants, band hashes = the same weighted sums viewed as int64.
-    Pair set = DISTINCT bucket collisions with slot-agreement >= threshold —
-    equal to the kernel's first-colliding-band emission whenever no bucket
-    exceeds ``max_bucket`` (the cap binds only on pathological hot buckets;
-    see the kernel docstring).
-    """
+    """The shared tok/sh/sigs/bands CTE chain of the minhash oracles —
+    generated with the kernel's IDENTICAL seeded constants so the SQL
+    signatures and band hashes are bit-equal to the engine's."""
     assert shingle_k == 3, "oracle generated for the default shingle_k=3"
     a, b = _perm_params(n_perm)
     bp = np.random.default_rng(_SEED + 1)
@@ -549,8 +539,7 @@ def minhash_oracle_sql(
         f"(sig[band_id*{r}+{j + 1}] * {int(band_a[j])}::HUGEINT) % {M}"
         for j in range(r)
     )
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT {id_col} AS doc_id, list_transform(
     regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9_]+'),
     t -> list_reduce(list_concat([0::HUGEINT],
@@ -575,7 +564,41 @@ WITH tok AS (
     SELECT doc_id, band_id, ({band_terms}) % {M} AS bh
     FROM sigs, range({n_bands}) t(band_id)
   )
-), cand AS (
+)"""
+
+
+def minhash_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n_perm: int = 128,
+    n_bands: int = 16,
+    shingle_k: int = 3,
+) -> str:
+    """Generate the exact DuckDB oracle for ``minhash_candidate_pairs``.
+
+    Possible because every hash in the pipeline is SQL-expressible: token
+    hash = the byte-polynomial Horner fold (HUGEINT mod 2^64 — same trick as
+    the ``doc_fingerprints`` oracle), shingles = the same fold over token
+    hashes, permutations = (a*x+b) mod 2^64 min-folds with the IDENTICAL
+    seeded constants, band hashes = the same weighted sums viewed as int64.
+    Pair set = DISTINCT bucket collisions with slot-agreement >= threshold —
+    equal to the kernel's first-colliding-band emission whenever no bucket
+    exceeds ``max_bucket`` (the cap binds only on pathological hot buckets;
+    see the kernel docstring).
+    """
+    prefix = _oracle_cte_prefix(
+        table=table,
+        id_col=id_col,
+        text_col=text_col,
+        n_perm=n_perm,
+        n_bands=n_bands,
+        shingle_k=shingle_k,
+    )
+    return f"""
+WITH {prefix}, cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y
     ON x.band_id = y.band_id AND x.band_hash = y.band_hash

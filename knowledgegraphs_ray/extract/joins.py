@@ -61,20 +61,21 @@ def native_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     *,
-    left_on: str,
-    right_on: str,
+    left_on: str | tuple[str, ...],
+    right_on: str | tuple[str, ...],
     how: str = "inner",
     num_partitions: int = 16,
 ) -> ray.data.Dataset:
     """Ray's built-in hash-partitioned join (Dataset.join, Ray >= 2.46) —
     the preferred both-sides-large path when available; ``bucket_join`` below
-    is the portable fallback with explicit salting control."""
+    is the portable fallback with explicit salting control. A tuple key
+    joins on the composite (e.g. the (band_id, band_hash) LSH key)."""
     return left.join(
         right,
         join_type=how,
         num_partitions=num_partitions,
-        on=(left_on,),
-        right_on=(right_on,),
+        on=(left_on,) if isinstance(left_on, str) else tuple(left_on),
+        right_on=(right_on,) if isinstance(right_on, str) else tuple(right_on),
     )
 
 

@@ -580,6 +580,28 @@ def q_incremental_dedup(sf_dir: str):
     return novel_rows(new, seen, column="text", broadcast_limit=0)
 
 
+def q_incremental_minhash(sf_dir: str):
+    """Cross-corpus NEAR-dup probe (streaming-ingestion fuzzy dedup):
+    history = even doc_ids sketched into a persisted-shape MinHash-LSH band
+    index, arriving shard = odd doc_ids probed against it. Emits
+    (new_doc, hist_doc, est_jaccard >= 0.7); the history text is touched
+    exactly once (index build), never on probe."""
+    from knowledgegraphs_ray.dedup.incremental_minhash import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    hist = docs.map_batches(
+        lambda df: df[df["doc_id"] % 2 == 0], batch_format="pandas"
+    )
+    new = docs.map_batches(
+        lambda df: df[df["doc_id"] % 2 == 1], batch_format="pandas"
+    )
+    index = build_minhash_index(hist)
+    return probe_minhash_index(index, new, threshold=0.7)
+
+
 def q_decontaminated_docs(sf_dir: str):
     """Benchmark decontamination: docs with doc_id % 20 == 0 act as the
     held-out eval set; every other doc is annotated with its distinct
@@ -1049,6 +1071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # CORRECTNESS_r03 and their code paths are unchanged since.
     return {
         # --- never driver-verified (round-3 tail + round-4 additions) ---
+        "incremental_minhash": q_incremental_minhash,
         "mapping_selection": q_mapping_selection,
         "dsir_bigram_weights": q_dsir_bigram_weights,
         "curation_chain": q_curation_chain,
@@ -1426,6 +1449,10 @@ def oracle_sql() -> dict[str, str]:
         "link_exact_documents": _link_exact_sql(),
         "canonical_mentions": _canonical_mentions_sql(),
         "decontaminated_docs": _decontam_sql(),
+        "incremental_minhash": __import__(
+            "knowledgegraphs_ray.dedup.incremental_minhash",
+            fromlist=["incremental_minhash_oracle_sql"],
+        ).incremental_minhash_oracle_sql(threshold=0.7),
         "incremental_dedup": (
             "SELECT d.doc_id, d.text FROM documents d "
             "WHERE d.doc_id % 2 = 0 AND NOT EXISTS ("

@@ -1,0 +1,129 @@
+"""dedup/incremental_minhash.py — MinHash-LSH probe against a persisted
+band index.
+
+Checks: (1) the probe finds exactly the cross-side pairs that a full
+minhash run over history ∪ shard finds (restricted to cross pairs, same
+threshold — the probe IS that restriction computed without re-sketching
+history), (2) save/load roundtrip of the index yields identical pairs,
+(3) block-boundary invariance (same pairs at different partitionings),
+(4) shard-internal near-dups are NOT emitted (composition contract), (5)
+empty probe result and empty shard behave."""
+
+import numpy as np
+import pandas as pd
+import ray.data
+
+from knowledgegraphs_ray.dedup.incremental_minhash import (
+    build_minhash_index,
+    load_minhash_index,
+    probe_minhash_index,
+    save_minhash_index,
+)
+from knowledgegraphs_ray.dedup.minhash import minhash_candidate_pairs
+
+
+def _corpus() -> pd.DataFrame:
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(200)]
+    rows = []
+    # 30 base docs (even ids = history), each with an odd-id near-copy that
+    # differs by one appended token, plus odd-id fresh docs with no match.
+    for i in range(30):
+        toks = list(rng.choice(words, size=40))
+        rows.append({"doc_id": 2 * i, "text": " ".join(toks)})
+        rows.append({"doc_id": 2 * i + 1, "text": " ".join(toks + ["extra"])})
+    for i in range(20):
+        toks = list(rng.choice(words, size=40))
+        rows.append({"doc_id": 201 + 2 * i, "text": " ".join(toks) + " unique tail"})
+    # two odd-id docs that are near-dups of EACH OTHER but of nothing even:
+    # must never appear in the probe output.
+    toks = list(rng.choice(words, size=40))
+    rows.append({"doc_id": 301, "text": " ".join(toks)})
+    rows.append({"doc_id": 303, "text": " ".join(toks + ["tail"])})
+    return pd.DataFrame(rows)
+
+
+def _split(df: pd.DataFrame, parts: int = 3):
+    hist = ray.data.from_pandas(df[df.doc_id % 2 == 0]).repartition(parts)
+    new = ray.data.from_pandas(df[df.doc_id % 2 == 1]).repartition(parts)
+    return hist, new
+
+
+def _pairs(df: pd.DataFrame) -> set[tuple[int, int]]:
+    return set(zip(df["new_doc"].astype(int), df["hist_doc"].astype(int)))
+
+
+def _probe(hist, new, **kw) -> pd.DataFrame:
+    idx = build_minhash_index(hist, n_perm=64, n_bands=16)
+    return probe_minhash_index(idx, new, threshold=0.5, **kw).to_pandas()
+
+
+def test_probe_equals_full_run_cross_pairs():
+    df = _corpus()
+    hist, new = _split(df)
+    got = _probe(hist, new)
+    assert len(got) > 0
+
+    full = minhash_candidate_pairs(
+        ray.data.from_pandas(df).repartition(3),
+        threshold=0.5,
+        n_perm=64,
+        n_bands=16,
+    ).to_pandas()
+    cross = set()
+    for a, b, est in zip(full.doc_a.astype(int), full.doc_b.astype(int), full.est_jaccard):
+        if a % 2 != b % 2:
+            new_d, hist_d = (a, b) if a % 2 == 1 else (b, a)
+            cross.add((new_d, hist_d))
+    assert _pairs(got) == cross
+    # every planted (2i, 2i+1) near-copy is found
+    found_new = {n for n, _ in _pairs(got)}
+    assert {2 * i + 1 for i in range(30)} <= found_new
+
+
+def test_no_shard_internal_pairs():
+    df = _corpus()
+    hist, new = _split(df)
+    got = _probe(hist, new)
+    assert got["new_doc"].mod(2).eq(1).all()
+    assert got["hist_doc"].mod(2).eq(0).all()
+    assert 301 not in set(got["new_doc"]) and 303 not in set(got["new_doc"])
+
+
+def test_save_load_roundtrip(tmp_path):
+    df = _corpus()
+    hist, new = _split(df)
+    idx = build_minhash_index(hist, n_perm=64, n_bands=16)
+    direct = probe_minhash_index(idx, new, threshold=0.5).to_pandas()
+
+    root = str(tmp_path / "mh_index")
+    save_minhash_index(idx, root)
+    loaded = load_minhash_index(root)
+    assert loaded.n_perm == 64 and loaded.n_bands == 16
+    reloaded = probe_minhash_index(loaded, new, threshold=0.5).to_pandas()
+    assert _pairs(direct) == _pairs(reloaded)
+    a = direct.sort_values(["new_doc", "hist_doc"]).est_jaccard.to_numpy()
+    b = reloaded.sort_values(["new_doc", "hist_doc"]).est_jaccard.to_numpy()
+    assert np.array_equal(a, b)
+
+
+def test_partitioning_invariance():
+    df = _corpus()
+    p1 = _probe(*_split(df, parts=1))
+    p7 = _probe(*_split(df, parts=7), num_partitions=3)
+    assert _pairs(p1) == _pairs(p7)
+
+
+def test_empty_cases():
+    df = _corpus()
+    hist, new = _split(df)
+    # shard with nothing near history -> zero rows, stable schema
+    fresh = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": [9001, 9003], "text": ["zz qq aa", "bb cc dd"]})
+    )
+    idx = build_minhash_index(hist, n_perm=64, n_bands=16)
+    out = probe_minhash_index(idx, fresh, threshold=0.99)
+    # Ray's to_pandas drops columns on an all-empty dataset; the schema is
+    # the stable contract.
+    assert out.schema().names == ["new_doc", "hist_doc", "est_jaccard"]
+    assert out.count() == 0
