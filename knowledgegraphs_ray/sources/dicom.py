@@ -434,8 +434,13 @@ def collect_tag_dictionary(path: str) -> TagDictionary:
                 continue
         return tags.to_pandas()
 
+    harvested = files.map_batches(block, batch_format="pandas").to_pandas()
+    # first-wins per tag (block order is preserved by map_batches), deduped
+    # BEFORE the driver loop so it runs over the ~4k-tag vocabulary, not
+    # num_blocks x vocab rows
+    harvested = harvested.drop_duplicates("tag_code", keep="first")
     merged = TagDictionary()
-    for row in files.map_batches(block, batch_format="pandas").to_pandas().itertuples():
+    for row in harvested.itertuples():
         merged.put(row.tag_code, row.name.replace(" ", ""), row.vr)
     return merged
 

@@ -292,3 +292,40 @@ def test_resolve_duplicates_policies_and_tiers():
         corpus, pd.DataFrame({"doc_id": [], "component": []})
     ).to_pandas()
     assert sorted(same["doc_id"]) == [1, 2, 5, 7, 8, 9]
+
+
+def test_resolve_best_score_policy():
+    """keep='best_score': survivor is the highest-score member, ties ->
+    smaller id; agrees with keep='longest' when score == text length."""
+    import pandas as pd
+    import ray
+
+    from knowledgegraphs_ray.dedup.resolve import resolve_duplicates
+
+    corpus = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "aa", "score": 10},
+            {"doc_id": 2, "text": "aaaa", "score": 3},   # longest but low score
+            {"doc_id": 5, "text": "aaa", "score": 10},   # ties 1 -> 1 wins
+            {"doc_id": 7, "text": "bb", "score": 1},
+            {"doc_id": 8, "text": "bb", "score": 2},     # best of {7,8}
+            {"doc_id": 9, "text": "solo", "score": 0},
+        ]
+    ).repartition(3)
+    comp = pd.DataFrame(
+        {"doc_id": [1, 2, 5, 7, 8], "component": [1, 1, 1, 7, 7]}
+    )
+
+    best = resolve_duplicates(
+        corpus, comp, keep="best_score", score_col="score"
+    ).to_pandas()
+    assert sorted(best["doc_id"]) == [1, 8, 9]
+
+    # score = utf8 length reproduces keep='longest'
+    with_len = corpus.map_batches(
+        lambda df: df.assign(score=df["text"].str.len()), batch_format="pandas"
+    )
+    as_longest = resolve_duplicates(
+        with_len, comp, keep="best_score", score_col="score"
+    ).to_pandas()
+    assert sorted(as_longest["doc_id"]) == [2, 7, 9]

@@ -341,3 +341,50 @@ def test_lead_within_group_straddles_blocks():
         expect["lead_v"] = expect.groupby("k")["v"].shift(-1)
         expect = expect.sort_values(["k", "o"]).reset_index(drop=True)
         assert out["lead_v"].fillna("-").tolist() == expect["lead_v"].fillna("-").tolist()
+
+
+def test_temperature_sample_properties():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from knowledgegraphs_ray.pipelines.training_data import (
+        temperature_sample,
+        temperature_sample_oracle_sql,
+    )
+
+    # skewed synthetic corpus: 4000 'en', 400 'de', 40 'sw', plus null strata
+    rng = np.random.default_rng(3)
+    langs = ["en"] * 4000 + ["de"] * 400 + ["sw"] * 40 + [None] * 10
+    df = pd.DataFrame({"doc_id": np.arange(len(langs)), "lang": langs})
+    ds = ray.data.from_pandas(df).repartition(6)
+
+    out = temperature_sample(ds, tau=0.5, total_k=600).to_pandas()
+    # null strata never survive
+    assert out["lang"].notna().all()
+    # parallelism invariance: different block structure, identical selection
+    out2 = temperature_sample(ds.repartition(13), tau=0.5, total_k=600).to_pandas()
+    assert set(out["doc_id"]) == set(out2["doc_id"])
+
+    # tau flattens: at tau=0.5 the rare stratum's output share must exceed
+    # its natural share; at tau=1.0 shares stay ~natural
+    shares = out["lang"].value_counts(normalize=True)
+    assert shares.get("sw", 0) > 40 / 4440
+    nat = temperature_sample(ds, tau=1.0, total_k=600).to_pandas()
+    nshares = nat["lang"].value_counts(normalize=True)
+    assert abs(nshares.get("en", 0) - 4000 / 4440) < 0.06
+    # total size is in the right ballpark (binomial around total_k)
+    assert 0.8 * 600 < len(out) < 1.2 * 600
+
+    # exact DuckDB twin on the same frame
+    con = duckdb.connect()
+    con.register("documents", df)
+    sql = temperature_sample_oracle_sql(tau=0.5, total_k=600)
+    oracle = con.execute(sql).df()
+    assert set(out["doc_id"]) == set(oracle["doc_id"])
+
+    # tau=0 is uniform-across-strata: every stratum's threshold equals
+    # total_k/3 of its size ratio — rare stratum saturates (rate capped at 1)
+    flat = temperature_sample(ds, tau=0.0, total_k=120).to_pandas()
+    assert (flat["lang"] == "sw").sum() == 40  # 120/3 = 40 >= n_sw -> keep all
