@@ -519,6 +519,19 @@ def q_dedup_resolved_corpus(sf_dir: str):
     return resolve_duplicates(corpus, comp, keep="longest")
 
 
+def q_pca_projection(sf_dir: str):
+    """PCA dimensionality reduction: project every embedding onto the 8
+    frozen principal components (trained distributed, integer-invariant).
+    Map-only int64 matmul; proj_micro is an INTEGER — the oracle match is
+    structural, no float-parity caveat (see sim/pca.py docstring)."""
+    from knowledgegraphs_ray.sim.pca import project_pca
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return project_pca(emb)
+
+
 def q_resolve_best_score(sf_dir: str):
     """Quality-priority dedup: minhash pairs -> components -> resolve
     keeping the member with the HIGHEST quality score (here n_chars as the
@@ -1115,6 +1128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "temperature_sample": q_temperature_sample,
         "resolve_best_score": q_resolve_best_score,
+        "pca_projection": q_pca_projection,
         "quality_classifier": q_quality_classifier,
         "corpus_shuffle": q_corpus_shuffle,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1371,6 +1385,9 @@ def oracle_sql() -> dict[str, str]:
             ).minhash_components_oracle_sql(threshold=0.7),
             keep="longest",
         ),
+        "pca_projection": __import__(
+            "knowledgegraphs_ray.sim.pca", fromlist=["oracle_sql"]
+        ).oracle_sql(),
         "resolve_best_score": __import__(
             "knowledgegraphs_ray.dedup.resolve", fromlist=["resolve_oracle_sql"]
         ).resolve_oracle_sql(
