@@ -95,6 +95,11 @@ def run_bench() -> dict:
     timed("mapping_selection", catalog.q_mapping_selection)
     timed("dsir_bigram_weights", catalog.q_dsir_bigram_weights)
     timed("curation_chain", catalog.q_curation_chain)
+    timed("incremental_minhash", catalog.q_incremental_minhash)
+    timed("temperature_sample", catalog.q_temperature_sample)
+    timed("resolve_best_score", catalog.q_resolve_best_score)
+    timed("pca_projection", catalog.q_pca_projection)
+    timed("cluster_balanced_sample", catalog.q_cluster_balanced_sample)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

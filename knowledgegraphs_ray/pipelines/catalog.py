@@ -532,6 +532,18 @@ def q_pca_projection(sf_dir: str):
     return project_pca(emb)
 
 
+def q_cluster_balanced_sample(sf_dir: str):
+    """Cluster-balanced coreset: top-10 per frozen-centroid cluster by the
+    integer quantized-norm energy score. Fused map-only assign+score kernel
+    -> per-batch prune -> slim survivor rank; the embeddings never shuffle."""
+    from knowledgegraphs_ray.sim.clusters import cluster_balanced_sample
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return cluster_balanced_sample(emb, k_per_cluster=10)
+
+
 def q_resolve_best_score(sf_dir: str):
     """Quality-priority dedup: minhash pairs -> components -> resolve
     keeping the member with the HIGHEST quality score (here n_chars as the
@@ -1129,6 +1141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_sample": q_temperature_sample,
         "resolve_best_score": q_resolve_best_score,
         "pca_projection": q_pca_projection,
+        "cluster_balanced_sample": q_cluster_balanced_sample,
         "quality_classifier": q_quality_classifier,
         "corpus_shuffle": q_corpus_shuffle,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1388,6 +1401,10 @@ def oracle_sql() -> dict[str, str]:
         "pca_projection": __import__(
             "knowledgegraphs_ray.sim.pca", fromlist=["oracle_sql"]
         ).oracle_sql(),
+        "cluster_balanced_sample": __import__(
+            "knowledgegraphs_ray.sim.clusters",
+            fromlist=["cluster_balanced_sample_oracle_sql"],
+        ).cluster_balanced_sample_oracle_sql(k_per_cluster=10),
         "resolve_best_score": __import__(
             "knowledgegraphs_ray.dedup.resolve", fromlist=["resolve_oracle_sql"]
         ).resolve_oracle_sql(

@@ -101,3 +101,76 @@ def oracle_sql(table: str = "embeddings") -> str:
         f"CROSS JOIN (SELECT * FROM (VALUES {vals}) AS t(c, v)) cent"
         ") WHERE rn = 1"
     )
+
+
+def cluster_balanced_sample(
+    ds: ray.data.Dataset,
+    *,
+    id_column: str = "vec_id",
+    column: str = "embedding",
+    k_per_cluster: int = 10,
+) -> ray.data.Dataset:
+    """Cluster-balanced coreset selection — the embedding-space counterpart
+    of per-source quotas: assign every vector to its frozen centroid, then
+    keep the top ``k_per_cluster`` per cluster by an INTEGER energy score
+    (sum of floor(x * 2^20)^2 — the quantized squared norm; in production
+    swap in any integer-quantized quality score). Bounds the output to
+    n_clusters x k while preserving coverage of every region of the space.
+
+    Shape: one fused map-only kernel (assignment matmul + energy) ->
+    ``topk_per_group`` (per-batch prune, slim survivor sort) — the corpus
+    never shuffles. Ties break on id ascending; selection is a pure
+    function of the data at any parallelism. Energy overflow bound:
+    d * (max|x| * 2^20)^2 < 2^63 -> max|x| < ~830 at d = 64."""
+    from knowledgegraphs_ray.util.topk import topk_per_group
+
+    cent = centroids()
+
+    def kern(batch: pa.Table) -> pd.DataFrame:
+        mat = _batch_matrix(batch, column)
+        ids = batch[id_column].to_numpy(zero_copy_only=False)
+        if not len(mat):
+            return pd.DataFrame(
+                {"vec_id": pd.Series([], dtype="int64"),
+                 "cluster_id": pd.Series([], dtype="int64"),
+                 "energy": pd.Series([], dtype="int64")}
+            )
+        best = (mat @ cent.T).argmax(axis=1)
+        q = np.floor(mat * float(1 << 20)).astype(np.int64)
+        energy = (q * q).sum(axis=1)
+        return pd.DataFrame(
+            {"vec_id": ids.astype("int64"),
+             "cluster_id": best.astype("int64"),
+             "energy": energy}
+        )
+
+    scored = ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
+    return topk_per_group(
+        scored,
+        key_cols=["cluster_id"],
+        score_col="energy",
+        id_col="vec_id",
+        k=k_per_cluster,
+    )
+
+
+def cluster_balanced_sample_oracle_sql(
+    *, table: str = "embeddings", k_per_cluster: int = 10
+) -> str:
+    """DuckDB twin: frozen-centroid assignment (same VALUES table as
+    ``oracle_sql``) + integer energy terms + window rank."""
+    energy_terms = " + ".join(
+        f"(CAST(floor(CAST(embedding[{j + 1}] AS DOUBLE) * {1 << 20}) AS BIGINT) * "
+        f"CAST(floor(CAST(embedding[{j + 1}] AS DOUBLE) * {1 << 20}) AS BIGINT))"
+        for j in range(64)
+    )
+    return (
+        f"WITH assign AS ({oracle_sql(table)}), "
+        f"score AS (SELECT vec_id, ({energy_terms}) AS energy FROM {table}), "
+        "ranked AS (SELECT a.vec_id, a.cluster_id, s.energy, "
+        "row_number() OVER (PARTITION BY a.cluster_id "
+        "ORDER BY s.energy DESC, a.vec_id) - 1 AS rank "
+        "FROM assign a JOIN score s ON s.vec_id = a.vec_id) "
+        f"SELECT vec_id, cluster_id, energy, CAST(rank AS BIGINT) AS rank "
+        f"FROM ranked WHERE rank < {int(k_per_cluster)}"
+    )

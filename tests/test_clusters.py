@@ -37,3 +37,27 @@ def test_assignment_is_nearest_centroid(sf_dir):
     ref = (mat @ C.centroids().T).argmax(axis=1)
     assert np.array_equal(out["cluster_id"].to_numpy(), ref)
     assert out["cluster_id"].nunique() > 1  # non-degenerate clustering
+
+
+def test_cluster_balanced_sample_invariance_and_quota():
+    import ray.data
+
+    from knowledgegraphs_ray.sim.clusters import cluster_balanced_sample
+
+    emb = ray.data.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+    )
+    a = cluster_balanced_sample(emb.repartition(3), k_per_cluster=5).to_pandas()
+    b = cluster_balanced_sample(emb.repartition(9), k_per_cluster=5).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["vec_id", "cluster_id", "rank"]].values))
+    assert key(a) == key(b)  # parallelism-invariant
+    # quota honored per cluster, ranks dense from 0
+    per = a.groupby("cluster_id")
+    assert (per.size() <= 5).all()
+    for _, g in per:
+        assert sorted(g["rank"]) == list(range(len(g)))
+    # selection is the energy-descending prefix within each cluster
+    for _, g in per:
+        s = g.sort_values("rank")
+        assert (s["energy"].diff().dropna() <= 0).all()
