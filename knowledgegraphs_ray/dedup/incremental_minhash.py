@@ -113,8 +113,11 @@ def build_minhash_index(
     n_bands: int = 16,
     shingle_k: int = 3,
 ) -> MinHashIndex:
-    """Sketch a corpus into a probeable index — two map-only passes, no
-    shuffle; the text never leaves its block."""
+    """Sketch a corpus into a probeable index. The text is tokenized and
+    shingled EXACTLY ONCE (the dominant sketch cost): the signature table is
+    materialized (sig = n_perm*8 B/doc; the object store spills past memory)
+    and the band rows are derived from it map-only — not recomputed from
+    text. No shuffle anywhere; the text never leaves its block."""
     kern = MinHashKernel(
         id_col=id_col,
         text_col=text_col,
@@ -122,10 +125,10 @@ def build_minhash_index(
         n_perm=n_perm,
         n_bands=n_bands,
     )
-    bands = ds.map_batches(kern, batch_format="pyarrow", zero_copy_batch=True)
     sigs = ds.map_batches(
         kern.signature_table, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
+    bands = sigs.map_batches(kern.bands_from_sig_table, batch_format="pyarrow")
     return MinHashIndex(
         bands=bands,
         sigs=sigs,
@@ -164,35 +167,113 @@ def _rename(mapping: dict[str, str]):
     return _r
 
 
+def _band_key_filter(sets_ref):
+    """Map-only semi-filter: keep band rows whose (band_id, band_hash) is in
+    the broadcast per-band key sets. Instance-passed (task pool) — the
+    broadcast ships once via ray.put, not per batch."""
+
+    def filt(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        sets = _ray.get(sets_ref)
+        if t.num_rows == 0:
+            return t
+        bid = t["band_id"].to_numpy(zero_copy_only=False)
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        keep = np.zeros(len(bid), dtype=bool)
+        for b, arr in sets.items():
+            m = bid == b
+            if m.any() and len(arr):
+                keep[m] = np.isin(bh[m], arr)
+        return t.filter(pa.array(keep))
+
+    return filt
+
+
+def _id_filter(ids_ref, col: str):
+    def filt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        import ray as _ray
+
+        if t.num_rows == 0 or col not in t.schema.names:
+            return t
+        return t.filter(pc.is_in(t[col], value_set=_ray.get(ids_ref)))
+
+    return filt
+
+
 def probe_minhash_index(
     index: MinHashIndex,
     new_ds: ray.data.Dataset,
     *,
     threshold: float = 0.7,
     num_partitions: int | None = None,
+    band_broadcast_limit: int = 8_000_000,
+    id_broadcast_limit: int = 5_000_000,
 ) -> ray.data.Dataset:
     """-> (new_doc, hist_doc, est_jaccard) rows: every shard document whose
     estimated Jaccard against some indexed document reaches ``threshold``.
+
+    Exchange discipline — the reason this beats re-running the pair kernel
+    over history ∪ shard: while the shard's band-row count stays below
+    ``band_broadcast_limit`` (16 B/row; a 500k-doc shard at 16 bands ≈
+    8M rows ≈ 64 MB — the normal streaming-ingest regime), the shard's
+    band KEYS broadcast once via ``ray.put`` and the history band table is
+    SEMI-FILTERED MAP-ONLY: history rows are scanned where they live and
+    never hash-partitioned. Likewise the history signature table is
+    semi-filtered to the candidate ids (``id_broadcast_limit``) before the
+    verify join. Every remaining join then runs over collision-bounded
+    datasets. Above the limits the probe falls back to full hash joins
+    (O(history + shard) exchange — correct, documented, and the signal to
+    shard the ingest smaller or pre-partition the saved index by
+    hash(band_hash)).
 
     Shard docs are NOT compared to each other — run
     ``minhash_candidate_pairs`` on the shard for that; composition =
     within-shard pairs ∪ this probe, exactly the split a streaming ingest
     wants (the history side never recomputes).
     """
+    import ray
+
     kern = index.kernel()
     nparts = num_partitions or max(
         2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2)
     )
 
-    new_bands = new_ds.map_batches(
-        kern, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(_rename({"doc_id": "new_doc"}), batch_format="pyarrow")
+    # shard text is shingled ONCE: signatures materialize (shard-sized — the
+    # streaming-ingest unit), bands derive from them map-only
+    new_sigs = new_ds.map_batches(
+        kern.signature_table, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    new_bands = new_sigs.map_batches(
+        kern.bands_from_sig_table, batch_format="pyarrow"
+    ).map_batches(
+        _rename({"doc_id": "new_doc"}), batch_format="pyarrow"
+    ).materialize()
+
     hist_bands = index.bands.map_batches(
         _rename({"doc_id": "hist_doc"}), batch_format="pyarrow"
     )
+    if new_bands.count() <= band_broadcast_limit:
+        nb = new_bands.to_pandas()
+        sets = {
+            int(b): np.unique(g["band_hash"].to_numpy())
+            for b, g in nb.groupby("band_id")
+        }
+        hist_bands = compact_nonempty(
+            hist_bands.map_batches(
+                _band_key_filter(ray.put(sets)), batch_format="pyarrow"
+            ),
+            pa.schema(
+                [("hist_doc", pa.int64()), ("band_id", pa.int64()),
+                 ("band_hash", pa.int64())]
+            ),
+        )
+        if hist_bands.count() == 0:
+            return ray.data.from_pandas(_EMPTY_PROBED.copy())
 
-    # ONE hash join on the composite LSH key — O(shard bands + index bands)
-    # exchange, exact (both key columns join natively).
+    # hash join on the composite LSH key — collision-bounded on the history
+    # side when the broadcast tier applied above.
     cand = native_join(
         new_bands,
         hist_bands,
@@ -214,16 +295,28 @@ def probe_minhash_index(
     ).drop_columns(["band_id"])
 
     # Verify: join both signature tables on, agreement >= threshold. The
-    # shard's signatures are recomputed map-only (cheap, shard-sized); the
+    # shard's signatures are reused from the materialized sketch above; the
     # history's come from the index — its text is never touched.
-    sig_n = new_ds.map_batches(
-        kern.signature_table, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(
+    sig_n = new_sigs.map_batches(
         _rename({"doc_id": "new_doc", "sig": "sig_n"}), batch_format="pyarrow"
     )
     sig_h = index.sigs.map_batches(
         _rename({"doc_id": "hist_doc", "sig": "sig_h"}), batch_format="pyarrow"
     )
+    pairs = pairs.materialize()
+    if pairs.count() <= id_broadcast_limit:
+        hist_ids = pa.array(
+            np.unique(pairs.to_pandas()["hist_doc"].to_numpy()), type=pa.int64()
+        )
+        sig_h = compact_nonempty(
+            sig_h.map_batches(
+                _id_filter(ray.put(hist_ids), "hist_doc"), batch_format="pyarrow"
+            ),
+            pa.schema(
+                [("hist_doc", pa.int64()),
+                 ("sig_h", pa.binary(kern.n_perm * 8))]
+            ),
+        )
     j = native_join(
         pairs, sig_n, left_on="new_doc", right_on="new_doc", num_partitions=nparts
     ).materialize()  # sequential joins: 2x aggregator actors can starve slots

@@ -166,6 +166,34 @@ class MinHashKernel:
             {"doc_id": pa.array(ids).cast(pa.int64()), "sig": sig_arr}
         )
 
+    def bands_from_sig_table(self, batch: pa.Table) -> pd.DataFrame:
+        """Band rows derived from an already-computed signature table —
+        bands are a pure function of the signature, so a pipeline needing
+        BOTH representations should shingle once (``signature_table``) and
+        derive the bands from it, instead of paying the tokenize+shingle
+        pass twice (it dominates the sketch cost)."""
+        if batch.num_rows == 0:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "band_id": pd.Series([], dtype="int64"),
+                 "band_hash": pd.Series([], dtype="int64")}
+            )
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        sigs = _sig_matrix(batch["sig"], self.n_perm)
+        n = len(ids)
+        r = self.rows_per_band
+        with np.errstate(over="ignore"):
+            bands = (
+                sigs.reshape(n, self.n_bands, r) * self.band_a[None, None, :]
+            ).sum(axis=2)
+        return pd.DataFrame(
+            {
+                "doc_id": np.repeat(ids, self.n_bands),
+                "band_id": np.tile(np.arange(self.n_bands), n),
+                "band_hash": bands.reshape(-1).view(np.int64),
+            }
+        )
+
 
 def _sig_matrix(col: pa.ChunkedArray | pa.Array, n_perm: int) -> np.ndarray:
     """fixed_size_binary signature column -> (n, n_perm) uint64 matrix."""

@@ -127,3 +127,36 @@ def test_empty_cases():
     # the stable contract.
     assert out.schema().names == ["new_doc", "hist_doc", "est_jaccard"]
     assert out.count() == 0
+
+
+def test_broadcast_and_join_tiers_identical():
+    """The broadcast semi-filter tier (default) and the full-join fallback
+    (limits forced to 0) emit the identical pair set."""
+    import ray.data
+
+    from knowledgegraphs_ray.dedup.incremental_minhash import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    hist = docs.map_batches(
+        lambda df: df[df["doc_id"] % 2 == 0], batch_format="pandas"
+    )
+    new = docs.map_batches(
+        lambda df: df[df["doc_id"] % 2 == 1], batch_format="pandas"
+    )
+    index = build_minhash_index(hist)
+    a = probe_minhash_index(index, new, threshold=0.6).to_pandas()
+    index2 = build_minhash_index(hist)
+    b = probe_minhash_index(
+        index2, new, threshold=0.6,
+        band_broadcast_limit=0, id_broadcast_limit=0,
+    ).to_pandas()
+    key = lambda df: sorted(
+        map(tuple, df[["new_doc", "hist_doc", "est_jaccard"]].values)
+    )
+    assert key(a) == key(b)
+    assert len(a) > 0  # the gate corpus has cross near-dups at 0.6
