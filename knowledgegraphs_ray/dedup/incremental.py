@@ -62,6 +62,7 @@ def novel_rows(
     broadcast_limit: int = 2_000_000,
     fp_rate: float = 1e-4,
     verify: bool = True,
+    verify_broadcast_limit: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Rows of ``new`` whose ``column`` value does not occur in ``seen``.
 
@@ -162,12 +163,52 @@ def novel_rows(
     sch = new.schema()
     if sch is None:  # schema-less (fully empty) shard: nothing to rescue
         return definite
+
     arrow_schema = sch.base_schema
     if not isinstance(arrow_schema, pa.Schema):  # pandas-block datasets
         arrow_schema = pa.Table.from_pandas(
             new.limit(1).to_pandas(), preserve_index=False
         ).schema
     cols = list(arrow_schema.names)
+
+    # Exchange discipline for the verify join: bucket_join hash-partitions
+    # BOTH sides, so an unfiltered right side would move the history's whole
+    # value set every ingest step. While the positive sliver is bounded,
+    # broadcast its 64-bit value hashes once and semi-filter the history
+    # MAP-ONLY first — a hash collision only admits a harmless extra row
+    # into the exact join (the join still compares full values). Above the
+    # limit, fall back to the full join (the signal to shard smaller).
+    positives = positives.materialize()
+    if positives.count() == 0:
+        return definite
+    if positives.count() <= verify_broadcast_limit:
+        import polars as pl
+
+        def _hash_only(b: pa.Table) -> pd.DataFrame:
+            h = pl.from_arrow(b[column].combine_chunks()).hash(seed=41)
+            return pd.DataFrame({"h": np.unique(h.to_numpy())})
+
+        pos_h = np.unique(
+            positives.map_batches(_hash_only, batch_format="pyarrow")
+            .to_pandas()["h"]
+            .to_numpy()
+        )
+        ph_ref = ray.put(pos_h)
+
+        def _seen_prefilter(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return df
+            h = pl.from_pandas(df[seen_column]).hash(seed=41).to_numpy()
+            return df[np.isin(h, ray.get(ph_ref))]
+
+        seen_vals = compact_nonempty(
+            seen_vals.map_batches(_seen_prefilter, batch_format="pandas"),
+            pa.schema(
+                [(seen_column,
+                  arrow_schema.field(column).type
+                  if column in arrow_schema.names else pa.string())]
+            ),
+        )
     # rename the right key so the merge keeps the sides' keys distinct
     right_key = seen_column + "_r" if seen_column == column else seen_column
     marked = seen_vals.map_batches(

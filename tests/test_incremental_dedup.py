@@ -73,3 +73,27 @@ def test_empty_history_and_empty_shard():
         NEW.filter(lambda r: False), SEEN, column="text", broadcast_limit=0
     ).to_pandas()
     assert len(out2) == 0
+
+
+def test_verify_prefilter_tiers_identical():
+    """The hash-prefiltered verify join (default) and the full-join
+    fallback (verify_broadcast_limit=0) keep the identical novel rows."""
+    import ray.data
+
+    from knowledgegraphs_ray.dedup.incremental import novel_rows
+
+    docs = ray.data.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    seen = docs.map_batches(
+        lambda df: df[df["doc_id"] % 2 == 1], batch_format="pandas"
+    )
+    new = docs.map_batches(
+        lambda df: df[df["doc_id"] % 2 == 0], batch_format="pandas"
+    )
+    a = novel_rows(new, seen, column="text", broadcast_limit=0).to_pandas()
+    b = novel_rows(
+        new, seen, column="text", broadcast_limit=0, verify_broadcast_limit=0
+    ).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert len(a) > 0
