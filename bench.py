@@ -100,6 +100,7 @@ def run_bench() -> dict:
     timed("resolve_best_score", catalog.q_resolve_best_score)
     timed("pca_projection", catalog.q_pca_projection)
     timed("cluster_balanced_sample", catalog.q_cluster_balanced_sample)
+    timed("corpus_overlap", catalog.q_corpus_overlap)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

@@ -40,6 +40,58 @@ def _perm_params(n_perm: int, seed: int = _SEED) -> tuple[np.ndarray, np.ndarray
     return a, b
 
 
+def shingle_stream(
+    batch: pa.Table, *, id_col: str, text_col: str, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """-> (ids, flat uint64 shingle-hash stream, per-doc segment lengths).
+
+    Token hash = the byte-level polynomial rolling hash
+    (``text.analysis.rolling_hashes``); k-shingle = the FNV-multiplier
+    Horner fold over token hashes — both SQL-expressible (the minhash /
+    overlap oracles reproduce them in DuckDB HUGEINT). Docs with fewer
+    than ``k`` tokens fall back to their raw token hashes."""
+    from knowledgegraphs_ray.text.analysis import rolling_hashes
+
+    df = pl.from_arrow(batch.select([id_col, text_col]))
+    toks = df.select(
+        pl.col(id_col),
+        pl.col(text_col)
+        .str.to_lowercase()
+        .str.extract_all("[a-z0-9_]+")
+        .alias("t"),
+    )
+    lens = toks["t"].list.len().to_numpy().astype(np.int64)
+    # drop_nulls: exploding an EMPTY list yields one null row, which would
+    # desynchronize the flat hash stream from the length offsets
+    flat_tok = toks.explode("t").drop_nulls("t")["t"].to_arrow()
+    if isinstance(flat_tok, pa.ChunkedArray):
+        flat_tok = flat_tok.combine_chunks()
+    # polars emits large_string (int64 offsets); rolling_hashes reads
+    # int32-offset utf8 buffers
+    h = rolling_hashes(flat_tok.cast(pa.string()))
+    ids = df[id_col].to_numpy()
+    n = len(ids)
+    # k-shingle combine: s[i] = h[i]*C^2 + h[i+1]*C + h[i+2] (uint64 wrap)
+    C = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        sh = np.zeros(max(len(h) - k + 1, 0), dtype=np.uint64)
+        for j in range(k):
+            sh = sh * C + h[j : len(h) - k + 1 + j]
+    # one flat shingle stream with per-doc offsets: docs with >= k tokens
+    # use their k-shingles; shorter docs fall back to raw tokens. Consumers
+    # then run ONE vectorized pass per batch — no per-doc Python work.
+    offsets = np.concatenate([[0], np.cumsum(lens)])
+    segs: list[np.ndarray] = []
+    seg_lens = np.empty(n, dtype=np.int64)
+    for d in range(n):  # cheap slicing loop; heavy math is in the consumers
+        s0, s1 = offsets[d], offsets[d + 1]
+        seg = sh[s0 : s1 - k + 1] if s1 - s0 >= k else h[s0:s1]
+        segs.append(seg)
+        seg_lens[d] = len(seg)
+    flat = np.concatenate(segs) if segs else np.empty(0, np.uint64)
+    return ids, flat, seg_lens
+
+
 class MinHashKernel:
     """Arrow batch (id, text) -> (doc_id, band_id, band_hash) rows."""
 
@@ -69,47 +121,10 @@ class MinHashKernel:
         hash: the identical fold is expressible in DuckDB (HUGEINT Horner,
         see ``doc_fingerprints``), which makes the WHOLE minhash pipeline
         SQL-oracle-checkable (``minhash_oracle_sql``)."""
-        from knowledgegraphs_ray.text.analysis import rolling_hashes
-
-        df = pl.from_arrow(batch.select([self.id_col, self.text_col]))
-        toks = df.select(
-            pl.col(self.id_col),
-            pl.col(self.text_col)
-            .str.to_lowercase()
-            .str.extract_all("[a-z0-9_]+")
-            .alias("t"),
+        ids, flat, seg_lens = shingle_stream(
+            batch, id_col=self.id_col, text_col=self.text_col, k=self.k
         )
-        lens = toks["t"].list.len().to_numpy().astype(np.int64)
-        # drop_nulls: exploding an EMPTY list yields one null row, which would
-        # desynchronize the flat hash stream from the length offsets
-        flat_tok = toks.explode("t").drop_nulls("t")["t"].to_arrow()
-        if isinstance(flat_tok, pa.ChunkedArray):
-            flat_tok = flat_tok.combine_chunks()
-        # polars emits large_string (int64 offsets); rolling_hashes reads
-        # int32-offset utf8 buffers
-        h = rolling_hashes(flat_tok.cast(pa.string()))
-        ids = df[self.id_col].to_numpy()
         n = len(ids)
-        # k-shingle combine: s[i] = h[i]*C^2 + h[i+1]*C + h[i+2] (uint64 wrap)
-        k = self.k
-        C = np.uint64(1099511628211)
-        with np.errstate(over="ignore"):
-            sh = np.zeros(max(len(h) - k + 1, 0), dtype=np.uint64)
-            for j in range(k):
-                sh = sh * C + h[j : len(h) - k + 1 + j]
-        # build one flat shingle stream with per-doc offsets: docs with >= k
-        # tokens use their k-shingles; shorter docs fall back to raw tokens.
-        # Then ONE (S_total, P) multiply-add + minimum.reduceat per batch —
-        # no per-doc Python work.
-        offsets = np.concatenate([[0], np.cumsum(lens)])
-        segs: list[np.ndarray] = []
-        seg_lens = np.empty(n, dtype=np.int64)
-        for d in range(n):  # cheap slicing loop; heavy math is below
-            s0, s1 = offsets[d], offsets[d + 1]
-            seg = sh[s0 : s1 - k + 1] if s1 - s0 >= k else h[s0:s1]
-            segs.append(seg)
-            seg_lens[d] = len(seg)
-        flat = np.concatenate(segs) if segs else np.empty(0, np.uint64)
         sigs = np.full((n, self.n_perm), _MERSENNE, dtype=np.uint64)
         nonempty = seg_lens > 0
         if len(flat) and nonempty.any():
@@ -536,6 +551,31 @@ def _verify_by_join(
     return j.map_batches(verify, batch_format="pyarrow")
 
 
+def tok_sh_cte(*, table: str, id_col: str, text_col: str) -> str:
+    """The tok/sh CTE pair — DuckDB HUGEINT twins of
+    ``text.analysis.rolling_hashes`` (per-token byte Horner fold) and the
+    ``shingle_stream`` 3-shingle combine, incl. the short-doc raw-token
+    fallback. Shared by the minhash oracles and ``text/overlap.py``."""
+    M = "18446744073709551616::HUGEINT"  # 2^64
+    C = "1099511628211::HUGEINT"
+    return f"""tok AS (
+  SELECT {id_col} AS doc_id, list_transform(
+    regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9_]+'),
+    t -> list_reduce(list_concat([0::HUGEINT],
+           list_transform(regexp_extract_all(t, '.', 0, 's'),
+                          c -> unicode(c)::HUGEINT)),
+         (acc, x) -> (acc * {C} + x) % {M})
+  ) AS th
+  FROM {table}
+), sh AS (
+  SELECT doc_id, CASE WHEN len(th) >= 3 THEN
+    list_transform(range(1, len(th) - 1), i ->
+      ((((th[i] * {C}) % {M} + th[i+1]) * {C}) % {M} + th[i+2]) % {M})
+  ELSE th END AS s
+  FROM tok
+)"""
+
+
 def _oracle_cte_prefix(
     *,
     table: str,
@@ -567,22 +607,7 @@ def _oracle_cte_prefix(
         f"(sig[band_id*{r}+{j + 1}] * {int(band_a[j])}::HUGEINT) % {M}"
         for j in range(r)
     )
-    return f"""tok AS (
-  SELECT {id_col} AS doc_id, list_transform(
-    regexp_extract_all(lower(coalesce({text_col}, '')), '[a-z0-9_]+'),
-    t -> list_reduce(list_concat([0::HUGEINT],
-           list_transform(regexp_extract_all(t, '.', 0, 's'),
-                          c -> unicode(c)::HUGEINT)),
-         (acc, x) -> (acc * {C} + x) % {M})
-  ) AS th
-  FROM {table}
-), sh AS (
-  SELECT doc_id, CASE WHEN len(th) >= 3 THEN
-    list_transform(range(1, len(th) - 1), i ->
-      ((((th[i] * {C}) % {M} + th[i+1]) * {C}) % {M} + th[i+2]) % {M})
-  ELSE th END AS s
-  FROM tok
-), sigs AS (
+    return f"""{tok_sh_cte(table=table, id_col=id_col, text_col=text_col)}, sigs AS (
   SELECT doc_id, [{sig_exprs}] AS sig FROM sh
 ), bands AS (
   SELECT doc_id, band_id,

@@ -519,6 +519,23 @@ def q_dedup_resolved_corpus(sf_dir: str):
     return resolve_duplicates(corpus, comp, keep="longest")
 
 
+def q_corpus_overlap(sf_dir: str):
+    """Corpus-level n-gram contamination measurement: Jaccard of the
+    shingle sets of two document slices (A = doc_id % 3 == 0, B = rest).
+    Exact tier — only per-block-unique 16 B (gram, side) rows move; the
+    HLL sketch tier is the 100-TB path (tests pin its error)."""
+    from knowledgegraphs_ray.text.overlap import corpus_ngram_overlap
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    a = docs.map_batches(
+        lambda df: df[df["doc_id"] % 3 == 0], batch_format="pandas"
+    )
+    b = docs.map_batches(
+        lambda df: df[df["doc_id"] % 3 != 0], batch_format="pandas"
+    )
+    return corpus_ngram_overlap(a, b)
+
+
 def q_pca_projection(sf_dir: str):
     """PCA dimensionality reduction: project every embedding onto the 8
     frozen principal components (trained distributed, integer-invariant).
@@ -1142,6 +1159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resolve_best_score": q_resolve_best_score,
         "pca_projection": q_pca_projection,
         "cluster_balanced_sample": q_cluster_balanced_sample,
+        "corpus_overlap": q_corpus_overlap,
         "quality_classifier": q_quality_classifier,
         "corpus_shuffle": q_corpus_shuffle,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1405,6 +1423,10 @@ def oracle_sql() -> dict[str, str]:
             "knowledgegraphs_ray.sim.clusters",
             fromlist=["cluster_balanced_sample_oracle_sql"],
         ).cluster_balanced_sample_oracle_sql(k_per_cluster=10),
+        "corpus_overlap": __import__(
+            "knowledgegraphs_ray.text.overlap",
+            fromlist=["corpus_ngram_overlap_oracle_sql"],
+        ).corpus_ngram_overlap_oracle_sql(side_a_pred="doc_id % 3 = 0"),
         "resolve_best_score": __import__(
             "knowledgegraphs_ray.dedup.resolve", fromlist=["resolve_oracle_sql"]
         ).resolve_oracle_sql(

@@ -125,3 +125,42 @@ def test_histogram_quantiles_matches_quantile_disc():
     for q, v in zip(mine.q, mine.value):
         gold = con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
         assert v == gold, (q, v, gold)
+
+
+def test_corpus_ngram_overlap_tiers():
+    """Exact tier: planted overlap is measured exactly and is
+    parallelism-invariant; HLL tier estimates within sketch error."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from knowledgegraphs_ray.text.overlap import corpus_ngram_overlap
+
+    # side A: docs 0..49; side B: 30 docs copied from A (overlap) + 20 new
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(300)]
+    def doc(r):
+        return " ".join(rng.choice(vocab, size=30))
+    a_texts = [doc(rng) for _ in range(50)]
+    b_texts = a_texts[:30] + [doc(rng) for _ in range(20)]
+    a = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(50), "text": a_texts})
+    ).repartition(4)
+    b = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": range(100, 150), "text": b_texts})
+    ).repartition(3)
+
+    res = corpus_ngram_overlap(a, b).to_pandas().iloc[0]
+    assert res["n_union"] == res["n_a"] + res["n_b"] - res["n_intersect"]
+    # the 30 copied docs guarantee a large planted intersection
+    assert res["n_intersect"] > 0.4 * res["n_a"]
+    assert res["jaccard_micro"] == res["n_intersect"] * 1_000_000 // res["n_union"]
+
+    # parallelism invariance
+    res2 = corpus_ngram_overlap(a.repartition(9), b.repartition(1)).to_pandas().iloc[0]
+    assert tuple(res) == tuple(res2)
+
+    # HLL tier within ~3x the p=14 sketch error (1.04/sqrt(2^14) ~ 0.8%)
+    est = corpus_ngram_overlap(a, b, exact=False, hll_p=14).to_pandas().iloc[0]
+    for col in ("n_a", "n_b", "n_union"):
+        assert abs(est[col] - res[col]) / res[col] < 0.03
