@@ -1195,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "minhash_dedup_pairs": q_minhash_dedup_pairs,
         "minhash_components": q_minhash_components,
+        "dedup_resolved_corpus": q_dedup_resolved_corpus,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "link_scored_documents": q_link_scored_documents,
         "canonical_mentions": q_canonical_mentions,
@@ -1227,7 +1228,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize_incremental": q_events_sessionize_incremental,
         "purchase_sessions": q_purchase_sessions,
         "json_triples_events": q_json_triples_events,
-        "dedup_resolved_corpus": q_dedup_resolved_corpus,
         "embedding_pairs_exact": q_embedding_pairs_exact,
     }
 
