@@ -101,6 +101,8 @@ def run_bench() -> dict:
     timed("pca_projection", catalog.q_pca_projection)
     timed("cluster_balanced_sample", catalog.q_cluster_balanced_sample)
     timed("corpus_overlap", catalog.q_corpus_overlap)
+    timed("corpus_splits", catalog.q_corpus_splits)
+    timed("score_percentiles", catalog.q_score_percentiles)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

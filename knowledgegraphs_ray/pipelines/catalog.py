@@ -519,6 +519,27 @@ def q_dedup_resolved_corpus(sf_dir: str):
     return resolve_duplicates(corpus, comp, keep="longest")
 
 
+def q_score_percentiles(sf_dir: str):
+    """Per-group percentile normalization: each document's token count
+    rescaled to its within-language percentile (integer micro units) — the
+    calibration step before a cross-lingual 'keep the top X% per language'
+    filter. Count partials + one slim sort + map-only division."""
+    from knowledgegraphs_ray.util.topk import percentile_per_group
+
+    docs = _docs_with_tokens(sf_dir, ["doc_id", "lang", "text"])
+    return percentile_per_group(
+        docs, key_cols=["lang"], score_col="n_tokens", id_col="doc_id"
+    )
+
+
+def q_corpus_splits(sf_dir: str):
+    """Deterministic train/val/test assignment (hash-range buckets): pure
+    function of (seed, id), map-only, stable under re-runs and new data."""
+    from knowledgegraphs_ray.pipelines.training_data import assign_splits
+
+    return assign_splits(_docs(sf_dir, ["doc_id"]), seed=17)
+
+
 def q_corpus_overlap(sf_dir: str):
     """Corpus-level n-gram contamination measurement: Jaccard of the
     shingle sets of two document slices (A = doc_id % 3 == 0, B = rest).
@@ -1160,6 +1181,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_projection": q_pca_projection,
         "cluster_balanced_sample": q_cluster_balanced_sample,
         "corpus_overlap": q_corpus_overlap,
+        "corpus_splits": q_corpus_splits,
+        "score_percentiles": q_score_percentiles,
         "quality_classifier": q_quality_classifier,
         "corpus_shuffle": q_corpus_shuffle,
         "paragraph_dedup": q_paragraph_dedup,
@@ -1177,6 +1200,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": q_top_docs_per_lang,
         "customers_without_orders": q_customers_without_orders,
         # --- previously green, code changed this round ---
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "minhash_components": q_minhash_components,
+        "dedup_resolved_corpus": q_dedup_resolved_corpus,
         "decontaminated_docs": q_decontaminated_docs,
         "simhash_pairs": q_simhash_pairs,
         "embedding_near_dups": q_embedding_near_dups,
@@ -1193,9 +1219,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "candidate_keys_customer": q_candidate_keys_customer,
         "discovered_fks": q_discovered_fks,
         "dedup_exact_documents": q_dedup_exact_documents,
-        "minhash_dedup_pairs": q_minhash_dedup_pairs,
-        "minhash_components": q_minhash_components,
-        "dedup_resolved_corpus": q_dedup_resolved_corpus,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "link_scored_documents": q_link_scored_documents,
         "canonical_mentions": q_canonical_mentions,
@@ -1427,6 +1450,25 @@ def oracle_sql() -> dict[str, str]:
             "knowledgegraphs_ray.text.overlap",
             fromlist=["corpus_ngram_overlap_oracle_sql"],
         ).corpus_ngram_overlap_oracle_sql(side_a_pred="doc_id % 3 = 0"),
+        "corpus_splits": __import__(
+            "knowledgegraphs_ray.pipelines.training_data",
+            fromlist=["assign_splits_oracle_sql"],
+        ).assign_splits_oracle_sql(seed=17),
+        "score_percentiles": __import__(
+            "knowledgegraphs_ray.util.topk",
+            fromlist=["percentile_per_group_oracle_sql"],
+        ).percentile_per_group_oracle_sql(
+            table=(
+                "(SELECT doc_id, lang, CAST(len(regexp_extract_all(text, '"
+                + _TOKEN_RE_SQL
+                + "')) AS BIGINT) AS n_tokens FROM documents "
+                "WHERE text IS NOT NULL)"
+            ),
+            key_cols=["lang"],
+            score_col="n_tokens",
+            id_col="doc_id",
+            out_cols="doc_id, lang, n_tokens",
+        ),
         "resolve_best_score": __import__(
             "knowledgegraphs_ray.dedup.resolve", fromlist=["resolve_oracle_sql"]
         ).resolve_oracle_sql(

@@ -720,3 +720,65 @@ SELECT {out_cols} FROM {table} d JOIN thr ON thr.stratum = d.{stratum_col}
 WHERE CAST(('0x' || substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 16))::UBIGINT AS HUGEINT)
       < thr.t
 """
+
+
+def assign_splits(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment — the split every training
+    corpus needs, as a pure function of (seed, id) so it is reproducible at
+    any parallelism, stable under re-runs, and new rows never reshuffle old
+    assignments. A row's bucket is the first split whose CUMULATIVE integer
+    threshold (floor(cum_fraction * 2^64)) exceeds hash_u64(seed:id).
+    Map-only; the SQL twin is a CASE over the same integer thresholds.
+
+    ``splits`` insertion order defines the bucket order (default
+    train 0.9 / val 0.05 / test 0.05); fractions must sum to <= 1, any
+    remainder falls into the LAST bucket (so defaults cover every row).
+    """
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(splits)
+    cum, bounds = 0.0, []
+    for name in names:
+        cum += splits[name]
+        bounds.append(_u64_threshold(cum))
+    bounds[-1] = 1 << 64  # remainder -> last bucket
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(split=pd.Series([], dtype="object"))
+        h = _md5_u64(f"{seed}:{i}" for i in df[id_col].astype(str))
+        lab = np.full(len(df), names[-1], dtype=object)
+        done = np.zeros(len(df), dtype=bool)
+        for name, t in zip(names, bounds):
+            hit = ~done if t >= (1 << 64) else ~done & (h < np.uint64(t))
+            lab[hit] = name
+            done |= hit
+        return df.assign(split=lab)
+
+    return ds.map_batches(label, batch_format="pandas")
+
+
+def assign_splits_oracle_sql(
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    seed: int = 17,
+    out_cols: str = "doc_id",
+) -> str:
+    """DuckDB twin: the same md5 hash against the same cumulative integer
+    thresholds (HUGEINT compare — exact)."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    names = list(splits)
+    cum, whens = 0.0, []
+    h = f"CAST(('0x' || substr(md5('{seed}:' || CAST({id_col} AS VARCHAR)), 1, 16))::UBIGINT AS HUGEINT)"
+    for name in names[:-1]:
+        cum += splits[name]
+        whens.append(f"WHEN {h} < CAST({_u64_threshold(cum)} AS HUGEINT) THEN '{name}'")
+    case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
+    return f"SELECT {out_cols}, {case} AS split FROM {table}"

@@ -106,3 +106,96 @@ WITH s AS (
 SELECT {keys}, {id_col}, score, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank < {int(k)}
 """
+
+
+def percentile_per_group(
+    ds: ray.data.Dataset,
+    *,
+    key_cols: list[str],
+    score_col: str,
+    id_col: str,
+    pct_col: str = "pct_micro",
+) -> ray.data.Dataset:
+    """Per-group percentile normalization — calibrate a raw score across
+    groups (quality scores across languages, lengths across sources) so a
+    downstream "keep the top X% of every group" filter is one integer
+    compare. Adds ``pct_col`` = (position * 1e6) // (group_size - 1) where
+    position is the 0-based rank under ``ORDER BY score, id`` (row_number
+    semantics: ties break on id — deterministic, and the SQL twin uses the
+    identical window, so parity is structural integer arithmetic).
+    Single-member groups get 0.
+
+    Shape: group sizes via per-block count partials (vocabulary-sized
+    broadcast), one range-partitioned sort of the rows + the segrank block
+    scan, then a map-only integer division. No map_groups anywhere.
+    """
+    import numpy as np
+    import ray
+
+    from knowledgegraphs_ray.util.fastagg import merge_partials
+    from knowledgegraphs_ray.util.segrank import sorted_segment_rank
+
+    def count_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(key_cols, sort=False).size().reset_index(name="n")
+        return g
+
+    sizes = merge_partials(
+        ds.map_batches(count_part, batch_format="pandas"),
+        keys=key_cols,
+        agg={"n": "sum"},
+    ).to_pandas()
+    size_map = {
+        tuple(row[k] for k in key_cols): int(row["n"])
+        for _, row in sizes.iterrows()
+    }
+    sref = ray.put(size_map)
+
+    ranked = sorted_segment_rank(
+        ds, key_cols=key_cols, order_cols=[score_col, id_col],
+        rank_col="__pos", dtype="int64",
+    )
+
+    def pct(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(**{pct_col: pd.Series([], dtype="int64")}).drop(
+                columns=["__pos"]
+            )
+        sizes = ray.get(sref)
+        n = np.fromiter(
+            (sizes[t] for t in zip(*(df[k] for k in key_cols))),
+            dtype=np.int64,
+            count=len(df),
+        )
+        pos = df["__pos"].to_numpy()
+        out = np.zeros(len(df), dtype=np.int64)
+        multi = n > 1
+        out[multi] = (pos[multi] * 1_000_000) // (n[multi] - 1)
+        return df.assign(**{pct_col: out}).drop(columns=["__pos"])
+
+    return ranked.map_batches(pct, batch_format="pandas")
+
+
+def percentile_per_group_oracle_sql(
+    *,
+    table: str,
+    key_cols: list[str],
+    score_col: str,
+    id_col: str,
+    out_cols: str,
+    pct_col: str = "pct_micro",
+    where: str = "TRUE",
+) -> str:
+    """DuckDB twin: the identical row_number window + integer division."""
+    keys = ", ".join(key_cols)
+    return f"""
+WITH r AS (
+  SELECT *, row_number() OVER (PARTITION BY {keys}
+              ORDER BY {score_col}, {id_col}) - 1 AS pos,
+         count(*) OVER (PARTITION BY {keys}) AS n
+  FROM {table} WHERE {where}
+)
+SELECT {out_cols},
+       CAST(CASE WHEN n > 1 THEN (pos * 1000000) // (n - 1) ELSE 0 END
+            AS BIGINT) AS {pct_col}
+FROM r
+"""

@@ -388,3 +388,85 @@ def test_temperature_sample_properties():
     # total_k/3 of its size ratio — rare stratum saturates (rate capped at 1)
     flat = temperature_sample(ds, tau=0.0, total_k=120).to_pandas()
     assert (flat["lang"] == "sw").sum() == 40  # 120/3 = 40 >= n_sw -> keep all
+
+
+def test_assign_splits_properties():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from knowledgegraphs_ray.pipelines.training_data import (
+        assign_splits,
+        assign_splits_oracle_sql,
+    )
+
+    df = pd.DataFrame({"doc_id": np.arange(20000)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = assign_splits(ds, seed=17).to_pandas()
+    # every row labeled, fractions roughly honored
+    assert len(out) == 20000 and out["split"].notna().all()
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.9) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
+    assert abs(frac["test"] - 0.05) < 0.01
+    # parallelism-invariant
+    out2 = assign_splits(ds.repartition(13), seed=17).to_pandas()
+    a = out.sort_values("doc_id")["split"].to_numpy()
+    b = out2.sort_values("doc_id")["split"].to_numpy()
+    assert (a == b).all()
+    # exact DuckDB twin
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = con.execute(assign_splits_oracle_sql(seed=17)).df()
+    m = out.merge(want, on="doc_id", suffixes=("", "_o"))
+    assert (m["split"] == m["split_o"]).all()
+    # custom buckets with remainder -> last
+    out3 = assign_splits(ds, splits={"a": 0.5, "b": 0.25}, seed=3).to_pandas()
+    f3 = out3["split"].value_counts(normalize=True)
+    assert abs(f3["a"] - 0.5) < 0.02 and abs(f3["b"] - 0.5) < 0.02
+
+
+def test_percentile_per_group():
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from knowledgegraphs_ray.util.topk import percentile_per_group
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(9),
+            "lang": ["en"] * 5 + ["de"] * 3 + ["sw"],
+            "score": [10, 30, 20, 30, 5, 7, 7, 1, 99],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(3)
+    out = (
+        percentile_per_group(
+            ds, key_cols=["lang"], score_col="score", id_col="doc_id"
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # en group (n=5): order by (score, id): 4(5),0(10),2(20),1(30),3(30)
+    en = out[out["lang"] == "en"].set_index("doc_id")["pct_micro"]
+    assert en[4] == 0 and en[0] == 250000 and en[2] == 500000
+    assert en[1] == 750000 and en[3] == 1000000  # tie broke on id
+    # de group (n=3): 7(1),5(7),6(7)
+    de = out[out["lang"] == "de"].set_index("doc_id")["pct_micro"]
+    assert de[7] == 0 and de[5] == 500000 and de[6] == 1000000
+    # singleton group -> 0
+    assert out[out["lang"] == "sw"]["pct_micro"].iloc[0] == 0
+    # parallelism invariance
+    out2 = (
+        percentile_per_group(
+            ds.repartition(7), key_cols=["lang"], score_col="score",
+            id_col="doc_id",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (out["pct_micro"].to_numpy() == out2["pct_micro"].to_numpy()).all()
