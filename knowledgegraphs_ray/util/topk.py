@@ -144,11 +144,7 @@ def percentile_per_group(
         keys=key_cols,
         agg={"n": "sum"},
     ).to_pandas()
-    size_map = {
-        tuple(row[k] for k in key_cols): int(row["n"])
-        for _, row in sizes.iterrows()
-    }
-    sref = ray.put(size_map)
+    sref = ray.put(sizes)
 
     ranked = sorted_segment_rank(
         ds, key_cols=key_cols, order_cols=[score_col, id_col],
@@ -160,11 +156,13 @@ def percentile_per_group(
             return df.assign(**{pct_col: pd.Series([], dtype="int64")}).drop(
                 columns=["__pos"]
             )
-        sizes = ray.get(sref)
-        n = np.fromiter(
-            (sizes[t] for t in zip(*(df[k] for k in key_cols))),
-            dtype=np.int64,
-            count=len(df),
+        # vectorized size lookup: merge against the broadcast group-size
+        # table (group count is vocabulary-sized)
+        n = (
+            df[key_cols]
+            .merge(ray.get(sref), on=key_cols, how="left")["n"]
+            .to_numpy()
+            .astype(np.int64)
         )
         pos = df["__pos"].to_numpy()
         out = np.zeros(len(df), dtype=np.int64)
