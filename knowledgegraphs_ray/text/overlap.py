@@ -135,17 +135,20 @@ def corpus_ngram_overlap(
 
     from knowledgegraphs_ray.util.fastagg import merge_partials
 
-    distinct = merge_partials(
-        rows_a.union(rows_b),
-        keys=["g", "m"],
-        agg={"c": "max"},
-        driver_limit=driver_limit,
-    ).materialize()
-    if distinct.count() > driver_limit:
+    rows = rows_a.union(rows_b).materialize()
+    n_partial = rows.count()
+    if n_partial > driver_limit:
+        # the distributed-aggregate fallback inside merge_partials pays
+        # sort-shuffle constants per distinct key — at tens of millions of
+        # grams that is the wrong tool; fail fast toward the sketch tier
         raise ValueError(
-            "distinct (gram, side) pairs exceed driver_limit — use the "
-            "HLL sketch tier (exact=False)"
+            f"{n_partial} (gram, side) partial rows exceed driver_limit="
+            f"{driver_limit} — use the HLL sketch tier (exact=False), or "
+            "raise driver_limit if a multi-GB driver merge is acceptable"
         )
+    distinct = merge_partials(
+        rows, keys=["g", "m"], agg={"c": "max"}, driver_limit=n_partial + 1
+    ).materialize()
     import polars as pl
 
     pdf = pl.from_pandas(distinct.to_pandas())
