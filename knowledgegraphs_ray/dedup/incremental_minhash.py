@@ -245,11 +245,23 @@ def probe_minhash_index(
     new_sigs = new_ds.map_batches(
         kern.signature_table, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    new_bands = new_sigs.map_batches(
-        kern.bands_from_sig_table, batch_format="pyarrow"
-    ).map_batches(
-        _rename({"doc_id": "new_doc"}), batch_format="pyarrow"
-    ).materialize()
+    BAND_N = pa.schema(
+        [("new_doc", pa.int64()), ("band_id", pa.int64()),
+         ("band_hash", pa.int64())]
+    )
+    BAND_H = pa.schema(
+        [("hist_doc", pa.int64()), ("band_id", pa.int64()),
+         ("band_hash", pa.int64())]
+    )
+    # every native_join input goes through compact_nonempty: upstream
+    # filters (doc-id splits, the semi-filters below) leave 0-row blocks,
+    # and Ray 2.49's hash-shuffle join raises ArrowInvalid on them
+    new_bands = compact_nonempty(
+        new_sigs.map_batches(
+            kern.bands_from_sig_table, batch_format="pyarrow"
+        ).map_batches(_rename({"doc_id": "new_doc"}), batch_format="pyarrow"),
+        BAND_N,
+    )
 
     hist_bands = index.bands.map_batches(
         _rename({"doc_id": "hist_doc"}), batch_format="pyarrow"
@@ -260,17 +272,12 @@ def probe_minhash_index(
             int(b): np.unique(g["band_hash"].to_numpy())
             for b, g in nb.groupby("band_id")
         }
-        hist_bands = compact_nonempty(
-            hist_bands.map_batches(
-                _band_key_filter(ray.put(sets)), batch_format="pyarrow"
-            ),
-            pa.schema(
-                [("hist_doc", pa.int64()), ("band_id", pa.int64()),
-                 ("band_hash", pa.int64())]
-            ),
+        hist_bands = hist_bands.map_batches(
+            _band_key_filter(ray.put(sets)), batch_format="pyarrow"
         )
-        if hist_bands.count() == 0:
-            return ray.data.from_pandas(_EMPTY_PROBED.copy())
+    hist_bands = compact_nonempty(hist_bands, BAND_H)
+    if hist_bands.count() == 0 or new_bands.count() == 0:
+        return ray.data.from_pandas(_EMPTY_PROBED.copy())
 
     # hash join on the composite LSH key — collision-bounded on the history
     # side when the broadcast tier applied above.
@@ -297,29 +304,42 @@ def probe_minhash_index(
     # Verify: join both signature tables on, agreement >= threshold. The
     # shard's signatures are reused from the materialized sketch above; the
     # history's come from the index — its text is never touched.
-    sig_n = new_sigs.map_batches(
-        _rename({"doc_id": "new_doc", "sig": "sig_n"}), batch_format="pyarrow"
+    SIG_N = pa.schema(
+        [("new_doc", pa.int64()), ("sig_n", pa.binary(kern.n_perm * 8))]
+    )
+    SIG_H = pa.schema(
+        [("hist_doc", pa.int64()), ("sig_h", pa.binary(kern.n_perm * 8))]
+    )
+    sig_n = compact_nonempty(
+        new_sigs.map_batches(
+            _rename({"doc_id": "new_doc", "sig": "sig_n"}), batch_format="pyarrow"
+        ),
+        SIG_N,
     )
     sig_h = index.sigs.map_batches(
         _rename({"doc_id": "hist_doc", "sig": "sig_h"}), batch_format="pyarrow"
     )
-    pairs = pairs.materialize()
+    pairs = compact_nonempty(
+        pairs, pa.schema([("new_doc", pa.int64()), ("hist_doc", pa.int64())])
+    )
     if pairs.count() <= id_broadcast_limit:
         hist_ids = pa.array(
             np.unique(pairs.to_pandas()["hist_doc"].to_numpy()), type=pa.int64()
         )
-        sig_h = compact_nonempty(
-            sig_h.map_batches(
-                _id_filter(ray.put(hist_ids), "hist_doc"), batch_format="pyarrow"
-            ),
-            pa.schema(
-                [("hist_doc", pa.int64()),
-                 ("sig_h", pa.binary(kern.n_perm * 8))]
-            ),
+        sig_h = sig_h.map_batches(
+            _id_filter(ray.put(hist_ids), "hist_doc"), batch_format="pyarrow"
         )
+    sig_h = compact_nonempty(sig_h, SIG_H)
     j = native_join(
         pairs, sig_n, left_on="new_doc", right_on="new_doc", num_partitions=nparts
-    ).materialize()  # sequential joins: 2x aggregator actors can starve slots
+    )
+    j = compact_nonempty(  # sequential joins: 2x aggregator actors can starve
+        j,                 # slots, and the second join needs nonempty inputs
+        pa.schema(
+            [("new_doc", pa.int64()), ("hist_doc", pa.int64()),
+             ("sig_n", pa.binary(kern.n_perm * 8))]
+        ),
+    )
     j = native_join(
         j, sig_h, left_on="hist_doc", right_on="hist_doc", num_partitions=nparts
     )
