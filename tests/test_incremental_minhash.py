@@ -160,3 +160,63 @@ def test_broadcast_and_join_tiers_identical():
     )
     assert key(a) == key(b)
     assert len(a) > 0  # the gate corpus has cross near-dups at 0.6
+
+
+def test_ingest_job_semantics(tmp_path):
+    """jobs/ingest_job.ingest_shard: accepted shards contain no exact
+    cross-shard duplicates and no near-duplicates of earlier shards; the
+    persisted index grows with each shard."""
+    import sys
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.ingest_job import ingest_shard
+
+    from knowledgegraphs_ray.dedup.incremental_minhash import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+
+    rng = np.random.default_rng(4)
+    vocab = [f"w{i}" for i in range(400)]
+    base = [" ".join(rng.choice(vocab, size=40)) for _ in range(30)]
+    # shard 0: 30 originals; shard 1: 10 exact copies + 5 near-copies
+    # (one token changed) + 10 fresh
+    near = [t.replace(t.split()[0], "zzz", 1) for t in base[10:15]]
+    fresh = [" ".join(rng.choice(vocab, size=40)) for _ in range(10)]
+    s0 = pd.DataFrame({"doc_id": range(30), "text": base})
+    s1 = pd.DataFrame(
+        {"doc_id": range(100, 125), "text": base[:10] + near + fresh}
+    )
+    root = str(tmp_path / "ingest")
+
+    c0 = ingest_shard(
+        ray.data.from_pandas(s0).repartition(3), root, 0,
+        threshold=0.7, have_history=False,
+    )
+    assert c0["accepted"] == 30
+    c1 = ingest_shard(
+        ray.data.from_pandas(s1).repartition(2), root, 1,
+        threshold=0.7, have_history=True,
+    )
+    # the 10 exact copies die in the exact gate, the 5 near-copies in the
+    # fuzzy gate, the 10 fresh docs land
+    assert c1["exact_dropped"] == 10
+    assert c1["neardup_dropped"] == 5
+    assert c1["accepted"] == 10
+
+    # accepted corpus itself contains no cross near-dups at the threshold
+    acc = ray.data.read_parquet(f"{root}/accepted")
+    assert acc.count() == 40
+    idx = build_minhash_index(
+        ray.data.from_pandas(s0), n_perm=128, n_bands=16
+    )
+    hits = probe_minhash_index(
+        idx,
+        ray.data.read_parquet(f"{root}/accepted/shard=1"),
+        threshold=0.7,
+    )
+    assert hits.count() == 0
