@@ -103,6 +103,13 @@ def bucket_join(
     join; only the bucket sizes change. Leave ``None`` to salt manually
     upstream via ``canon.skew``.
 
+    CHAINING CAVEAT: the union-concat NaN-pads each side's missing columns,
+    so integer NON-KEY columns come out float64. Joining that output AGAIN
+    on one of those upcast columns silently matches nothing (float64 and
+    int64 key arrays bucket-hash differently). For chained joins on carried
+    keys use ``native_join`` (Arrow, type-preserving) — see
+    graph/triangles.py:_orient_join for the pattern.
+
     ``right_cols``: the right side's column names. Without it the merge
     infers each side's columns per bucket by dropping all-null union
     columns — a heuristic that cannot tell a sparse-match left-join

@@ -36,6 +36,18 @@ def merge_partials(
     if parts.count() <= driver_limit:
         pdf = parts.to_pandas()
         if pdf.empty:
+            # an object-dtype empty pandas frame loses its columns through
+            # the Arrow roundtrip — emit a typed empty table when the
+            # partials carry a usable Arrow schema
+            sch = parts.schema()
+            base = getattr(sch, "base_schema", None) if sch else None
+            import pyarrow as pa
+
+            if isinstance(base, pa.Schema) and all(
+                n in base.names for n in keys + cols
+            ):
+                fields = [base.field(n) for n in keys + cols]
+                return ray.data.from_arrow(pa.schema(fields).empty_table())
             return ray.data.from_pandas(pd.DataFrame(columns=keys + cols))
         ops = {
             "sum": lambda c: pl.col(c).sum(),
