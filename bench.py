@@ -103,6 +103,7 @@ def run_bench() -> dict:
     timed("corpus_overlap", catalog.q_corpus_overlap)
     timed("corpus_splits", catalog.q_corpus_splits)
     timed("score_percentiles", catalog.q_score_percentiles)
+    timed("copurchase_triangles", catalog.q_copurchase_triangles)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

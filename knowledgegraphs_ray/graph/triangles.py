@@ -159,23 +159,6 @@ def _degrees(canon: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def _orient_broadcast(canon: ray.data.Dataset, deg_ref) -> ray.data.Dataset:
-    """Map-only orientation: the node->deg Series ships once via ray.put."""
-
-    def orient(df: pd.DataFrame) -> pd.DataFrame:
-        lut = ray.get(deg_ref)
-        du = df["u"].map(lut).to_numpy()
-        dv = df["v"].map(lut).to_numpy()
-        u, v = df["u"].to_numpy(), df["v"].to_numpy()
-        swap = (du > dv) | ((du == dv) & (u > v))
-        s = np.where(swap, v, u)
-        t = np.where(swap, u, v)
-        dt = np.where(swap, du, dv)
-        return pd.DataFrame({"s": s, "t": t, "deg_t": dt.astype(np.int64)})
-
-    return canon.map_batches(orient, batch_format="pandas")
-
-
 def _orient_join(
     canon: ray.data.Dataset, degrees: ray.data.Dataset
 ) -> ray.data.Dataset:
@@ -247,6 +230,139 @@ def _corner_partials(tri: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _counts_by_codes(
+    canon: ray.data.Dataset,
+    degrees: ray.data.Dataset,
+    node_t: pa.DataType,
+    edge_broadcast_limit: int,
+) -> ray.data.Dataset:
+    """Dense-code tier (node count fits one broadcast): nodes are renamed to
+    their rank in the (deg, id) total order, so
+
+    * orientation is ``min``/``max`` on the codes (no degree column carried),
+    * an oriented edge packs into ONE int64 key ``s*n + t`` (n ≤ 5M so
+      s*n + t < 2^63), turning the closure test into a ``searchsorted``
+      against a single broadcast sorted key array (8 B/edge) — no pandas
+      multi-column hash merge,
+    * corner counting is ``np.bincount`` over codes.
+
+    The wedge stream still never leaves its task below
+    ``edge_broadcast_limit`` edges; above it, wedges flow through one
+    single-int64-key hash join."""
+    nodes_df = (
+        degrees.to_pandas()
+        .sort_values(["deg", "node"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = len(nodes_df)
+    n64 = np.int64(n)
+    code_ref = ray.put(
+        pd.Series(np.arange(n, dtype=np.int64), index=nodes_df["node"].to_numpy())
+    )
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        lut = ray.get(code_ref)
+        cu = df["u"].map(lut).to_numpy(dtype=np.int64)
+        cv = df["v"].map(lut).to_numpy(dtype=np.int64)
+        return pd.DataFrame({"s": np.minimum(cu, cv), "t": np.maximum(cu, cv)})
+
+    oriented = compact_nonempty(
+        canon.map_batches(orient, batch_format="pandas"),
+        pa.schema([("s", pa.int64()), ("t", pa.int64())]),
+    )
+    nparts = _nparts()
+    bucketed = oriented.map_batches(
+        lambda df: df.assign(__b=(df["s"].to_numpy() % nparts).astype(np.int64)),
+        batch_format="pandas",
+    )
+
+    def wedge_arrays(g: pd.DataFrame):
+        g = g.sort_values(["s", "t"], kind="mergesort")
+        codes, _ = pd.factorize(g["s"], sort=False)
+        t_arr = g["t"].to_numpy()
+        a, b = _pairs_within_sorted_groups(codes)
+        return t_arr[a], t_arr[b], g["s"].to_numpy()[a]
+
+    def code_partials(x, y, c) -> pd.DataFrame:
+        cnt = np.bincount(np.concatenate([x, y, c]))
+        nz = np.nonzero(cnt)[0].astype(np.int64)
+        return pd.DataFrame({"code": nz, "triangles": cnt[nz].astype(np.int64)})
+
+    CODE_SCHEMA = pa.schema([("code", pa.int64()), ("triangles", pa.int64())])
+    n_edges = canon.count()
+
+    if n_edges <= edge_broadcast_limit:
+        kdf = oriented.map_batches(
+            lambda df: pd.DataFrame(
+                {"k": df["s"].to_numpy() * n64 + df["t"].to_numpy()}
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+        keys_ref = ray.put(np.sort(kdf["k"].to_numpy()))
+
+        def wedges_closed(g: pd.DataFrame) -> pd.DataFrame:
+            x, y, c = wedge_arrays(g)
+            keys = ray.get(keys_ref)
+            w = x * n64 + y
+            pos = np.minimum(np.searchsorted(keys, w), len(keys) - 1)
+            m = keys[pos] == w
+            return code_partials(x[m], y[m], c[m])
+
+        parts = compact_nonempty(
+            bucketed.groupby("__b").map_groups(wedges_closed, batch_format="pandas"),
+            CODE_SCHEMA,
+        )
+    else:
+
+        def wedge_keyed(g: pd.DataFrame) -> pd.DataFrame:
+            x, y, c = wedge_arrays(g)
+            return pd.DataFrame({"k": x * n64 + y, "x": x, "y": y, "c": c})
+
+        wedge_ds = compact_nonempty(
+            bucketed.groupby("__b").map_groups(wedge_keyed, batch_format="pandas"),
+            pa.schema(
+                [("k", pa.int64()), ("x", pa.int64()), ("y", pa.int64()), ("c", pa.int64())]
+            ),
+        )
+        closing = compact_nonempty(
+            oriented.map_batches(
+                lambda df: pd.DataFrame(
+                    {"k": df["s"].to_numpy() * n64 + df["t"].to_numpy()}
+                ),
+                batch_format="pandas",
+            ),
+            pa.schema([("k", pa.int64())]),
+        )
+        tri = native_join(
+            wedge_ds, closing, left_on="k", right_on="k", num_partitions=nparts
+        )
+        parts = compact_nonempty(
+            tri.map_batches(
+                lambda df: code_partials(
+                    df["x"].to_numpy(), df["y"].to_numpy(), df["c"].to_numpy()
+                ),
+                batch_format="pandas",
+            ),
+            CODE_SCHEMA,
+        )
+
+    merged = sum_partials(parts, keys=["code"], sum_cols=["triangles"])
+    mdf = merged.to_pandas() if merged.count() else pd.DataFrame()
+    if mdf.empty:
+        return ray.data.from_arrow(
+            pa.schema([("node", node_t), ("triangles", pa.int64())]).empty_table()
+        )
+    # decode back to original ids — output is node-bounded (≤ broadcast_limit)
+    return ray.data.from_pandas(
+        pd.DataFrame(
+            {
+                "node": nodes_df["node"].to_numpy()[mdf["code"].to_numpy()],
+                "triangles": mdf["triangles"].to_numpy(),
+            }
+        )
+    )
+
+
 def triangle_counts(
     edges: ray.data.Dataset,
     *,
@@ -254,21 +370,25 @@ def triangle_counts(
     dst: str = "dst",
     broadcast_limit: int = 5_000_000,
     edge_broadcast_limit: int = 10_000_000,
+    assume_canonical: bool = False,
 ) -> ray.data.Dataset:
     """(src, dst) edge multiset -> (node, triangles) for every node in at
     least one triangle. Direction/multiplicity/self-loops are ignored
     (counting runs on the distinct undirected canonical edge set).
+    ``assume_canonical`` skips the dedup pass when the input is already a
+    distinct u < v edge set (e.g. straight out of ``cooccurrence_edges``).
 
-    Tiering mirrors ``pagerank``: below ``broadcast_limit`` distinct nodes
-    the degree table broadcasts once and orientation is map-only; above it
-    orientation is two bucket joins. Closure has its own tier: below
-    ``edge_broadcast_limit`` oriented edges (16 B/edge — 10M ≈ 160 MB,
-    shipped ONCE via ray.put) each wedge block closes LOCALLY with a
-    vectorized pandas hash-merge and emits pre-aggregated (node, count)
-    partials, so the O(m^1.5) wedge stream never leaves its task; above it
-    wedges flow through one hash join on the composite (x, y) key. All
-    tiers are exact and tier-equivalent (pytest-pinned)."""
-    canon = canonical_edges(edges, src=src, dst=dst).materialize()
+    Tiering: below ``broadcast_limit`` distinct nodes the dense-code tier
+    runs (see :func:`_counts_by_codes` — packed int64 edge keys, map-only
+    orientation, searchsorted closure below ``edge_broadcast_limit`` edges,
+    single-key hash join above). Above ``broadcast_limit`` nodes the raw-id
+    tier runs: orientation via two Arrow hash joins, wedges from one hash
+    exchange of the oriented edges, closure via one composite-key hash join.
+    All tiers are exact and tier-equivalent (pytest-pinned)."""
+    if assume_canonical and (src, dst) == ("u", "v"):
+        canon = edges.materialize()
+    else:
+        canon = canonical_edges(edges, src=src, dst=dst).materialize()
     degrees = _degrees(canon).materialize()
     n_nodes = degrees.count()
     if n_nodes == 0:
@@ -277,13 +397,11 @@ def triangle_counts(
                 {"node": pa.array([], pa.int64()), "triangles": pa.array([], pa.int64())}
             )
         )
-    if n_nodes <= broadcast_limit:
-        lut = degrees.to_pandas().set_index("node")["deg"]
-        oriented = _orient_broadcast(canon, ray.put(lut))
-    else:
-        oriented = _orient_join(canon, degrees)
-
     node_t = canon.schema().base_schema.field("u").type
+    if n_nodes <= broadcast_limit:
+        return _counts_by_codes(canon, degrees, node_t, edge_broadcast_limit)
+
+    oriented = _orient_join(canon, degrees)
     ORIENT = pa.schema([("s", node_t), ("t", node_t), ("deg_t", pa.int64())])
     oriented = compact_nonempty(oriented, ORIENT)
 
@@ -294,25 +412,6 @@ def triangle_counts(
         return df.assign(__b=h.astype(np.int64))
 
     bucketed = oriented.map_batches(add_bucket, batch_format="pandas")
-    n_edges = canon.count()
-
-    if n_edges <= edge_broadcast_limit:
-        edge_ref = ray.put(
-            oriented.to_pandas()[["s", "t"]].rename(columns={"s": "x", "t": "y"})
-        )
-
-        def wedges_closed(g: pd.DataFrame) -> pd.DataFrame:
-            w = _wedge_pairs(g[["s", "t", "deg_t"]])
-            closed = w.merge(ray.get(edge_ref), on=["x", "y"], how="inner")
-            return _corner_partials(closed)
-
-        parts = compact_nonempty(
-            bucketed.groupby("__b").map_groups(
-                wedges_closed, batch_format="pandas"
-            ),
-            pa.schema([("node", node_t), ("triangles", pa.int64())]),
-        )
-        return sum_partials(parts, keys=["node"], sum_cols=["triangles"])
 
     wedge_ds = compact_nonempty(
         bucketed.groupby("__b").map_groups(

@@ -1168,7 +1168,7 @@ def q_copurchase_triangles(sf_dir: str):
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
     edges = cooccurrence_edges(li, group_col="l_orderkey", item_col="l_partkey")
-    return triangle_counts(edges, src="u", dst="v")
+    return triangle_counts(edges, src="u", dst="v", assume_canonical=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -75,7 +75,9 @@ def test_random_graph_matches_brute_force_and_tiers_agree():
     expect = _brute(edges)
     ds = ray.data.from_pandas(edges).repartition(5)
     assert _counts(triangle_counts(ds)) == expect
-    # forced join-tier closure AND join-tier orientation
+    # forced code-tier wedge JOIN closure (nodes broadcast, edges don't)
+    assert _counts(triangle_counts(ds, edge_broadcast_limit=0)) == expect
+    # forced raw-id tier: join orientation AND composite-key join closure
     assert (
         _counts(
             triangle_counts(ds, edge_broadcast_limit=0, broadcast_limit=0)
