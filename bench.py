@@ -104,6 +104,8 @@ def run_bench() -> dict:
     timed("corpus_splits", catalog.q_corpus_splits)
     timed("score_percentiles", catalog.q_score_percentiles)
     timed("copurchase_triangles", catalog.q_copurchase_triangles)
+    timed("event_funnel", catalog.q_event_funnel)
+    timed("token_cooccurrence", catalog.q_token_cooccurrence)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)
