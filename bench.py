@@ -104,6 +104,7 @@ def run_bench() -> dict:
     timed("corpus_splits", catalog.q_corpus_splits)
     timed("score_percentiles", catalog.q_score_percentiles)
     timed("copurchase_triangles", catalog.q_copurchase_triangles)
+    timed("copurchase_kcore", catalog.q_copurchase_kcore)
     timed("event_funnel", catalog.q_event_funnel)
     timed("token_cooccurrence", catalog.q_token_cooccurrence)
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -99,9 +100,11 @@ def cooccurrence_edges(
     group_col: str,
     item_col: str,
     max_group: int | None = None,
+    min_count: int = 1,
 ) -> ray.data.Dataset:
     """Market-basket graph construction: distinct (u, v) item pairs (u < v)
-    that co-occur in at least one group (order, session, document …).
+    that co-occur in at least ``min_count`` groups (order, session,
+    document …).
 
     One hash exchange of slim (group, item) rows co-locates each group,
     then within-bucket all-pairs emission (vectorized) and a distinct
@@ -109,6 +112,11 @@ def cooccurrence_edges(
     guard: groups larger than it are DROPPED from edge generation (a
     100k-item group would emit 5e9 pairs; if you need those edges, sample
     the group upstream). ``None`` = no cap (fine for basket-sized groups).
+
+    ``min_count`` counts DISTINCT groups per pair (each group contributes
+    at most 1 — items are deduped per group before pair emission); the
+    per-bucket partial is a vectorized value_count, so the support filter
+    adds no extra exchange — the same merge that deduped now sums.
     """
     nparts = _nparts()
 
@@ -131,14 +139,26 @@ def cooccurrence_edges(
             codes, _ = pd.factorize(g[group_col], sort=False)
         items = g[item_col].to_numpy()
         a, b = _pairs_within_sorted_groups(codes)
-        out = pd.DataFrame({"u": items[a], "v": items[b]}).drop_duplicates()
-        out["one"] = np.int64(1)
+        # each unordered pair appears exactly once per group (items are
+        # distinct + sorted within a group), so the within-bucket
+        # value_count IS the bucket's group-support partial
+        out = (
+            pd.DataFrame({"u": items[a], "v": items[b]})
+            .groupby(["u", "v"], sort=False)
+            .size()
+            .reset_index(name="one")
+        )
+        out["one"] = out["one"].astype(np.int64)
         return out
 
     pairs = bucketed.groupby("__b").map_groups(emit, batch_format="pandas")
-    return sum_partials(pairs, keys=["u", "v"], sum_cols=["one"]).drop_columns(
-        ["one"]
-    )
+    merged = sum_partials(pairs, keys=["u", "v"], sum_cols=["one"])
+    if min_count > 1:
+        merged = merged.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["one"], min_count)),
+            batch_format="pyarrow",
+        )
+    return merged.drop_columns(["one"])
 
 
 def _degrees(canon: ray.data.Dataset) -> ray.data.Dataset:

@@ -1171,6 +1171,24 @@ def q_copurchase_triangles(sf_dir: str):
     return triangle_counts(edges, src="u", dst="v", assume_canonical=True)
 
 
+def q_copurchase_kcore(sf_dir: str):
+    """3-core of the support-≥2 co-purchase graph (parts sharing at least
+    two orders — the raw co-purchase graph is near-complete, so its cores
+    are all-or-nothing): iterative delta-broadcast peeling
+    (graph/kcore.py; at sf0.01 the peel strips ~half the nodes over
+    multiple cascading rounds), integer-exact vs the unrolled-CTE twin."""
+    from knowledgegraphs_ray.graph.kcore import kcore
+    from knowledgegraphs_ray.graph.triangles import cooccurrence_edges
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return kcore(edges, src="u", dst="v", assume_canonical=True, k=3)
+
+
 def q_event_funnel(sf_dir: str):
     """Ordered funnel over the events stream (view -> click -> purchase):
     per-step reach counts under strict-ordering semantics
@@ -1206,6 +1224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # CORRECTNESS_r03 and their code paths are unchanged since.
     return {
         # --- never driver-verified (round-3 tail + round-4 additions) ---
+        "copurchase_kcore": q_copurchase_kcore,
         "event_funnel": q_event_funnel,
         "token_cooccurrence": q_token_cooccurrence,
         "copurchase_triangles": q_copurchase_triangles,
@@ -1417,6 +1436,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.l_partkey AS src, b.l_partkey AS dst FROM lineitem a "
             "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
             "AND a.l_partkey < b.l_partkey"
+        ),
+        # copurchase_kcore: integer degree peeling — the unrolled-CTE twin
+        # (MATERIALIZED per round) is exact at any unroll depth >= the
+        # engine's round count (extra rounds are fixpoint no-ops); the
+        # support-2 edge filter is a COUNT(DISTINCT order) HAVING on both
+        # sides
+        "copurchase_kcore": __import__(
+            "knowledgegraphs_ray.graph.kcore", fromlist=["kcore_oracle_sql"]
+        ).kcore_oracle_sql(
+            "SELECT src, dst FROM ("
+            "SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+            "COUNT(DISTINCT a.l_orderkey) AS c FROM lineitem a "
+            "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey GROUP BY src, dst"
+            ") WHERE c >= 2",
+            k_sql="3",
+            rounds=24,
         ),
         # kg_components: undirected reachability, representative = min
         # reachable IRI on both sides (UnionFind rule == CTE min(label))

@@ -138,3 +138,30 @@ def test_cooccurrence_edges_and_max_group():
     assert sorted(map(tuple, capped[["u", "v"]].values.tolist())) == [
         (10, 20), (10, 30), (20, 30),
     ]
+
+
+def test_cooccurrence_min_count_support_across_blocks():
+    # pair (20, 30) co-occurs in groups 1 and 2; every other pair in one
+    # group only; rows of the same group straddle input blocks, so the
+    # support count must survive the bucket exchange (distinct per group,
+    # summed across groups)
+    basket = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 2, 2, 3, 3, 1, 2],
+            "i": [10, 20, 30, 20, 30, 20, 30, 20, 30],  # dup rows too
+        }
+    )
+    ds = ray.data.from_pandas(basket).repartition(4)
+    got = cooccurrence_edges(
+        ds, group_col="g", item_col="i", min_count=2
+    ).to_pandas()
+    assert sorted(map(tuple, got[["u", "v"]].values.tolist())) == [(20, 30)]
+    # min_count=3: groups 1, 2 AND 3 all contain {20, 30}
+    got3 = cooccurrence_edges(
+        ds, group_col="g", item_col="i", min_count=3
+    ).to_pandas()
+    assert sorted(map(tuple, got3[["u", "v"]].values.tolist())) == [(20, 30)]
+    got4 = cooccurrence_edges(
+        ds, group_col="g", item_col="i", min_count=4
+    ).to_pandas()
+    assert len(got4) == 0
