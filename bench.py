@@ -105,6 +105,8 @@ def run_bench() -> dict:
     timed("score_percentiles", catalog.q_score_percentiles)
     timed("copurchase_triangles", catalog.q_copurchase_triangles)
     timed("copurchase_kcore", catalog.q_copurchase_kcore)
+    timed("source_quota_cap", catalog.q_source_quota_cap)
+    timed("leakage_safe_splits", catalog.q_leakage_safe_splits)
     timed("event_funnel", catalog.q_event_funnel)
     timed("token_cooccurrence", catalog.q_token_cooccurrence)
 

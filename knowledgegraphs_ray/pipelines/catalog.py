@@ -1171,6 +1171,38 @@ def q_copurchase_triangles(sf_dir: str):
     return triangle_counts(edges, src="u", dst="v", assume_canonical=True)
 
 
+def q_source_quota_cap(sf_dir: str):
+    """Per-source document quota (web-curation "at most N pages per
+    domain"): keep the 10 smallest-seeded-hash docs per source —
+    deterministic uniform survivors, per-block prune before the exchange
+    (pipelines/training_data.py:quota_cap)."""
+    from knowledgegraphs_ray.pipelines.training_data import quota_cap
+
+    return quota_cap(
+        _docs(sf_dir, ["doc_id", "source"]),
+        key_col="source",
+        id_col="doc_id",
+        cap=10,
+        seed=11,
+    )
+
+
+def q_leakage_safe_splits(sf_dir: str):
+    """Leakage-safe train/val/test assignment: near-dup families (minhash
+    components at 0.7) move as a unit — the split hash is over the
+    component representative, so a train doc's near-copy can never land in
+    val/test (pipelines/training_data.py:leakage_safe_splits)."""
+    from knowledgegraphs_ray.dedup.minhash import (
+        components_from_pairs,
+        minhash_candidate_pairs,
+    )
+    from knowledgegraphs_ray.pipelines.training_data import leakage_safe_splits
+
+    pairs = minhash_candidate_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.7)
+    comp = components_from_pairs(pairs)
+    return leakage_safe_splits(_docs(sf_dir, ["doc_id"]), comp, seed=17)
+
+
 def q_copurchase_kcore(sf_dir: str):
     """3-core of the support-≥2 co-purchase graph (parts sharing at least
     two orders — the raw co-purchase graph is near-complete, so its cores
@@ -1225,6 +1257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-verified (round-3 tail + round-4 additions) ---
         "copurchase_kcore": q_copurchase_kcore,
+        "source_quota_cap": q_source_quota_cap,
+        "leakage_safe_splits": q_leakage_safe_splits,
         "event_funnel": q_event_funnel,
         "token_cooccurrence": q_token_cooccurrence,
         "copurchase_triangles": q_copurchase_triangles,
@@ -1442,6 +1476,25 @@ def oracle_sql() -> dict[str, str]:
         # engine's round count (extra rounds are fixpoint no-ops); the
         # support-2 edge filter is a COUNT(DISTINCT order) HAVING on both
         # sides
+        # source_quota_cap: row_number over the identical signed-shifted
+        # md5 hash — pure integer order on both sides
+        "source_quota_cap": __import__(
+            "knowledgegraphs_ray.pipelines.training_data",
+            fromlist=["quota_cap_oracle_sql"],
+        ).quota_cap_oracle_sql(cap=10, seed=11),
+        # leakage_safe_splits: COALESCE(component, doc_id) representative +
+        # the assign_splits integer-threshold CASE, components via the
+        # recursive-CTE minhash twin
+        "leakage_safe_splits": __import__(
+            "knowledgegraphs_ray.pipelines.training_data",
+            fromlist=["leakage_safe_splits_oracle_sql"],
+        ).leakage_safe_splits_oracle_sql(
+            __import__(
+                "knowledgegraphs_ray.dedup.minhash",
+                fromlist=["minhash_components_oracle_sql"],
+            ).minhash_components_oracle_sql(threshold=0.7),
+            seed=17,
+        ),
         "copurchase_kcore": __import__(
             "knowledgegraphs_ray.graph.kcore", fromlist=["kcore_oracle_sql"]
         ).kcore_oracle_sql(

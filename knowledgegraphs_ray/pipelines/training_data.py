@@ -782,3 +782,177 @@ def assign_splits_oracle_sql(
         whens.append(f"WHEN {h} < CAST({_u64_threshold(cum)} AS HUGEINT) THEN '{name}'")
     case = "CASE " + " ".join(whens) + f" ELSE '{names[-1]}' END"
     return f"SELECT {out_cols}, {case} AS split FROM {table}"
+
+
+def leakage_safe_splits(
+    ds: ray.data.Dataset,
+    components,
+    *,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    seed: int = 17,
+    broadcast_limit: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Train/val/test assignment at near-dup-COMPONENT granularity —
+    the leakage-safe split: every member of a near-duplicate family lands
+    in the SAME bucket, so a train document's near-copy can never appear
+    in val/test. ``components`` is the (doc_id, component) output of
+    ``components_from_pairs`` / ``components_by_propagation``; documents
+    outside every component are their own representative.
+
+    The hash is over the REPRESENTATIVE (``rep``), then the identical
+    cumulative-threshold labeling as :func:`assign_splits` — so singleton
+    docs get exactly the assign_splits bucket and families move as a unit.
+
+    Scale shape: the component table is bounded by near-dup MEMBERSHIP
+    (pairs-verified docs only), so it broadcasts (one ``ray.put``, pandas
+    merge per block — map-only) up to ``broadcast_limit`` rows; above that
+    the corpus LEFT-joins it with Ray's hash-partitioned join. The corpus
+    text never moves in either tier. -> (id_col, rep, split)
+    """
+    import ray
+
+    comp = (
+        components
+        if isinstance(components, ray.data.Dataset)
+        else ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "doc_id": components["doc_id"].astype("int64"),
+                    "component": components["component"].astype("int64"),
+                }
+            )
+        )
+    )
+    n_members = comp.count()
+    ids = ds.select_columns([id_col])
+    if n_members == 0:
+        with_rep = ids.map_batches(
+            lambda df: df.assign(rep=df[id_col].astype("int64")),
+            batch_format="pandas",
+        )
+    elif n_members <= broadcast_limit:
+        cdf = comp.to_pandas().rename(columns={"doc_id": id_col})
+        ref = ray.put(cdf)
+
+        class AttachRep:
+            def __init__(self, ref):
+                self.ref = ref
+                self._c = None
+
+            def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+                if self._c is None:
+                    self._c = ray.get(self.ref)
+                m = df.merge(self._c, how="left", on=id_col)
+                rep = m["component"].fillna(m[id_col]).astype("int64")
+                return pd.DataFrame({id_col: m[id_col], "rep": rep})
+
+        with_rep = ids.map_batches(AttachRep(ref), batch_format="pandas")
+    else:
+        from knowledgegraphs_ray.extract.joins import native_join
+
+        joined = native_join(
+            ids, comp, left_on=id_col, right_on="doc_id", how="left_outer"
+        )
+        with_rep = joined.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    id_col: df[id_col],
+                    "rep": df["component"].fillna(df[id_col]).astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+    labeled = assign_splits(with_rep, id_col="rep", splits=splits, seed=seed)
+    return labeled.select_columns([id_col, "rep", "split"])
+
+
+def leakage_safe_splits_oracle_sql(
+    components_sql: str,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    seed: int = 17,
+) -> str:
+    """DuckDB twin: COALESCE(component, id) as the hashed representative,
+    then the assign_splits CASE over the same integer thresholds."""
+    inner = (
+        f"(SELECT d.{id_col}, CAST(COALESCE(c.component, d.{id_col}) AS BIGINT)"
+        f" AS rep FROM {table} d LEFT JOIN ({components_sql}) c"
+        f" ON c.doc_id = d.{id_col})"
+    )
+    return assign_splits_oracle_sql(
+        table=inner, id_col="rep", splits=splits, seed=seed,
+        out_cols=f"{id_col}, rep",
+    )
+
+
+def quota_cap(
+    ds: ray.data.Dataset,
+    *,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 100,
+    seed: int = 11,
+) -> ray.data.Dataset:
+    """Per-key document quota — the web-curation "at most N pages per
+    domain" cap: within each ``key_col`` group keep the ``cap`` rows with
+    the smallest seeded hash of their id. Hash order (not arrival or score
+    order) makes the survivor set a uniform random-but-deterministic sample
+    of each group, stable under re-runs and parallelism.
+
+    Built on :func:`~knowledgegraphs_ray.util.topk.topk_per_group` —
+    per-block prune to ``cap`` first, so the exchange carries at most
+    ``cap × blocks`` rows per key, never the full group.
+    -> (key_col, id_col, hkey, rank); hkey is the signed-shifted u64 hash
+    (order-preserving int64 view, exact in the SQL twin as HUGEINT - 2^63).
+    """
+    from knowledgegraphs_ray.util.topk import topk_per_group
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df.assign(hkey=pd.Series([], dtype="int64"))
+        h = _md5_u64(f"{seed}:{i}" for i in df[id_col].astype(str))
+        return df.assign(hkey=(h ^ np.uint64(1 << 63)).view(np.int64))
+
+    keyed = ds.select_columns([key_col, id_col]).map_batches(
+        attach, batch_format="pandas"
+    )
+    return topk_per_group(
+        keyed,
+        key_cols=[key_col],
+        score_col="hkey",
+        id_col=id_col,
+        k=cap,
+        descending=False,
+    )
+
+
+def quota_cap_oracle_sql(
+    *,
+    table: str = "documents",
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 100,
+    seed: int = 11,
+) -> str:
+    """DuckDB twin: row_number over the identical signed-shifted hash."""
+    from knowledgegraphs_ray.util.topk import topk_per_group_oracle_sql
+
+    h = (
+        f"CAST(CAST(('0x' || substr(md5('{seed}:' || CAST({id_col} AS"
+        f" VARCHAR)), 1, 16))::UBIGINT AS HUGEINT)"
+        f" - 9223372036854775808 AS BIGINT)"
+    )
+    inner = topk_per_group_oracle_sql(
+        key_cols=[key_col],
+        score_expr=h,
+        id_col=id_col,
+        k=cap,
+        table=table,
+        descending=False,
+    )
+    return (
+        f"SELECT {key_col}, {id_col}, score AS hkey, rank FROM ({inner})"
+    )

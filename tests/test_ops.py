@@ -470,3 +470,114 @@ def test_percentile_per_group():
         .reset_index(drop=True)
     )
     assert (out["pct_micro"].to_numpy() == out2["pct_micro"].to_numpy()).all()
+
+
+def test_quota_cap_properties():
+    import duckdb
+    import hashlib
+    import pandas as pd
+    import ray.data
+
+    from knowledgegraphs_ray.pipelines.training_data import (
+        quota_cap,
+        quota_cap_oracle_sql,
+    )
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(600, dtype=np.int64),
+            "source": [f"src{i}" for i in rng.integers(0, 8, 600)],
+        }
+    )
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = quota_cap(ds, key_col="source", id_col="doc_id", cap=20, seed=11)
+    got = out.to_pandas().sort_values(["source", "doc_id"]).reset_index(drop=True)
+    # cap honored per key
+    assert (got.groupby("source").size() <= 20).all()
+    # brute-force survivor set: 20 smallest seeded hashes per source
+    h = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(f"11:{i}".encode()).digest()[:8], "big")
+            for i in df["doc_id"]
+        ),
+        dtype=np.uint64,
+    )
+    bdf = df.assign(h=(h ^ np.uint64(1 << 63)).view(np.int64))
+    keep = (
+        bdf.sort_values(["source", "h", "doc_id"])
+        .groupby("source")
+        .head(20)["doc_id"]
+    )
+    assert set(got["doc_id"]) == set(keep)
+    # parallelism invariance
+    got2 = (
+        quota_cap(ds.repartition(2), key_col="source", id_col="doc_id", cap=20, seed=11)
+        .to_pandas()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, got2)
+    # exact DuckDB twin (rows + hkey + rank values)
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = (
+        con.execute(quota_cap_oracle_sql(cap=20, seed=11))
+        .df()
+        .sort_values(["source", "doc_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["source", "doc_id", "hkey", "rank"]],
+        want[["source", "doc_id", "hkey", "rank"]],
+        check_dtype=False,
+    )
+
+
+def test_leakage_safe_splits_properties():
+    import duckdb
+    import pandas as pd
+    import ray.data
+
+    from knowledgegraphs_ray.pipelines.training_data import (
+        assign_splits,
+        leakage_safe_splits,
+        leakage_safe_splits_oracle_sql,
+    )
+
+    docs = pd.DataFrame({"doc_id": np.arange(5000, dtype=np.int64)})
+    # families: (0,1,2), (10,11), (100,101,102,103) — reps are the min ids
+    comp = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 10, 11, 100, 101, 102, 103],
+            "component": [0, 0, 0, 10, 10, 100, 100, 100, 100],
+        }
+    )
+    ds = ray.data.from_pandas(docs).repartition(6)
+    out = leakage_safe_splits(ds, comp, seed=17).to_pandas()
+    assert len(out) == 5000
+    by = out.set_index("doc_id")["split"]
+    # family members share the bucket
+    assert len({by[0], by[1], by[2]}) == 1
+    assert by[10] == by[11]
+    assert len({by[100], by[101], by[102], by[103]}) == 1
+    # singletons match plain assign_splits exactly
+    plain = assign_splits(ds, seed=17).to_pandas().set_index("doc_id")["split"]
+    members = set(comp["doc_id"])
+    singles = [i for i in range(5000) if i not in members]
+    assert (by.loc[singles] == plain.loc[singles]).all()
+    # join tier (forced) equals broadcast tier
+    out_join = leakage_safe_splits(
+        ds, comp, seed=17, broadcast_limit=0
+    ).to_pandas()
+    m = out.merge(out_join, on="doc_id", suffixes=("", "_j"))
+    assert (m["split"] == m["split_j"]).all() and (m["rep"] == m["rep_j"]).all()
+    # exact DuckDB twin over the same component table
+    con = duckdb.connect()
+    con.register("documents", docs)
+    con.register("c_tbl", comp)
+    want = con.execute(
+        leakage_safe_splits_oracle_sql("SELECT doc_id, component FROM c_tbl", seed=17)
+    ).df()
+    mm = out.merge(want, on="doc_id", suffixes=("", "_o"))
+    assert (mm["split"] == mm["split_o"]).all() and (mm["rep"] == mm["rep_o"]).all()
