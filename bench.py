@@ -109,6 +109,9 @@ def run_bench() -> dict:
     timed("leakage_safe_splits", catalog.q_leakage_safe_splits)
     timed("event_funnel", catalog.q_event_funnel)
     timed("token_cooccurrence", catalog.q_token_cooccurrence)
+    timed("retention_cohorts", catalog.q_retention_cohorts)
+    timed("hybrid_search", catalog.q_hybrid_search)
+    timed("ngram_diversity", catalog.q_ngram_diversity)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

@@ -1233,6 +1233,45 @@ def q_event_funnel(sf_dir: str):
     return funnel_counts(ev, steps=["view", "click", "purchase"])
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention over the events stream: distinct users per
+    (first-event week, week offset) — int64 floor-divided week index,
+    one user-hash exchange (streaming/retention.py)."""
+    from knowledgegraphs_ray.streaming.retention import retention_cohorts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return retention_cohorts(ev)
+
+
+def q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 leg and the
+    dense cosine leg with integer floor-division weights (sim/hybrid.py);
+    both legs are per-block top-k scans, fusion is 2k driver rows."""
+    from knowledgegraphs_ray.sim.hybrid import hybrid_rrf_topk
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return hybrid_rrf_topk(
+        _docs(sf_dir, ["doc_id", "text"]),
+        emb,
+        query_text="hash join customer",
+        query_vec_id=0,
+        k=15,
+    )
+
+
+def q_ngram_diversity(sf_dir: str):
+    """Per-language distinct-n shingle diversity (text/diversity.py):
+    per-block-unique (lang, gram) partials, integer ratio, shared
+    tok/sh-CTE gram identity with the minhash family."""
+    from knowledgegraphs_ray.text.diversity import ngram_diversity
+
+    return ngram_diversity(_docs(sf_dir, ["doc_id", "lang", "text"]))
+
+
 def q_token_cooccurrence(sf_dir: str):
     """Distinct-per-document token co-occurrence counts with document
     frequencies over the documents corpus (text/cooccur.py) — the integer
@@ -1257,6 +1296,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-verified (round-3 tail + round-4 additions) ---
         "copurchase_kcore": q_copurchase_kcore,
+        "retention_cohorts": q_retention_cohorts,
+        "hybrid_search": q_hybrid_search,
+        "ngram_diversity": q_ngram_diversity,
         "source_quota_cap": q_source_quota_cap,
         "leakage_safe_splits": q_leakage_safe_splits,
         "event_funnel": q_event_funnel,
@@ -1476,6 +1518,23 @@ def oracle_sql() -> dict[str, str]:
         # engine's round count (extra rounds are fixpoint no-ops); the
         # support-2 edge filter is a COUNT(DISTINCT order) HAVING on both
         # sides
+        # retention_cohorts: int64 floor-divided week index on both sides
+        "retention_cohorts": __import__(
+            "knowledgegraphs_ray.streaming.retention",
+            fromlist=["retention_oracle_sql"],
+        ).retention_oracle_sql(),
+        # hybrid_search: bm25 twin + cosine rank list, fused with the same
+        # integer floor-division RRF weights
+        "hybrid_search": __import__(
+            "knowledgegraphs_ray.sim.hybrid", fromlist=["hybrid_rrf_oracle_sql"]
+        ).hybrid_rrf_oracle_sql(
+            query_text="hash join customer", query_vec_id=0, k=15
+        ),
+        # ngram_diversity: shared tok/sh CTE, COUNT vs COUNT DISTINCT per lang
+        "ngram_diversity": __import__(
+            "knowledgegraphs_ray.text.diversity",
+            fromlist=["ngram_diversity_oracle_sql"],
+        ).ngram_diversity_oracle_sql(),
         # source_quota_cap: row_number over the identical signed-shifted
         # md5 hash — pure integer order on both sides
         "source_quota_cap": __import__(
