@@ -236,9 +236,15 @@ def probe_minhash_index(
     import ray
 
     kern = index.kernel()
-    nparts = num_partitions or max(
-        2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    )
+    cpu_parts = max(2, min(16, int(ray.cluster_resources().get("CPU", 8)) // 2))
+
+    def _join_parts(total_rows: int) -> int:
+        # hash-shuffle joins pay per-partition aggregator-actor setup; size
+        # the partition count to the data (~64k rows/partition) so small
+        # probes don't spin up CPU-many aggregators for kilobyte inputs
+        if num_partitions:
+            return num_partitions
+        return max(2, min(cpu_parts, total_rows // 65_536 + 1))
 
     # shard text is shingled ONCE: signatures materialize (shard-sized — the
     # streaming-ingest unit), bands derive from them map-only
@@ -266,7 +272,8 @@ def probe_minhash_index(
     hist_bands = index.bands.map_batches(
         _rename({"doc_id": "hist_doc"}), batch_format="pyarrow"
     )
-    if new_bands.count() <= band_broadcast_limit:
+    n_new_bands = new_bands.count()
+    if n_new_bands <= band_broadcast_limit:
         nb = new_bands.to_pandas()
         sets = {
             int(b): np.unique(g["band_hash"].to_numpy())
@@ -276,7 +283,8 @@ def probe_minhash_index(
             _band_key_filter(ray.put(sets)), batch_format="pyarrow"
         )
     hist_bands = compact_nonempty(hist_bands, BAND_H)
-    if hist_bands.count() == 0 or new_bands.count() == 0:
+    n_hist_bands = hist_bands.count()
+    if n_hist_bands == 0 or n_new_bands == 0:
         return ray.data.from_pandas(_EMPTY_PROBED.copy())
 
     # hash join on the composite LSH key — collision-bounded on the history
@@ -286,7 +294,7 @@ def probe_minhash_index(
         hist_bands,
         left_on=("band_id", "band_hash"),
         right_on=("band_id", "band_hash"),
-        num_partitions=nparts,
+        num_partitions=_join_parts(n_new_bands + n_hist_bands),
     ).select_columns(["new_doc", "hist_doc", "band_id"])
 
     PAIR_SCHEMA = pa.schema(
@@ -322,7 +330,8 @@ def probe_minhash_index(
     pairs = compact_nonempty(
         pairs, pa.schema([("new_doc", pa.int64()), ("hist_doc", pa.int64())])
     )
-    if pairs.count() <= id_broadcast_limit:
+    n_pairs = pairs.count()
+    if n_pairs <= id_broadcast_limit:
         hist_ids = pa.array(
             np.unique(pairs.to_pandas()["hist_doc"].to_numpy()), type=pa.int64()
         )
@@ -331,7 +340,11 @@ def probe_minhash_index(
         )
     sig_h = compact_nonempty(sig_h, SIG_H)
     j = native_join(
-        pairs, sig_n, left_on="new_doc", right_on="new_doc", num_partitions=nparts
+        pairs,
+        sig_n,
+        left_on="new_doc",
+        right_on="new_doc",
+        num_partitions=_join_parts(n_pairs + sig_n.count()),
     )
     j = compact_nonempty(  # sequential joins: 2x aggregator actors can starve
         j,                 # slots, and the second join needs nonempty inputs
@@ -341,7 +354,11 @@ def probe_minhash_index(
         ),
     )
     j = native_join(
-        j, sig_h, left_on="hist_doc", right_on="hist_doc", num_partitions=nparts
+        j,
+        sig_h,
+        left_on="hist_doc",
+        right_on="hist_doc",
+        num_partitions=_join_parts(n_pairs + sig_h.count()),
     )
 
     n_perm = kern.n_perm
