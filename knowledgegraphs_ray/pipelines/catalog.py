@@ -1221,6 +1221,38 @@ def q_copurchase_kcore(sf_dir: str):
     return kcore(edges, src="u", dst="v", assume_canonical=True, k=3)
 
 
+def q_rolling_events(sf_dir: str):
+    """Per-user sliding-frame aggregates over the events stream: ROWS frame
+    (last 3 events: spend sum/cnt/min/max) and RANGE frame (trailing 1 h:
+    spend sum/cnt) in one pass — streaming/rolling.py halo scan, exact
+    int64 vs the SQL window-function twin."""
+    from knowledgegraphs_ray.streaming.rolling import sorted_rolling_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_us": pc.cast(t["ts"], pa.int64()),
+                "cents": pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64()),
+            }
+        )
+
+    return sorted_rolling_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_cols=["user_id"],
+        order_cols=["ts_us", "event_id"],
+        val_col="cents",
+        rows_window=3,
+        range_window=3_600_000_000,
+        range_col="ts_us",
+    )
+
+
 def q_event_funnel(sf_dir: str):
     """Ordered funnel over the events stream (view -> click -> purchase):
     per-step reach counts under strict-ordering semantics
@@ -1295,6 +1327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # CORRECTNESS_r03 and their code paths are unchanged since.
     return {
         # --- never driver-verified (round-3 tail + round-4 additions) ---
+        "rolling_events": q_rolling_events,
         "copurchase_kcore": q_copurchase_kcore,
         "retention_cohorts": q_retention_cohorts,
         "hybrid_search": q_hybrid_search,
@@ -1488,6 +1521,26 @@ def oracle_sql() -> dict[str, str]:
             + _plan_sql(STAR_TABLES)
             + ") WHERE pred LIKE 'kg:p~_%' ESCAPE '~'",
             iters=5,
+        ),
+        # rolling_events: sliding ROWS + RANGE frames — exact int64 cents
+        # sums/counts/min/max on both sides; DuckDB window SUM over BIGINT
+        # returns HUGEINT, hence the CASTs
+        "rolling_events": (
+            "WITH t AS (SELECT event_id, user_id, "
+            "  CAST(epoch_us(ts) AS BIGINT) AS ts_us, "
+            "  CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT event_id, user_id, ts_us, cents, "
+            "  CAST(SUM(cents) OVER rw AS BIGINT) AS roll_sum, "
+            "  COUNT(*) OVER rw AS roll_cnt, "
+            "  MIN(cents) OVER rw AS roll_min, "
+            "  MAX(cents) OVER rw AS roll_max, "
+            "  CAST(SUM(cents) OVER gw AS BIGINT) AS range_sum, "
+            "  COUNT(*) OVER gw AS range_cnt "
+            "FROM t WINDOW "
+            "  rw AS (PARTITION BY user_id ORDER BY ts_us, event_id "
+            "         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), "
+            "  gw AS (PARTITION BY user_id ORDER BY ts_us "
+            "         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
         ),
         # event_funnel: strict-ordering reach via chained CTEs — pure
         # integer timestamp comparisons on both sides

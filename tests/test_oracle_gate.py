@@ -45,6 +45,7 @@ SUBSET = [
     "lm_bigram_ppl",        # interpolated bigram LM, micro-nat twin (r3)
     "chat_pairs",           # SFT pair extraction, lead() window twin (r3)
     "ann_ivf_pq_topk",      # full IVF-PQ path, exact by construction (r3)
+    "rolling_events",       # sliding ROWS+RANGE frames, window twin (r4)
 ]
 
 
