@@ -1,0 +1,191 @@
+"""From-scratch PNG codec — stdlib ``zlib`` + numpy, no PIL.
+
+Scope (documented, checked, raises outside it): 8-bit depth, color types
+0 (grayscale), 2 (RGB), 6 (RGBA), no interlacing, all five scanline
+filters (None/Sub/Up/Average/Paeth) on decode. That covers every PNG this
+engine writes and the overwhelming share of crawled PNGs; palette /
+16-bit / Adam7 inputs raise ``UnsupportedPng`` so a pipeline can route
+them to a quarantine sink instead of mis-decoding.
+
+Same build-it-from-the-spec approach as ``sources/dicom.py`` (PS3.10
+parser): the wire format is public (RFC 2083), the container gives us
+real pixels for the multimodal stages without adding image libraries to
+the image.
+
+Decode cost: one ``zlib.decompress`` + a per-row unfilter pass. None/Up
+rows are fully vectorized; Sub/Average/Paeth rows carry a within-row
+dependency so they run a per-pixel-column loop — fine for the thumbnail /
+feature-extraction grain these stages run at (the actor-pool stage holds
+no state beyond the codec, so throughput scales with ``concurrency``).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+class UnsupportedPng(ValueError):
+    """Valid PNG, but outside this codec's documented scope."""
+
+
+class BadPng(ValueError):
+    """Not a PNG / corrupt structure."""
+
+
+def _chunks(data: bytes):
+    if data[:8] != _SIG:
+        raise BadPng("missing PNG signature")
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise BadPng(f"truncated {ctype!r} chunk")
+        crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise BadPng(f"CRC mismatch in {ctype!r}")
+        yield ctype, body
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise BadPng("no IEND chunk")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc_:
+        return a
+    return b if pb <= pc_ else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """-> uint8 array (h, w) for grayscale or (h, w, channels) for RGB/RGBA."""
+    width = height = None
+    color_type = bit_depth = None
+    idat = bytearray()
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if bit_depth != 8:
+                raise UnsupportedPng(f"bit depth {bit_depth} (only 8 supported)")
+            if color_type not in _CHANNELS:
+                raise UnsupportedPng(f"color type {color_type} (0/2/6 supported)")
+            if interlace:
+                raise UnsupportedPng("Adam7 interlacing")
+            if comp or filt:
+                raise BadPng("unknown compression/filter method")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if width is None:
+        raise BadPng("no IHDR")
+    ch = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise BadPng("decompressed size mismatch")
+    raw = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+    filters = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int64)  # headroom for the filter arithmetic
+    out = np.zeros((height, stride), np.int64)
+    for y in range(height):
+        f, cur = int(filters[y]), rows[y]
+        prev = out[y - 1] if y else np.zeros(stride, np.int64)
+        if f == 0:
+            out[y] = cur
+        elif f == 2:  # Up
+            out[y] = (cur + prev) & 0xFF
+        elif f == 1:  # Sub — within-row dependency
+            line = out[y]
+            line[:ch] = cur[:ch]
+            for x in range(ch, stride):
+                line[x] = (cur[x] + line[x - ch]) & 0xFF
+        elif f == 3:  # Average
+            line = out[y]
+            line[:ch] = (cur[:ch] + prev[:ch] // 2) & 0xFF
+            for x in range(ch, stride):
+                line[x] = (cur[x] + (line[x - ch] + prev[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            line = out[y]
+            for x in range(stride):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                line[x] = (cur[x] + _paeth(a, b, c)) & 0xFF
+        else:
+            raise BadPng(f"filter type {f}")
+    img = out.astype(np.uint8)
+    return img.reshape(height, width) if ch == 1 else img.reshape(height, width, ch)
+
+
+def encode_png(img: np.ndarray, *, filter_type: int = 0, level: int = 6) -> bytes:
+    """uint8 (h, w) / (h, w, 3) / (h, w, 4) -> PNG bytes. ``filter_type``
+    applies one filter to every scanline (0 is the fast default; 1-4 exist
+    so tests can exercise every decoder branch)."""
+    img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim == 2:
+        ch, color_type = 1, 0
+        h, w = img.shape
+        flat = img
+    elif img.ndim == 3 and img.shape[2] in (3, 4):
+        h, w, ch = img.shape
+        color_type = 2 if ch == 3 else 6
+        flat = img.reshape(h, w * ch)
+    else:
+        raise ValueError(f"unsupported array shape {img.shape}")
+    stride = w * ch
+    rows = flat.astype(np.int64)
+    zeros_col = np.zeros((h, ch), np.int64)
+    left = np.concatenate([zeros_col, rows[:, :-ch]], axis=1) if stride > ch else (
+        np.zeros_like(rows)
+    )
+    up = np.vstack([np.zeros((1, stride), np.int64), rows[:-1]])
+    up_left = np.concatenate([zeros_col, up[:, :-ch]], axis=1) if stride > ch else (
+        np.zeros_like(rows)
+    )
+    if filter_type == 0:
+        filtered = rows
+    elif filter_type == 1:
+        filtered = rows - left
+    elif filter_type == 2:
+        filtered = rows - up
+    elif filter_type == 3:
+        filtered = rows - (left + up) // 2
+    elif filter_type == 4:
+        p = left + up - up_left
+        pa_, pb, pc_ = np.abs(p - left), np.abs(p - up), np.abs(p - up_left)
+        pred = np.where(
+            (pa_ <= pb) & (pa_ <= pc_), left, np.where(pb <= pc_, up, up_left)
+        )
+        filtered = rows - pred
+    else:
+        raise ValueError(f"filter type {filter_type}")
+    body = np.concatenate(
+        [np.full((h, 1), filter_type, np.uint8), (filtered & 0xFF).astype(np.uint8)],
+        axis=1,
+    ).tobytes()
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body, level))
+        + chunk(b"IEND", b"")
+    )

@@ -1,13 +1,16 @@
 """Multimodal columns — opaque binary payloads with typed metadata.
 
 Images/audio/video are treated as ``binary`` columns + metadata columns
-(width/height/codec/...). The decode libraries (PIL/ffmpeg/torchaudio) are
-NOT in this container, so the codec step is STUBBED: ``mode="fake"`` runs a
-deterministic byte-statistics decode (real plumbing, fake pixels);
-``mode="real"`` raises ``NotImplementedError`` at the exact seam where a real
-decoder drops in. Everything around the stub — schemas, actor-pool stage
-shape, small-batch sizing for large payloads, output layout — is real and
-tested.
+(width/height/codec/...). Codec tiers:
+
+* ``mode="png"`` — REAL pixels via the from-scratch stdlib-zlib PNG codec
+  (``multimodal/png.py``); likewise ``AudioFeatures`` decodes real RIFF/PCM
+  WAV (``multimodal/wav.py``) and ``VideoFrameSampler`` walks the
+  length-prefixed PNG-frame container (``pack_frames``).
+* ``mode="fake"`` — deterministic byte-statistics decode (real plumbing,
+  fake pixels) for plumbing tests with raw payloads.
+* ``mode="real"`` — raises ``NotImplementedError`` at the exact seam where
+  a JPEG/WebP/H.264 decoder (PIL/ffmpeg — not in this container) drops in.
 
 Scale notes: binary rows are large ⇒ these stages run with SMALL
 ``batch_size`` (payload bytes × batch_size × concurrency must fit worker
@@ -50,6 +53,30 @@ def synth_image_table(n: int, *, seed: int = 42) -> pa.Table:
     )
 
 
+def synth_png_table(n: int, *, seed: int = 42) -> pa.Table:
+    """Deterministic REAL-PNG image rows (gray / RGB / RGBA mix)."""
+    from knowledgegraphs_ray.multimodal.png import encode_png
+
+    rng = np.random.default_rng(seed)
+    widths = rng.integers(8, 64, n).astype(np.int32)
+    heights = rng.integers(8, 64, n).astype(np.int32)
+    payloads = []
+    for i, (w, h) in enumerate(zip(widths, heights)):
+        ch = (1, 3, 4)[i % 3]
+        shape = (int(h), int(w)) if ch == 1 else (int(h), int(w), ch)
+        payloads.append(encode_png(rng.integers(0, 256, shape, dtype=np.uint8)))
+    return pa.table(
+        {
+            "item_id": pa.array(np.arange(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(widths, pa.int32()),
+            "height": pa.array(heights, pa.int32()),
+            "format": pa.array(["image/png"] * n, pa.string()),
+        },
+        schema=IMAGE_SCHEMA,
+    )
+
+
 class ImageDecoder:
     """Actor-pool decode stage. ``__init__`` is where a real codec/model
     load belongs (once per actor); ``__call__`` decodes a batch.
@@ -58,17 +85,22 @@ class ImageDecoder:
     drive the downstream feature/resize stages deterministically."""
 
     def __init__(self, mode: str = "fake"):
-        if mode not in ("fake", "real"):
+        if mode not in ("fake", "png", "real"):
             raise ValueError(mode)
         self.mode = mode
-        # real mode would do: `from PIL import Image` / load a codec here
+        if mode == "png":  # codec import belongs here: once per actor
+            from knowledgegraphs_ray.multimodal.png import decode_png
+
+            self._decode_png = decode_png
 
     def decode_one(self, payload: bytes, w: int, h: int) -> np.ndarray:
         if self.mode == "real":
             raise NotImplementedError(
-                "image decode requires PIL/libjpeg — not available in this "
-                "container; plug a real decoder here"
+                "JPEG/WebP decode requires PIL/libjpeg — not in this "
+                "container; PNG payloads decode natively via mode='png'"
             )
+        if self.mode == "png":
+            return self._decode_png(payload)
         arr = np.frombuffer(payload, dtype=np.uint8)
         return arr[: w * h].reshape(h, w)
 
@@ -100,17 +132,29 @@ class ImageResizer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.mode == "real":
-            raise NotImplementedError("real resize needs an image library")
+            raise NotImplementedError(
+                "JPEG/WebP resize needs an image library; PNG payloads "
+                "resize natively via mode='png'"
+            )
+        if self.mode == "png":
+            from knowledgegraphs_ray.multimodal.png import decode_png, encode_png
         out_payloads = []
         for pay, w, h in zip(
             batch["payload"].to_pylist(),
             batch["width"].to_pylist(),
             batch["height"].to_pylist(),
         ):
-            img = np.frombuffer(pay, dtype=np.uint8)[: w * h].reshape(h, w)
+            if self.mode == "png":
+                img = decode_png(pay)
+                h, w = img.shape[:2]
+            else:
+                img = np.frombuffer(pay, dtype=np.uint8)[: w * h].reshape(h, w)
             ys = (np.arange(self.th) * h // self.th).clip(0, h - 1)
             xs = (np.arange(self.tw) * w // self.tw).clip(0, w - 1)
-            out_payloads.append(img[np.ix_(ys, xs)].tobytes())
+            small = img[np.ix_(ys, xs)]
+            out_payloads.append(
+                encode_png(small) if self.mode == "png" else small.tobytes()
+            )
         n = batch.num_rows
         return pa.table(
             {
@@ -132,6 +176,135 @@ def frame_sample(
     ids = batch[idx_col].to_numpy(zero_copy_only=False)
     keep = pa.array((ids % every_n) == 0)
     return batch.filter(keep)
+
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("item_id", pa.int64()),
+        ("payload", pa.binary()),
+        ("codec", pa.string()),
+    ]
+)
+
+
+def synth_wav_table(n: int, *, seed: int = 7, rate: int = 8000) -> pa.Table:
+    """Deterministic WAV rows: seeded sine bursts at varying pitch/length."""
+    from knowledgegraphs_ray.multimodal.wav import encode_wav
+
+    rng = np.random.default_rng(seed)
+    payloads = []
+    for i in range(n):
+        dur = int(rng.integers(rate // 10, rate // 2))
+        freq = float(rng.uniform(100, 2000))
+        t = np.arange(dur) / rate
+        wave = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+        payloads.append(encode_wav(wave, rate))
+    return pa.table(
+        {
+            "item_id": pa.array(np.arange(n), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "codec": pa.array(["audio/wav"] * n, pa.string()),
+        },
+        schema=AUDIO_SCHEMA,
+    )
+
+
+class AudioFeatures:
+    """Actor-pool WAV feature stage: decode RIFF/PCM (multimodal/wav.py),
+    emit duration / RMS / peak / zero-crossing-rate per clip. Mirrors
+    ``ImageDecoder``'s shape: codec bound in ``__init__``, payload column
+    consumed (not re-shipped)."""
+
+    def __init__(self):
+        from knowledgegraphs_ray.multimodal.wav import decode_wav
+
+        self._decode = decode_wav
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = {"n_samples": [], "sample_rate": [], "duration_s": [],
+                 "rms": [], "peak": [], "zcr": []}
+        for pay in batch["payload"].to_pylist():
+            x, rate = self._decode(pay)
+            mono = x if x.ndim == 1 else x.mean(axis=1)
+            f = mono.astype(np.float64)
+            feats["n_samples"].append(int(len(mono)))
+            feats["sample_rate"].append(int(rate))
+            feats["duration_s"].append(len(mono) / rate)
+            feats["rms"].append(float(np.sqrt(np.mean(f * f))) if len(f) else 0.0)
+            feats["peak"].append(int(np.abs(mono).max()) if len(mono) else 0)
+            feats["zcr"].append(
+                float(np.mean(np.signbit(f[1:]) != np.signbit(f[:-1])))
+                if len(f) > 1
+                else 0.0
+            )
+        out = batch.drop(["payload"])
+        for k, v in feats.items():
+            typ = pa.int64() if k in ("n_samples", "sample_rate", "peak") else (
+                pa.float64()
+            )
+            out = out.append_column(k, pa.array(v, typ))
+        return out
+
+
+def pack_frames(frames: list[bytes]) -> bytes:
+    """Length-prefixed frame container (\"video\" = PNG frame sequence):
+    u32 frame count, then per frame u32 length + bytes. Honest about scope —
+    a real H.264/VP9 demuxer is the mode='real' seam; this container gives
+    the frame-sampling stage real per-frame payloads to walk."""
+    import struct
+
+    out = [struct.pack("<I", len(frames))]
+    for f in frames:
+        out.append(struct.pack("<I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def iter_frames(payload: bytes):
+    import struct
+
+    (n,) = struct.unpack_from("<I", payload, 0)
+    pos = 4
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        yield payload[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+
+
+class VideoFrameSampler:
+    """Explode video payloads into every-Nth decoded frame rows:
+    (item_id, frame_idx, width, height, mean_px). Frame decode is the PNG
+    codec; one video row fans out to ceil(n_frames / every_n) slim rows."""
+
+    def __init__(self, every_n: int = 5):
+        from knowledgegraphs_ray.multimodal.png import decode_png
+
+        self._decode = decode_png
+        self.every_n = every_n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, ws, hs, means = [], [], [], [], []
+        for item, pay in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            for i, frame in enumerate(iter_frames(pay)):
+                if i % self.every_n:
+                    continue
+                img = self._decode(frame)
+                ids.append(item)
+                idxs.append(i)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                means.append(float(img.mean()))
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "mean_px": pa.array(means, pa.float64()),
+            }
+        )
 
 
 def image_feature_pipeline(

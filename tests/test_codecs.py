@@ -1,0 +1,155 @@
+"""From-scratch PNG/WAV codecs + the real-pixel multimodal stages."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from knowledgegraphs_ray.multimodal.png import (
+    BadPng,
+    UnsupportedPng,
+    decode_png,
+    encode_png,
+)
+from knowledgegraphs_ray.multimodal.stages import (
+    AudioFeatures,
+    ImageDecoder,
+    ImageResizer,
+    VideoFrameSampler,
+    pack_frames,
+    synth_png_table,
+    synth_wav_table,
+)
+from knowledgegraphs_ray.multimodal.wav import (
+    BadWav,
+    UnsupportedWav,
+    decode_wav,
+    encode_wav,
+)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("shape", [(13, 9), (9, 13, 3), (7, 5, 4)])
+def test_png_roundtrip_all_filters(filter_type, shape):
+    rng = np.random.default_rng(filter_type * 100 + len(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    data = encode_png(img, filter_type=filter_type)
+    out = decode_png(data)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_png_gradient_roundtrip():
+    # smooth gradients are where Sub/Average/Paeth actually differ
+    y, x = np.mgrid[0:32, 0:48]
+    img = ((x * 3 + y * 5) % 256).astype(np.uint8)
+    for ft in range(5):
+        np.testing.assert_array_equal(decode_png(encode_png(img, filter_type=ft)), img)
+
+
+def test_png_rejects_garbage_and_corruption():
+    with pytest.raises(BadPng):
+        decode_png(b"not a png at all")
+    good = bytearray(encode_png(np.zeros((4, 4), np.uint8)))
+    good[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with pytest.raises(BadPng):
+        decode_png(bytes(good))
+
+
+def test_png_unsupported_scope():
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    with pytest.raises(UnsupportedPng):
+        decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+    # palette color type
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    with pytest.raises(UnsupportedPng):
+        decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("channels", [1, 2])
+def test_wav_roundtrip(channels):
+    rng = np.random.default_rng(5)
+    x = rng.integers(-30000, 30000, (500, channels)).astype(np.int16)
+    if channels == 1:
+        x = x[:, 0]
+    out, rate = decode_wav(encode_wav(x, 16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(out, x)
+
+
+def test_wav_rejects_bad_and_unsupported():
+    with pytest.raises(BadWav):
+        decode_wav(b"RIFFxxxxJUNK")
+    import struct
+
+    # float PCM (tag 3)
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 0)
+    with pytest.raises(UnsupportedWav):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_image_decoder_png_real_pixels():
+    t = synth_png_table(6)
+    out = ImageDecoder("png")(t)
+    # recompute the expected means by decoding independently
+    exp = [float(decode_png(p).mean()) for p in t["payload"].to_pylist()]
+    assert out["mean_px"].to_pylist() == pytest.approx(exp)
+    assert "payload" not in out.schema.names
+
+
+def test_image_resizer_png():
+    t = synth_png_table(4)
+    out = ImageResizer((12, 10), mode="png")(t)
+    assert out["width"].to_pylist() == [12] * 4
+    assert out["height"].to_pylist() == [10] * 4
+    for p in out["payload"].to_pylist():
+        img = decode_png(p)
+        assert img.shape[:2] == (10, 12)
+
+
+def test_audio_features_stage_in_pipeline():
+    ds = ray.data.from_arrow(synth_wav_table(12))
+    out = ds.map_batches(
+        AudioFeatures,
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+        num_cpus=1,
+    ).to_pandas()
+    assert len(out) == 12
+    assert (out["duration_s"] > 0).all()
+    assert (out["peak"] <= 12000).all()
+    assert (out["rms"] > 0).all()
+    # sine wave ZCR ~ 2*freq/rate, always in (0, 1)
+    assert ((out["zcr"] > 0) & (out["zcr"] < 1)).all()
+
+
+def test_video_frame_sampler():
+    rng = np.random.default_rng(1)
+    frames = [
+        encode_png(rng.integers(0, 256, (6, 8), dtype=np.uint8)) for _ in range(11)
+    ]
+    vid = pa.table(
+        {
+            "item_id": pa.array([7], pa.int64()),
+            "payload": pa.array([pack_frames(frames)], pa.binary()),
+        }
+    )
+    out = VideoFrameSampler(every_n=4)(vid)
+    assert out["frame_idx"].to_pylist() == [0, 4, 8]
+    assert out["width"].to_pylist() == [8, 8, 8]
+    exp0 = float(decode_png(frames[0]).mean())
+    assert out["mean_px"].to_pylist()[0] == pytest.approx(exp0)
