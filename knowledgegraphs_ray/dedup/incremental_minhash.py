@@ -210,6 +210,8 @@ def probe_minhash_index(
     num_partitions: int | None = None,
     band_broadcast_limit: int = 8_000_000,
     id_broadcast_limit: int = 5_000_000,
+    hist_collision_limit: int = 2_000_000,
+    verify_broadcast_limit: int = 50_000,
 ) -> ray.data.Dataset:
     """-> (new_doc, hist_doc, est_jaccard) rows: every shard document whose
     estimated Jaccard against some indexed document reaches ``threshold``.
@@ -220,13 +222,18 @@ def probe_minhash_index(
     8M rows ≈ 64 MB — the normal streaming-ingest regime), the shard's
     band KEYS broadcast once via ``ray.put`` and the history band table is
     SEMI-FILTERED MAP-ONLY: history rows are scanned where they live and
-    never hash-partitioned. Likewise the history signature table is
-    semi-filtered to the candidate ids (``id_broadcast_limit``) before the
-    verify join. Every remaining join then runs over collision-bounded
-    datasets. Above the limits the probe falls back to full hash joins
-    (O(history + shard) exchange — correct, documented, and the signal to
-    shard the ingest smaller or pre-partition the saved index by
-    hash(band_hash)).
+    never hash-partitioned. When the surviving collision set is itself
+    small (``hist_collision_limit`` rows) candidate generation is a DRIVER
+    pandas merge, and below ``verify_broadcast_limit`` pairs verification
+    gathers just the pair ids' signatures (map-only semi-filters, ~n_perm*8
+    bytes each) for one vectorized slot-agreement pass — the whole probe
+    then runs ZERO shuffle joins, the normal streaming-ingest regime.
+    Past those limits the probe escalates tier by tier: hash join on the
+    LSH key (collision-bounded when the key-set filter applied), slim
+    distinct, signature semi-filter (``id_broadcast_limit``) + two hash
+    joins for verify — correct at any size, and the O(history + shard)
+    worst case is the signal to shard the ingest smaller or pre-partition
+    the saved index by hash(band_hash).
 
     Shard docs are NOT compared to each other — run
     ``minhash_candidate_pairs`` on the shard for that; composition =
@@ -273,6 +280,7 @@ def probe_minhash_index(
         _rename({"doc_id": "hist_doc"}), batch_format="pyarrow"
     )
     n_new_bands = new_bands.count()
+    nb = None
     if n_new_bands <= band_broadcast_limit:
         nb = new_bands.to_pandas()
         sets = {
@@ -287,27 +295,93 @@ def probe_minhash_index(
     if n_hist_bands == 0 or n_new_bands == 0:
         return ray.data.from_pandas(_EMPTY_PROBED.copy())
 
-    # hash join on the composite LSH key — collision-bounded on the history
-    # side when the broadcast tier applied above.
-    cand = native_join(
-        new_bands,
-        hist_bands,
-        left_on=("band_id", "band_hash"),
-        right_on=("band_id", "band_hash"),
-        num_partitions=_join_parts(n_new_bands + n_hist_bands),
-    ).select_columns(["new_doc", "hist_doc", "band_id"])
+    pairs = None
+    pairs_df = None
+    if nb is not None and n_hist_bands <= hist_collision_limit:
+        # DRIVER TIER — the normal streaming-probe regime: the shard's band
+        # table is already on the driver (the key-set broadcast above) and
+        # the history side is semi-filtered down to collision-bounded rows,
+        # so candidate generation is one pandas hash merge — no shuffle-join
+        # actors spin up for kilobyte collision sets.
+        hb = hist_bands.to_pandas()
+        pairs_df = nb.merge(hb, on=["band_id", "band_hash"])[
+            ["new_doc", "hist_doc"]
+        ].drop_duplicates()
+        if pairs_df.empty:
+            return ray.data.from_pandas(_EMPTY_PROBED.copy())
+        if len(pairs_df) > verify_broadcast_limit:
+            pairs = ray.data.from_pandas(pairs_df.reset_index(drop=True))
+            pairs_df = None
+    if pairs is None and pairs_df is None:
+        # JOIN TIER — shard or collision set past the broadcast limits:
+        # hash join on the composite LSH key, collision-bounded on the
+        # history side when the key-set semi-filter applied above.
+        cand = native_join(
+            new_bands,
+            hist_bands,
+            left_on=("band_id", "band_hash"),
+            right_on=("band_id", "band_hash"),
+            num_partitions=_join_parts(n_new_bands + n_hist_bands),
+        ).select_columns(["new_doc", "hist_doc", "band_id"])
 
-    PAIR_SCHEMA = pa.schema(
-        [("new_doc", pa.int64()), ("hist_doc", pa.int64()), ("band_id", pa.int64())]
-    )
-    cand = compact_nonempty(cand, PAIR_SCHEMA)
-    if cand.count() == 0:
-        return ray.data.from_pandas(_EMPTY_PROBED.copy())
+        PAIR_SCHEMA = pa.schema(
+            [("new_doc", pa.int64()), ("hist_doc", pa.int64()),
+             ("band_id", pa.int64())]
+        )
+        cand = compact_nonempty(cand, PAIR_SCHEMA)
+        if cand.count() == 0:
+            return ray.data.from_pandas(_EMPTY_PROBED.copy())
 
-    # A pair colliding in k bands appears k times; one slim distinct.
-    pairs = distinct_pairs(
-        cand, keys=("new_doc", "hist_doc"), carry=("band_id",), schema=PAIR_SCHEMA
-    ).drop_columns(["band_id"])
+        # A pair colliding in k bands appears k times; one slim distinct.
+        pairs = distinct_pairs(
+            cand, keys=("new_doc", "hist_doc"), carry=("band_id",),
+            schema=PAIR_SCHEMA,
+        ).drop_columns(["band_id"])
+
+    n_perm = kern.n_perm
+    if pairs_df is not None:
+        # driver verify: semi-filter both signature tables map-only to the
+        # pair ids (<= 2 x verify_broadcast_limit sigs ~ n_perm*8 B each),
+        # gather, one vectorized slot-agreement pass
+        new_ids = pa.array(
+            np.unique(pairs_df["new_doc"].to_numpy()), type=pa.int64()
+        )
+        hist_ids = pa.array(
+            np.unique(pairs_df["hist_doc"].to_numpy()), type=pa.int64()
+        )
+        sn = (
+            new_sigs.map_batches(
+                _id_filter(ray.put(new_ids), "doc_id"), batch_format="pyarrow"
+            )
+            .to_pandas()
+            .set_index("doc_id")["sig"]
+        )
+        sh = (
+            index.sigs.map_batches(
+                _id_filter(ray.put(hist_ids), "doc_id"), batch_format="pyarrow"
+            )
+            .to_pandas()
+            .set_index("doc_id")["sig"]
+        )
+        sa = _sig_matrix(
+            pa.array(sn.loc[pairs_df["new_doc"]].to_numpy(), pa.binary(n_perm * 8)),
+            n_perm,
+        )
+        sb = _sig_matrix(
+            pa.array(sh.loc[pairs_df["hist_doc"]].to_numpy(), pa.binary(n_perm * 8)),
+            n_perm,
+        )
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "new_doc": pairs_df["new_doc"].to_numpy()[keep],
+                    "hist_doc": pairs_df["hist_doc"].to_numpy()[keep],
+                    "est_jaccard": est[keep].astype("float64"),
+                }
+            )
+        )
 
     # Verify: join both signature tables on, agreement >= threshold. The
     # shard's signatures are reused from the materialized sketch above; the
@@ -360,8 +434,6 @@ def probe_minhash_index(
         right_on="hist_doc",
         num_partitions=_join_parts(n_pairs + sig_h.count()),
     )
-
-    n_perm = kern.n_perm
 
     def verify(batch: pa.Table) -> pd.DataFrame:
         if batch.num_rows == 0 or "new_doc" not in batch.schema.names:

@@ -149,16 +149,27 @@ def test_broadcast_and_join_tiers_identical():
         lambda df: df[df["doc_id"] % 2 == 1], batch_format="pandas"
     )
     index = build_minhash_index(hist)
+    # default = driver tier (pandas merge + gathered-signature verify)
     a = probe_minhash_index(index, new, threshold=0.6).to_pandas()
-    index2 = build_minhash_index(hist)
+    # full-join fallback: no key-set broadcast, no id semi-filter
     b = probe_minhash_index(
-        index2, new, threshold=0.6,
+        build_minhash_index(hist), new, threshold=0.6,
         band_broadcast_limit=0, id_broadcast_limit=0,
+    ).to_pandas()
+    # key-set broadcast + join-tier candidates/verify (driver merge off)
+    c = probe_minhash_index(
+        build_minhash_index(hist), new, threshold=0.6,
+        hist_collision_limit=0,
+    ).to_pandas()
+    # driver merge for candidates, join-tier verify (pair broadcast off)
+    d = probe_minhash_index(
+        build_minhash_index(hist), new, threshold=0.6,
+        verify_broadcast_limit=0,
     ).to_pandas()
     key = lambda df: sorted(
         map(tuple, df[["new_doc", "hist_doc", "est_jaccard"]].values)
     )
-    assert key(a) == key(b)
+    assert key(a) == key(b) == key(c) == key(d)
     assert len(a) > 0  # the gate corpus has cross near-dups at 0.6
 
 
