@@ -1253,6 +1253,34 @@ def q_rolling_events(sf_dir: str):
     )
 
 
+def q_spend_outliers(sf_dir: str):
+    """Per-user spend anomaly flags: is_outlier iff the event's cents
+    deviate from the user's mean by more than two population sigmas,
+    decided by the division/sqrt-free integer inequality
+    (n*x - S)^2 > 4*(n*Q - S^2) — util/outliers.py, HUGEINT SQL twin."""
+    from knowledgegraphs_ray.util.outliers import group_zscore_outliers
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "cents": pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64()),
+            }
+        )
+
+    return group_zscore_outliers(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_cols=["user_id"],
+        val_col="cents",
+        z2=4,
+    )
+
+
 def q_event_funnel(sf_dir: str):
     """Ordered funnel over the events stream (view -> click -> purchase):
     per-step reach counts under strict-ordering semantics
@@ -1328,6 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- never driver-verified (round-3 tail + round-4 additions) ---
         "rolling_events": q_rolling_events,
+        "spend_outliers": q_spend_outliers,
         "copurchase_kcore": q_copurchase_kcore,
         "retention_cohorts": q_retention_cohorts,
         "hybrid_search": q_hybrid_search,
@@ -1541,6 +1570,23 @@ def oracle_sql() -> dict[str, str]:
             "         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), "
             "  gw AS (PARTITION BY user_id ORDER BY ts_us "
             "         RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
+        ),
+        # spend_outliers: z-score test as a pure-integer inequality —
+        # HUGEINT products on the SQL side, float-with-exact-fallback on
+        # the Ray side decide identically at any magnitude
+        "spend_outliers": (
+            "WITH t AS (SELECT event_id, user_id, "
+            "  CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "g AS (SELECT user_id, COUNT(*) AS n, "
+            "  CAST(SUM(cents) AS BIGINT) AS s, "
+            "  CAST(SUM(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS q "
+            "  FROM t GROUP BY user_id) "
+            "SELECT t.event_id, t.user_id, t.cents, "
+            "  (CAST(g.n AS HUGEINT) * t.cents - g.s) "
+            "    * (CAST(g.n AS HUGEINT) * t.cents - g.s) "
+            "  > 4 * (CAST(g.n AS HUGEINT) * g.q - CAST(g.s AS HUGEINT) * g.s) "
+            "  AS is_outlier "
+            "FROM t JOIN g USING (user_id)"
         ),
         # event_funnel: strict-ordering reach via chained CTEs — pure
         # integer timestamp comparisons on both sides
