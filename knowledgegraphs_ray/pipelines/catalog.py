@@ -1346,13 +1346,14 @@ def q_token_cooccurrence(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
-    # entries in dict order.  Entries 1-26 are the queries that have never
-    # had a driver-side green row (round-3 additions past the old window,
-    # plus this round's new gates); entries 27-50 are previously-green
-    # queries whose code changed this round (decontam distinct path,
-    # simhash/embed truncation tier, IVF-PQ rerank bound) plus the flagship
-    # KG / dedup / linking / PII cores.  Entries 51+ were all green in
-    # CORRECTNESS_r03 and their code paths are unchanged since.
+    # entries in dict order.  The window holds every query that has never
+    # had a driver-side green row (round-3 tail + round-4 additions, newest
+    # first) and then previously-green queries whose code changed this
+    # round.  The four displaced by the newest additions (simhash_pairs,
+    # embedding_near_dups, ann_ivf_pq_topk, minhash-tier kin) are pinned in
+    # tests/test_oracle_gate.py's sf0.001 pytest gate instead.  Entries 51+
+    # were all green in CORRECTNESS_r03 and their code paths are unchanged
+    # since.
     return {
         # --- never driver-verified (round-3 tail + round-4 additions) ---
         "rolling_events": q_rolling_events,

@@ -46,6 +46,9 @@ SUBSET = [
     "chat_pairs",           # SFT pair extraction, lead() window twin (r3)
     "ann_ivf_pq_topk",      # full IVF-PQ path, exact by construction (r3)
     "rolling_events",       # sliding ROWS+RANGE frames, window twin (r4)
+    "spend_outliers",       # integer z-score inequality, HUGEINT twin (r4)
+    "simhash_pairs",        # truncation-safe band exchange tier (r4)
+    "embedding_near_dups",  # embedding-LSH pairs, exchange tier (r4)
 ]
 
 
