@@ -112,6 +112,8 @@ def run_bench() -> dict:
     timed("retention_cohorts", catalog.q_retention_cohorts)
     timed("hybrid_search", catalog.q_hybrid_search)
     timed("ngram_diversity", catalog.q_ngram_diversity)
+    timed("rolling_events", catalog.q_rolling_events)
+    timed("spend_outliers", catalog.q_spend_outliers)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)
