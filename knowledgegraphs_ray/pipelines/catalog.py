@@ -60,6 +60,26 @@ def q_kg_transcripts(sf_dir: str):
     return decode_triples(extract_transcript_triples(transcripts_from_events(sf_dir)))
 
 
+def q_tool_transitions(sf_dir: str):
+    """Tool-call transition counts over the derived transcript stream
+    (pipelines/transcripts.py:tool_transitions): which tool follows which
+    within a conversation — lead() via the O(num_blocks) halo walk on the
+    already-sorted transcripts, then vocabulary-sized count partials."""
+    from knowledgegraphs_ray.pipelines.transcripts import tool_transitions
+
+    return tool_transitions(transcripts_from_events(sf_dir), assume_sorted=True)
+
+
+def q_conv_stats(sf_dir: str):
+    """Per-conversation shape statistics (turn counts by role, tool-call
+    volume, text mass) for SFT filtering/stratification
+    (pipelines/transcripts.py:conversation_stats): per-block integer
+    partials merged by conv_id, text never shuffles."""
+    from knowledgegraphs_ray.pipelines.transcripts import conversation_stats
+
+    return conversation_stats(transcripts_from_events(sf_dir))
+
+
 def q_kg_triples_events(sf_dir: str):
     from knowledgegraphs_ray.pipelines.relational import extract_events_kg
 
@@ -1356,6 +1376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # since.
     return {
         # --- never driver-verified (round-3 tail + round-4 additions) ---
+        "tool_transitions": q_tool_transitions,
+        "conv_stats": q_conv_stats,
         "rolling_events": q_rolling_events,
         "spend_outliers": q_spend_outliers,
         "copurchase_kcore": q_copurchase_kcore,
@@ -1541,6 +1563,17 @@ def oracle_sql() -> dict[str, str]:
         "kg_triples_star": _plan_sql(STAR_TABLES),
         "kg_attr_classes_customer": _plan_sql(["customer"], attrs_to_classes=True),
         "kg_transcripts": sqlgen.transcript_triples_sql(),
+        # tool_transitions / conv_stats: the transcript derivation (conv =
+        # user, order = (ts, event_id), role = EVENT_ROLE case) re-expressed
+        # as lead() / grouped-CASE windows over the raw events view
+        "tool_transitions": __import__(
+            "knowledgegraphs_ray.pipelines.transcripts",
+            fromlist=["tool_transitions_oracle_sql"],
+        ).tool_transitions_oracle_sql(),
+        "conv_stats": __import__(
+            "knowledgegraphs_ray.pipelines.transcripts",
+            fromlist=["conversation_stats_oracle_sql"],
+        ).conversation_stats_oracle_sql(),
         "kg_triples_events": _events_vdim_sql(),
         # kg_pagerank: integer fixed-point iteration — identical floor-div
         # arithmetic on both sides, so the CTE unroll is a true value oracle

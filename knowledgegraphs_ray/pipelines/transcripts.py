@@ -247,6 +247,133 @@ def with_context_window(
 
 
 # ---------------------------------------------------------------------------
+# Transcript analytics: tool-call transitions + per-conversation stats
+#
+# Agent-transcript curation needs corpus-level views of what the agents
+# actually DID: which tool follows which (a Markov transition count matrix
+# over the ``tool`` column) and per-conversation shape statistics (turn
+# counts by role, tool-call volume, text mass) for filtering/stratifying
+# SFT data.  Both are integer-exact with window-function DuckDB twins.
+
+
+def tool_transitions(
+    ds: ray.data.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    tool_col: str = "tool",
+    assume_sorted: bool = False,
+) -> ray.data.Dataset:
+    """(tool_from, tool_to, n_transitions): for every adjacent turn pair
+    WITHIN a conversation, count the (this turn's tool -> next turn's tool)
+    transitions; pairs where either side is null are dropped.
+
+    Scale shape: ``lead()`` comes from the O(num_blocks) single-row halo
+    walk over the (conv, turn)-sorted stream (``util.segrank`` — pass
+    ``assume_sorted=True`` when upstream already sorted, e.g.
+    ``transcripts_from_events``), then per-block partial counts merge by
+    the ≤ |tools|² transition keys — the transcript text never shuffles
+    and the exchange carries vocabulary-sized count rows only.
+    """
+    from knowledgegraphs_ray.util.fastagg import sum_partials
+    from knowledgegraphs_ray.util.segrank import lead_within_group
+
+    led = lead_within_group(
+        ds.select_columns([conv_col, order_col, tool_col]),
+        key_cols=[conv_col],
+        order_cols=[order_col],
+        cols=[tool_col],
+        assume_sorted=assume_sorted,
+    )
+    lead_col = f"lead_{tool_col}"
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df[tool_col].notna() & df[lead_col].notna()]
+        g = d.groupby([tool_col, lead_col], as_index=False).size()
+        g.columns = ["tool_from", "tool_to", "n_transitions"]
+        g["n_transitions"] = g["n_transitions"].astype("int64")
+        return g
+
+    parts = led.map_batches(partial, batch_format="pandas")
+    return sum_partials(
+        parts, keys=["tool_from", "tool_to"], sum_cols=["n_transitions"]
+    )
+
+
+def tool_transitions_oracle_sql() -> str:
+    """DuckDB twin over the raw ``events`` view: the same conversation
+    derivation as :func:`transcripts_from_events` (conv = user, order =
+    (ts, event_id), tool = event_type) expressed as a ``lead()`` window."""
+    return (
+        "SELECT tool_from, tool_to, count(*)::BIGINT AS n_transitions FROM ("
+        "  SELECT event_type AS tool_from, "
+        "         lead(event_type) OVER ("
+        "           PARTITION BY user_id ORDER BY ts, event_id) AS tool_to"
+        "  FROM events"
+        ") WHERE tool_to IS NOT NULL GROUP BY tool_from, tool_to"
+    )
+
+
+def conversation_stats(
+    ds: ray.data.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Per-conversation shape statistics: (conv_id, n_turns, n_user,
+    n_assistant, n_tool_calls, total_chars) — the SFT-curation filter
+    inputs (drop single-turn convs, cap tool-heavy ones, stratify by
+    length).
+
+    Scale shape: per-block partial aggregates (a conversation's rows may
+    span blocks) merge by conv_id — one exchange of conversation-sized
+    slim integer rows; text never shuffles.
+    """
+    from knowledgegraphs_ray.util.fastagg import sum_partials
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "conv_id": df[conv_col],
+                "n_turns": np.int64(1),
+                "n_user": (df[role_col] == "user").astype("int64"),
+                "n_assistant": (df[role_col] == "assistant").astype("int64"),
+                "n_tool_calls": (df[role_col] == "tool").astype("int64"),
+                "total_chars": df[text_col].str.len().fillna(0).astype("int64"),
+            }
+        )
+        return out.groupby("conv_id", as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return sum_partials(
+        parts,
+        keys=["conv_id"],
+        sum_cols=["n_turns", "n_user", "n_assistant", "n_tool_calls", "total_chars"],
+    )
+
+
+def conversation_stats_oracle_sql() -> str:
+    """DuckDB twin over ``events`` with the shared EVENT_ROLE case map."""
+    role_case = (
+        "CASE event_type "
+        + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in EVENT_ROLE.items())
+        + " ELSE 'user' END"
+    )
+    return (
+        "SELECT 'conv' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id, "
+        "count(*)::BIGINT AS n_turns, "
+        f"sum(CASE WHEN {role_case} = 'user' THEN 1 ELSE 0 END)::BIGINT AS n_user, "
+        f"sum(CASE WHEN {role_case} = 'assistant' THEN 1 ELSE 0 END)::BIGINT"
+        " AS n_assistant, "
+        f"sum(CASE WHEN {role_case} = 'tool' THEN 1 ELSE 0 END)::BIGINT"
+        " AS n_tool_calls, "
+        "sum(length(props))::BIGINT AS total_chars "
+        "FROM events GROUP BY user_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic synthetic transcripts (FIXTURES.md F1) — distributed generator
 
 

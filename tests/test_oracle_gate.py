@@ -49,6 +49,9 @@ SUBSET = [
     "spend_outliers",       # integer z-score inequality, HUGEINT twin (r4)
     "simhash_pairs",        # truncation-safe band exchange tier (r4)
     "embedding_near_dups",  # embedding-LSH pairs, exchange tier (r4)
+    "dedup_resolved_corpus",  # displaced from the driver first-50 (r4s3)
+    "tool_transitions",     # tool-call Markov counts, lead() twin (r4s3)
+    "conv_stats",           # per-conversation shape stats, CASE twin (r4s3)
 ]
 
 

@@ -200,3 +200,82 @@ def test_context_window_halo_matches_group_strategy():
     cols = sorted(a.columns)
     assert "context" in cols
     pd.testing.assert_frame_equal(a[cols], b[cols])
+
+
+# ---------------------------------------------------------------------------
+# Transcript analytics: tool transitions + conversation stats
+
+
+def _toy_transcripts() -> "ray.data.Dataset":
+    import ray.data
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a"] * 4 + ["b"] * 3 + ["c"] * 1,
+            "turn_idx": [0, 1, 2, 3, 0, 1, 2, 0],
+            "role": [
+                "user", "assistant", "tool", "assistant",
+                "user", "tool", "tool",
+                "system",
+            ],
+            "text": ["hi", "run", None, "done", "x", "y", "zz", "s"],
+            "tool": [None, "search", "db", None, "code", "db", "db", None],
+        }
+    )
+    return ray.data.from_pandas(df).repartition(3)
+
+
+def test_tool_transitions_toy():
+    from knowledgegraphs_ray.pipelines.transcripts import tool_transitions
+
+    got = (
+        tool_transitions(_toy_transcripts())
+        .to_pandas()
+        .sort_values(["tool_from", "tool_to"])
+        .reset_index(drop=True)
+    )
+    # conv a: None->search, search->db, db->None => only (search, db)
+    # conv b: code->db, db->db
+    # conv c: single turn, nothing; conv boundaries never pair (a.3 -/-> b.0)
+    want = pd.DataFrame(
+        {
+            "tool_from": ["code", "db", "search"],
+            "tool_to": ["db", "db", "db"],
+            "n_transitions": [1, 1, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"n_transitions": "int64"}), want.astype({"n_transitions": "int64"}),
+        check_dtype=False,
+    )
+
+
+def test_conversation_stats_toy_and_block_straddle():
+    import ray.data
+
+    from knowledgegraphs_ray.pipelines.transcripts import conversation_stats
+
+    ds = _toy_transcripts()
+    got = (
+        conversation_stats(ds).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {
+            "conv_id": ["a", "b", "c"],
+            "n_turns": [4, 3, 1],
+            "n_user": [1, 1, 0],
+            "n_assistant": [2, 0, 0],
+            "n_tool_calls": [1, 2, 0],
+            "total_chars": [2 + 3 + 0 + 4, 1 + 1 + 2, 1],
+        }
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # partials must merge identically when a conversation straddles blocks
+    one_block = (
+        conversation_stats(ds.repartition(1))
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, one_block, check_dtype=False)
