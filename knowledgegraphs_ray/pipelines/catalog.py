@@ -96,6 +96,22 @@ def q_kg_pagerank(sf_dir: str):
     return pagerank(extract_link_edges(sf_dir, STAR_TABLES), iters=5)
 
 
+def q_kg_bfs_depths(sf_dir: str):
+    """Multi-source BFS over the star-KG link graph (graph/bfs.py): hop
+    distance from the region entities to every reachable node (region 0,
+    nation 1, customer/supplier 2, orders 3, lineitem 4, part 5) — driver
+    CSR sweep below the edge limit, distributed Bellman-Ford rounds above;
+    depth-capped recursive-CTE twin."""
+    from knowledgegraphs_ray.graph.bfs import bfs_depths
+    from knowledgegraphs_ray.pipelines.relational import extract_link_edges
+
+    return bfs_depths(
+        extract_link_edges(sf_dir, STAR_TABLES),
+        seed_prefix="kg:region/",
+        max_depth=6,
+    )
+
+
 _COMPONENT_TABLES = ["customer", "supplier", "nation"]
 
 
@@ -1378,6 +1394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-verified (round-3 tail + round-4 additions) ---
         "tool_transitions": q_tool_transitions,
         "conv_stats": q_conv_stats,
+        "kg_bfs_depths": q_kg_bfs_depths,
         "rolling_events": q_rolling_events,
         "spend_outliers": q_spend_outliers,
         "copurchase_kcore": q_copurchase_kcore,
@@ -1570,6 +1587,17 @@ def oracle_sql() -> dict[str, str]:
             "knowledgegraphs_ray.pipelines.transcripts",
             fromlist=["tool_transitions_oracle_sql"],
         ).tool_transitions_oracle_sql(),
+        # kg_bfs_depths: depth-capped recursive CTE — polynomial states
+        # (node, depth<=6); min(depth) == BFS layer on both sides
+        "kg_bfs_depths": __import__(
+            "knowledgegraphs_ray.graph.bfs", fromlist=["bfs_oracle_sql"]
+        ).bfs_oracle_sql(
+            "SELECT subj AS src, obj AS dst FROM ("
+            + _plan_sql(STAR_TABLES)
+            + ") WHERE pred LIKE 'kg:p~_%' ESCAPE '~'",
+            seed_prefix="kg:region/",
+            max_depth=6,
+        ),
         "conv_stats": __import__(
             "knowledgegraphs_ray.pipelines.transcripts",
             fromlist=["conversation_stats_oracle_sql"],

@@ -52,6 +52,7 @@ SUBSET = [
     "dedup_resolved_corpus",  # displaced from the driver first-50 (r4s3)
     "tool_transitions",     # tool-call Markov counts, lead() twin (r4s3)
     "conv_stats",           # per-conversation shape stats, CASE twin (r4s3)
+    "kg_bfs_depths",        # multi-source BFS, depth-capped CTE twin (r4s3)
 ]
 
 
