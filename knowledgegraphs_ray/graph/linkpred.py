@@ -1,0 +1,164 @@
+"""Neighborhood-overlap link prediction over a (u, v) edge Dataset:
+common-neighbor counts + Adamic-Adar scores for node pairs NOT already
+connected — the classic "entities that share many KG neighbors are
+probably the same / related" signal (candidate generation for entity
+resolution, KG completion, co-purchase recommendation).
+
+Adamic-Adar = Σ_w 1/ln(deg(w)) over the common neighbors w of (u, v).
+Every common neighbor has deg(w) >= 2 by construction (w is adjacent to
+both u and v), so ln(deg) > 0 — no guard needed. The score is emitted in
+integer MICRO units (floor(1e6 / ln(deg)) per wedge, summed) so the
+DuckDB twin (:func:`link_prediction_oracle_sql`) is value-exact: both
+sides evaluate the same libm ln(double) on the same integer degree and
+floor the same double division (the bm25/ppl discipline).
+
+Scale shape:
+
+* degrees: per-block endpoint-count partials merged by node — edges never
+  shuffle for the degree pass.
+* ONE node-sized hash join attaches deg(center) to the exploded
+  (center, neighbor) rows; ONE hash exchange co-locates each center.
+* wedge emission is the vectorized within-sorted-group pair kernel shared
+  with ``graph/triangles.py``; per-block partial (u, v) aggregation
+  happens BEFORE the pair exchange, which then carries only slim integer
+  count rows.
+* wedge volume is inherently Σ deg(w)² — ``max_center_degree`` is the
+  documented fail-fast skew guard (a 100k-neighbor hub would emit 5e9
+  pairs; cap hubs upstream or raise the guard deliberately).
+* existing edges are removed with a composite-key LEFT-ANTI hash join
+  (never a broadcast of the full edge set).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from knowledgegraphs_ray.extract.joins import native_join
+from knowledgegraphs_ray.graph.triangles import (
+    _pairs_within_sorted_groups,
+    canonical_edges,
+)
+from knowledgegraphs_ray.util.fastagg import sum_partials
+
+
+def _nparts() -> int:
+    return max(2, min(32, int(ray.cluster_resources().get("CPU", 8))))
+
+
+def link_prediction(
+    edges: ray.data.Dataset,
+    *,
+    src: str = "u",
+    dst: str = "v",
+    min_cn: int = 2,
+    max_center_degree: int = 50_000,
+    assume_canonical: bool = False,
+) -> ray.data.Dataset:
+    """-> (u, v, cn, aa_micro) for every non-adjacent pair with at least
+    ``min_cn`` common neighbors; u < v; aa_micro = Σ floor(1e6/ln(deg(w)))
+    over common neighbors w."""
+    if assume_canonical:
+        canon = edges.select_columns([src, dst])
+        if (src, dst) != ("u", "v"):
+            canon = canon.map_batches(
+                lambda t: t.rename_columns(["u", "v"]), batch_format="pyarrow"
+            )
+    else:
+        canon = canonical_edges(edges, src=src, dst=dst)
+    canon = canon.materialize()
+
+    # (center, neighbor) exploded view + per-node degree (partials merge)
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c": np.concatenate([df["u"].to_numpy(), df["v"].to_numpy()]),
+                "n": np.concatenate([df["v"].to_numpy(), df["u"].to_numpy()]),
+            }
+        )
+
+    und = canon.map_batches(explode, batch_format="pandas")
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("c", as_index=False, sort=False).size()
+        g.columns = ["c", "deg"]
+        g["deg"] = g["deg"].astype("int64")
+        return g
+
+    deg = sum_partials(
+        und.map_batches(deg_partial, batch_format="pandas"),
+        keys=["c"], sum_cols=["deg"],
+    )
+
+    nparts = _nparts()
+    withdeg = native_join(und, deg, left_on="c", right_on="c",
+                          num_partitions=nparts)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["c"].to_numpy()) % np.uint64(nparts)
+        return df.assign(__b=h.astype(np.int64))
+
+    bucketed = withdeg.map_batches(bucket, batch_format="pandas")
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c", "n"], kind="mergesort")
+        codes, _ = pd.factorize(g["c"], sort=False)
+        k = np.bincount(codes) if len(codes) else np.empty(0, np.int64)
+        if len(k) and int(k.max()) > max_center_degree:
+            raise RuntimeError(
+                f"link_prediction: a node has {int(k.max())} neighbors "
+                f"(> max_center_degree={max_center_degree}); wedge emission "
+                "is O(deg²) per node — cap hub nodes upstream or raise the "
+                "guard deliberately"
+            )
+        items = g["n"].to_numpy()
+        a, b = _pairs_within_sorted_groups(codes)
+        # deg is constant per center row-group; wedge contribution keys off
+        # the CENTER's degree — indexed AFTER pairing so degree-1 centers
+        # (which emit no pairs) never reach the ln
+        deg_a = g["deg"].to_numpy()[a].astype(np.float64)
+        aa_w = np.floor(1_000_000.0 / np.log(deg_a)).astype(np.int64)
+        out = pd.DataFrame(
+            {"u": items[a], "v": items[b], "cn": np.int64(1), "aa_micro": aa_w}
+        )
+        return out.groupby(["u", "v"], as_index=False, sort=False).sum()
+
+    pairs = bucketed.groupby("__b").map_groups(emit, batch_format="pandas")
+    cand = sum_partials(pairs, keys=["u", "v"], sum_cols=["cn", "aa_micro"])
+    cand = cand.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cn"], min_cn)),
+        batch_format="pyarrow",
+    )
+    # drop already-connected pairs: composite-key anti join against edges
+    return native_join(
+        cand, canon, left_on=("u", "v"), right_on=("u", "v"),
+        how="left_anti", num_partitions=nparts,
+    )
+
+
+def link_prediction_oracle_sql(edges_sql: str, *, min_cn: int = 2) -> str:
+    """DuckDB twin. ``edges_sql`` must select distinct canonical (u, v)
+    rows with u < v."""
+    return f"""
+WITH e AS ({edges_sql}),
+und AS (SELECT u AS c, v AS n FROM e UNION ALL SELECT v AS c, u AS n FROM e),
+deg AS (SELECT c AS node, count(*)::BIGINT AS deg FROM und GROUP BY c),
+wedge AS (
+  SELECT a.n AS u, b.n AS v, a.c AS w
+  FROM und a JOIN und b ON a.c = b.c AND a.n < b.n
+),
+cand AS (
+  SELECT u, v, count(*)::BIGINT AS cn,
+         CAST(sum(CAST(floor(1000000.0 / ln(CAST(d.deg AS DOUBLE))) AS BIGINT))
+              AS BIGINT) AS aa_micro
+  FROM wedge JOIN deg d ON d.node = wedge.w
+  GROUP BY u, v
+)
+SELECT u, v, cn, aa_micro FROM cand
+WHERE cn >= {min_cn}
+  AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.u AND e.v = cand.v)
+"""

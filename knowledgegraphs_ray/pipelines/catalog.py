@@ -1257,6 +1257,23 @@ def q_copurchase_kcore(sf_dir: str):
     return kcore(edges, src="u", dst="v", assume_canonical=True, k=3)
 
 
+def q_link_prediction(sf_dir: str):
+    """Common-neighbor / Adamic-Adar link prediction over the support-≥2
+    co-purchase graph (graph/linkpred.py): non-adjacent part pairs sharing
+    ≥2 neighbors, AA in integer micro units (floor(1e6/ln(deg)) per shared
+    neighbor — libm-bit-exact vs the DuckDB twin)."""
+    from knowledgegraphs_ray.graph.linkpred import link_prediction
+    from knowledgegraphs_ray.graph.triangles import cooccurrence_edges
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return link_prediction(edges, min_cn=2, assume_canonical=True)
+
+
 def q_rolling_events(sf_dir: str):
     """Per-user sliding-frame aggregates over the events stream: ROWS frame
     (last 3 events: spend sum/cnt/min/max) and RANGE frame (trailing 1 h:
@@ -1395,6 +1412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_transitions": q_tool_transitions,
         "conv_stats": q_conv_stats,
         "kg_bfs_depths": q_kg_bfs_depths,
+        "link_prediction": q_link_prediction,
         "rolling_events": q_rolling_events,
         "spend_outliers": q_spend_outliers,
         "copurchase_kcore": q_copurchase_kcore,
@@ -1597,6 +1615,21 @@ def oracle_sql() -> dict[str, str]:
             + ") WHERE pred LIKE 'kg:p~_%' ESCAPE '~'",
             seed_prefix="kg:region/",
             max_depth=6,
+        ),
+        # link_prediction: integer cn + micro-unit AA (same libm ln(double)
+        # + floor(double division) on both sides); edges twin == kcore's
+        # support-2 co-purchase SQL
+        "link_prediction": __import__(
+            "knowledgegraphs_ray.graph.linkpred",
+            fromlist=["link_prediction_oracle_sql"],
+        ).link_prediction_oracle_sql(
+            "SELECT src AS u, dst AS v FROM ("
+            "SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+            "COUNT(DISTINCT a.l_orderkey) AS c FROM lineitem a "
+            "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey GROUP BY src, dst"
+            ") WHERE c >= 2",
+            min_cn=2,
         ),
         "conv_stats": __import__(
             "knowledgegraphs_ray.pipelines.transcripts",

@@ -53,6 +53,7 @@ SUBSET = [
     "tool_transitions",     # tool-call Markov counts, lead() twin (r4s3)
     "conv_stats",           # per-conversation shape stats, CASE twin (r4s3)
     "kg_bfs_depths",        # multi-source BFS, depth-capped CTE twin (r4s3)
+    "link_prediction",      # CN + micro-AA wedge scores, self-join twin (r4s3)
 ]
 
 
