@@ -114,6 +114,10 @@ def run_bench() -> dict:
     timed("ngram_diversity", catalog.q_ngram_diversity)
     timed("rolling_events", catalog.q_rolling_events)
     timed("spend_outliers", catalog.q_spend_outliers)
+    timed("tool_transitions", catalog.q_tool_transitions)
+    timed("conv_stats", catalog.q_conv_stats)
+    timed("kg_bfs_depths", catalog.q_kg_bfs_depths)
+    timed("link_prediction", catalog.q_link_prediction)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)

@@ -14,20 +14,30 @@ Seeds are the nodes whose id starts with ``seed_prefix`` (IRI namespaces
 make prefixes the natural seed selector: ``kg:region/`` = "the region
 entities").
 
-Two tiers, exact-equivalent (tier-equivalence pytest):
+Three tiers, exact-equivalent (tier-equivalence pytest):
 
 * **driver BFS** (edge count <= ``driver_edge_limit``): edges collected
   once, factorized to a CSR adjacency, layer-at-a-time numpy frontier
   sweep. Right for post-filter subgraphs.
-* **distributed Bellman-Ford rounds** (beyond the limit): the (node,
-  depth) label table stays a Dataset; each round hash-joins the
-  node-sized labels onto the exploded edges (labels flow along ``peer ->
-  node``), takes per-batch partial mins before the small groupby, and
-  checks the fixpoint with a distributed changed-row count. Depth only
-  ever decreases and new labels are capped at ``max_depth``, so the loop
-  is guaranteed to fix in <= max_depth + 1 rounds — no non-convergence
+* **broadcast-frontier BFS** (edges beyond the limit, VISITED NODE count
+  <= ``node_driver_limit``): the edge table stays distributed and
+  materializes exactly once; each round the frontier node set broadcasts
+  (``ray.put``) and one zero-copy Arrow ``is_in`` map over the edges
+  emits per-block-distinct successors — only node IDs ever reach the
+  driver, never edges. This is the 100-TB shape for graphs whose node
+  set is driver-bounded (edge count is what explodes, node count rarely
+  does); raises with guidance past the limit.
+* **distributed Bellman-Ford rounds** (``tier="join"``, the unbounded
+  path): the (node, depth) label table stays a Dataset; each round
+  hash-joins the node-sized labels onto the exploded edges (labels flow
+  along ``peer -> node``), takes per-batch partial mins before the small
+  groupby, and checks the fixpoint with a distributed changed-row count.
+  Depth only ever decreases and new labels are capped at ``max_depth``,
+  so the loop fixes in <= max_depth + 1 rounds — no non-convergence
   branch exists. Same machinery as
-  ``components.py:_components_propagation`` with int64 labels.
+  ``components.py:_components_propagation`` with int64 labels. Costs one
+  full edge shuffle per round — pick it only when the node set itself
+  exceeds driver memory.
 
 The DuckDB twin (:func:`bfs_oracle_sql`) is a depth-capped recursive CTE
 with ``min(depth)`` — polynomial because states are (node, depth <=
@@ -57,17 +67,30 @@ def bfs_depths(
     max_depth: int = 8,
     undirected: bool = True,
     driver_edge_limit: int = 1_000_000,
+    node_driver_limit: int = 50_000_000,
+    tier: str = "auto",
 ) -> ray.data.Dataset:
     """(src, dst) edge multiset -> (node, depth): min hop distance from the
-    ``seed_prefix`` node set, nodes beyond ``max_depth`` omitted."""
+    ``seed_prefix`` node set, nodes beyond ``max_depth`` omitted.
+
+    ``tier``: "auto" picks driver CSR below ``driver_edge_limit`` edges,
+    else the broadcast-frontier sweep (raises past ``node_driver_limit``
+    visited nodes — pass tier="join" for the unbounded shuffle path);
+    "driver" / "broadcast" / "join" force a tier."""
     edges = edges.materialize()  # read twice (count + sweep/propagate)
     n_edges = edges.count()
     if n_edges == 0:
         return ray.data.from_arrow(_OUT_SCHEMA.empty_table())
-    if n_edges <= driver_edge_limit:
+    if tier == "driver" or (tier == "auto" and n_edges <= driver_edge_limit):
         return _bfs_driver(
             edges, src=src, dst=dst, seed_prefix=seed_prefix,
             max_depth=max_depth, undirected=undirected,
+        )
+    if tier in ("auto", "broadcast"):
+        return _bfs_broadcast(
+            edges, src=src, dst=dst, seed_prefix=seed_prefix,
+            max_depth=max_depth, undirected=undirected,
+            node_driver_limit=node_driver_limit,
         )
     return _bfs_propagation(
         edges, src=src, dst=dst, seed_prefix=seed_prefix,
@@ -118,6 +141,91 @@ def _bfs_driver(
     )
 
 
+def _bfs_broadcast(
+    edges, *, src, dst, seed_prefix, max_depth, undirected, node_driver_limit
+) -> ray.data.Dataset:
+    EDGE_SCHEMA = pa.schema([("node", pa.large_string()), ("peer", pa.large_string())])
+
+    def explode(b: pa.Table) -> pa.Table:
+        s = b[src].combine_chunks().cast(pa.large_string())
+        d = b[dst].combine_chunks().cast(pa.large_string())
+        if undirected:
+            return pa.table(
+                {"node": pa.concat_arrays([s, d]), "peer": pa.concat_arrays([d, s])}
+            )
+        return pa.table({"node": d, "peer": s})
+
+    und = compact_nonempty(
+        edges.map_batches(explode, batch_format="pyarrow"), EDGE_SCHEMA
+    )  # materialized once; every round re-maps the SAME object-store blocks
+
+    def seed_part(t: pa.Table) -> pa.Table:
+        n = t["node"].combine_chunks()
+        if not undirected:  # directed: sources appear only in the peer column
+            n = pa.concat_arrays([n, t["peer"].combine_chunks()])
+        return pa.table(
+            {"node": pc.unique(pc.filter(n, pc.starts_with(n, seed_prefix)))}
+        )
+
+    seed_tbls = ray.get(
+        und.map_batches(
+            seed_part, batch_format="pyarrow", zero_copy_batch=True
+        ).to_arrow_refs()
+    )
+    seeds = pc.unique(pa.concat_tables(seed_tbls)["node"].combine_chunks())
+    if len(seeds) == 0:
+        return ray.data.from_arrow(_OUT_SCHEMA.empty_table())
+
+    visited_parts: list[pa.Array] = [seeds]
+    depth_parts: list[np.ndarray] = [np.zeros(len(seeds), np.int64)]
+    visited: pa.Array = seeds  # all visited nodes so far (for membership)
+    frontier: pa.Array = seeds
+    n_visited = len(seeds)
+    for d in range(1, max_depth + 1):
+        if len(frontier) == 0:
+            break
+        fr_ref = ray.put(frontier)
+
+        def expand(t: pa.Table) -> pa.Table:
+            fr = ray.get(fr_ref)  # zero-copy from the object store
+            mask = pc.is_in(t["peer"].combine_chunks(), value_set=fr)
+            return pa.table(
+                {"node": pc.unique(pc.filter(t["node"].combine_chunks(), mask))}
+            )
+
+        cand_tbls = ray.get(
+            und.map_batches(
+                expand, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        cand = pc.unique(pa.concat_tables(cand_tbls)["node"].combine_chunks())
+        new = pc.filter(cand, pc.invert(pc.is_in(cand, value_set=visited)))
+        n_visited += len(new)
+        if n_visited > node_driver_limit:
+            raise RuntimeError(
+                f"bfs_depths broadcast tier: visited node count {n_visited} "
+                f"exceeds node_driver_limit={node_driver_limit}; rerun with "
+                "tier='join' (unbounded distributed rounds) or raise the limit"
+            )
+        if len(new):
+            visited_parts.append(new)
+            depth_parts.append(np.full(len(new), d, np.int64))
+            visited = pa.concat_arrays(
+                [a.cast(pa.large_string()) for a in (visited, new)]
+            )
+        frontier = new
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [a.cast(pa.large_string()) for a in visited_parts]
+                ),
+                "depth": pa.array(np.concatenate(depth_parts), pa.int64()),
+            }
+        )
+    )
+
+
 def _bfs_propagation(
     edges, *, src, dst, seed_prefix, max_depth, undirected
 ) -> ray.data.Dataset:
@@ -156,6 +264,8 @@ def _bfs_propagation(
 
     def seed_block(t: pa.Table) -> pa.Table:
         n = t["node"].combine_chunks()
+        if not undirected:  # directed: sources appear only in the peer column
+            n = pa.concat_arrays([n, t["peer"].combine_chunks()])
         mask = pc.starts_with(n, seed_prefix)
         seeds = pc.filter(n, mask)
         return pa.table(

@@ -39,6 +39,7 @@ import ray
 import ray.data
 
 from knowledgegraphs_ray.extract.joins import native_join
+from knowledgegraphs_ray.util.blocks import compact_nonempty
 from knowledgegraphs_ray.graph.triangles import (
     _pairs_within_sorted_groups,
     canonical_edges,
@@ -62,15 +63,21 @@ def link_prediction(
     """-> (u, v, cn, aa_micro) for every non-adjacent pair with at least
     ``min_cn`` common neighbors; u < v; aa_micro = Σ floor(1e6/ln(deg(w)))
     over common neighbors w."""
-    if assume_canonical:
-        canon = edges.select_columns([src, dst])
-        if (src, dst) != ("u", "v"):
-            canon = canon.map_batches(
-                lambda t: t.rename_columns(["u", "v"]), batch_format="pyarrow"
-            )
-    else:
-        canon = canonical_edges(edges, src=src, dst=dst)
-    canon = canon.materialize()
+    base = (
+        edges.select_columns([src, dst])
+        if assume_canonical
+        else canonical_edges(edges, src=src, dst=dst).select_columns([src, dst])
+    )
+    # every native_join input below goes through compact_nonempty on arrow
+    # blocks: upstream aggregates can emit 0-row / pandas blocks that poison
+    # Dataset.join's hash aggregator (see dedup/incremental_minhash.py)
+    canon = base.map_batches(
+        lambda t: t.rename_columns(["u", "v"]), batch_format="pyarrow"
+    ).materialize()
+    _sch = canon.schema()
+    EDGE_SCHEMA = pa.schema(list(zip(_sch.names, _sch.types)))
+    node_t = EDGE_SCHEMA.field("u").type
+    canon = compact_nonempty(canon, EDGE_SCHEMA)
 
     # (center, neighbor) exploded view + per-node degree (partials merge)
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -95,6 +102,18 @@ def link_prediction(
     )
 
     nparts = _nparts()
+    UND_SCHEMA = pa.schema([("c", node_t), ("n", node_t)])
+    DEG_SCHEMA = pa.schema([("c", node_t), ("deg", pa.int64())])
+    und = compact_nonempty(
+        und.map_batches(lambda t: t.cast(UND_SCHEMA), batch_format="pyarrow"),
+        UND_SCHEMA,
+    )
+    deg = compact_nonempty(
+        deg.map_batches(
+            lambda t: t.select(["c", "deg"]).cast(DEG_SCHEMA), batch_format="pyarrow"
+        ),
+        DEG_SCHEMA,
+    )
     withdeg = native_join(und, deg, left_on="c", right_on="c",
                           num_partitions=nparts)
 
@@ -129,10 +148,21 @@ def link_prediction(
 
     pairs = bucketed.groupby("__b").map_groups(emit, batch_format="pandas")
     cand = sum_partials(pairs, keys=["u", "v"], sum_cols=["cn", "aa_micro"])
-    cand = cand.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["cn"], min_cn)),
-        batch_format="pyarrow",
+    CAND_SCHEMA = pa.schema(
+        [("u", node_t), ("v", node_t), ("cn", pa.int64()), ("aa_micro", pa.int64())]
     )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["cn"], min_cn))
+        return t.select(["u", "v", "cn", "aa_micro"]).cast(CAND_SCHEMA)
+
+    cand = compact_nonempty(
+        cand.map_batches(finish, batch_format="pyarrow"), CAND_SCHEMA
+    )
+    if cand.count() == 0:
+        # nothing survived min_cn — skip the anti join (a 0-row join side
+        # breaks Ray's hash-shuffle aggregator)
+        return ray.data.from_arrow(CAND_SCHEMA.empty_table())
     # drop already-connected pairs: composite-key anti join against edges
     return native_join(
         cand, canon, left_on=("u", "v"), right_on=("u", "v"),

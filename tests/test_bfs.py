@@ -76,3 +76,50 @@ def test_no_seeds_empty_result():
         _edges(ROWS), seed_prefix="nope/", max_depth=4, driver_edge_limit=0
     )
     assert out_dist.count() == 0
+
+
+def test_broadcast_tier_matches_driver():
+    for cap in (1, 8):
+        drv = _depths(bfs_depths(_edges(ROWS), seed_prefix="seed/", max_depth=cap))
+        bc = _depths(
+            bfs_depths(
+                _edges(ROWS), seed_prefix="seed/", max_depth=cap, tier="broadcast"
+            )
+        )
+        assert drv == bc, f"broadcast tier mismatch at max_depth={cap}"
+    # directed too
+    rows = [("seed/a", "b"), ("c", "b")]
+    drv = _depths(
+        bfs_depths(_edges(rows), seed_prefix="seed/", max_depth=8, undirected=False)
+    )
+    bc = _depths(
+        bfs_depths(
+            _edges(rows), seed_prefix="seed/", max_depth=8,
+            undirected=False, tier="broadcast",
+        )
+    )
+    assert drv == bc
+
+
+def test_broadcast_node_limit_raises():
+    import pytest
+
+    with pytest.raises(RuntimeError, match="node_driver_limit"):
+        bfs_depths(
+            _edges(ROWS), seed_prefix="seed/", max_depth=8,
+            tier="broadcast", node_driver_limit=2,
+        )
+
+
+def test_directed_join_tier_matches_driver():
+    rows = [("seed/a", "b"), ("c", "b"), ("b", "d")]
+    drv = _depths(
+        bfs_depths(_edges(rows), seed_prefix="seed/", max_depth=8, undirected=False)
+    )
+    jn = _depths(
+        bfs_depths(
+            _edges(rows), seed_prefix="seed/", max_depth=8,
+            undirected=False, driver_edge_limit=0, tier="join",
+        )
+    )
+    assert drv == jn == {"seed/a": 0, "b": 1, "d": 2}
