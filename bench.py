@@ -116,6 +116,7 @@ def run_bench() -> dict:
     timed("spend_outliers", catalog.q_spend_outliers)
     timed("tool_transitions", catalog.q_tool_transitions)
     timed("conv_stats", catalog.q_conv_stats)
+    timed("conv_fingerprints", catalog.q_conv_fingerprints)
     timed("kg_bfs_depths", catalog.q_kg_bfs_depths)
     timed("link_prediction", catalog.q_link_prediction)
 

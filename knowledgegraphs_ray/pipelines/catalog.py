@@ -70,6 +70,16 @@ def q_tool_transitions(sf_dir: str):
     return tool_transitions(transcripts_from_events(sf_dir), assume_sorted=True)
 
 
+def q_conv_fingerprints(sf_dir: str):
+    """Order-sensitive conversation content fingerprints for conv-level
+    exact dedup (pipelines/transcripts.py:conversation_fingerprints):
+    distributed string_agg(ORDER BY turn) via vectorized piece emission +
+    one piece exchange, md5 per conversation; ordered-string_agg twin."""
+    from knowledgegraphs_ray.pipelines.transcripts import conversation_fingerprints
+
+    return conversation_fingerprints(transcripts_from_events(sf_dir), assume_sorted=True)
+
+
 def q_conv_stats(sf_dir: str):
     """Per-conversation shape statistics (turn counts by role, tool-call
     volume, text mass) for SFT filtering/stratification
@@ -1411,6 +1421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-verified (round-3 tail + round-4 additions) ---
         "tool_transitions": q_tool_transitions,
         "conv_stats": q_conv_stats,
+        "conv_fingerprints": q_conv_fingerprints,
         "kg_bfs_depths": q_kg_bfs_depths,
         "link_prediction": q_link_prediction,
         "rolling_events": q_rolling_events,
@@ -1635,6 +1646,12 @@ def oracle_sql() -> dict[str, str]:
             "knowledgegraphs_ray.pipelines.transcripts",
             fromlist=["conversation_stats_oracle_sql"],
         ).conversation_stats_oracle_sql(),
+        # conv_fingerprints: both sides md5 the same \x1f-joined ordered
+        # turn texts — value-exact hex digests
+        "conv_fingerprints": __import__(
+            "knowledgegraphs_ray.pipelines.transcripts",
+            fromlist=["conversation_fingerprints_oracle_sql"],
+        ).conversation_fingerprints_oracle_sql(),
         "kg_triples_events": _events_vdim_sql(),
         # kg_pagerank: integer fixed-point iteration — identical floor-div
         # arithmetic on both sides, so the CTE unroll is a true value oracle

@@ -353,6 +353,54 @@ def conversation_stats(
     )
 
 
+def conversation_fingerprints(
+    ds: ray.data.Dataset,
+    *,
+    conv_col: str = "conv_id",
+    order_col: str = "turn_idx",
+    text_col: str = "text",
+    assume_sorted: bool = False,
+) -> ray.data.Dataset:
+    """(conv_id, conv_md5): an order-sensitive whole-conversation content
+    fingerprint — md5 of the turn texts joined in turn order with a \\x1f
+    separator. THE conversation-level exact-dedup key (two convs match iff
+    every turn text matches in order; turn-level hashing can't see order).
+
+    Scale shape: ``util.segrank.ordered_concat_per_group`` — one sort
+    (skippable), vectorized per-block piece emission, one piece exchange
+    (text moves once), then one md5 per OUTPUT row (conversation-sized,
+    the ``state/diff.py`` per-row pattern). Null turn texts are skipped
+    (string_agg semantics; twin uses HAVING count(text) > 0)."""
+    import hashlib
+
+    from knowledgegraphs_ray.util.segrank import ordered_concat_per_group
+
+    agg = ordered_concat_per_group(
+        ds.select_columns([conv_col, order_col, text_col]),
+        key_cols=[conv_col],
+        order_cols=[order_col],
+        text_col=text_col,
+        sep="\x1f",
+        out_col="__agg",
+        assume_sorted=assume_sorted,
+    )
+
+    def kern(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(t.encode()).hexdigest() for t in df["__agg"]]
+        return pd.DataFrame({conv_col: df[conv_col], "conv_md5": h})
+
+    return agg.map_batches(kern, batch_format="pandas")
+
+
+def conversation_fingerprints_oracle_sql() -> str:
+    """DuckDB twin: ordered string_agg over the events-derived transcript."""
+    return (
+        "SELECT 'conv' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS conv_id, "
+        "md5(string_agg(props, chr(31) ORDER BY ts, event_id)) AS conv_md5 "
+        "FROM events GROUP BY user_id HAVING count(props) > 0"
+    )
+
+
 def conversation_stats_oracle_sql() -> str:
     """DuckDB twin over ``events`` with the shared EVENT_ROLE case map."""
     role_case = (

@@ -512,3 +512,119 @@ def lead_within_group(
         for i, r in enumerate(refs)
     ]
     return ray.data.from_arrow_refs(out)
+
+
+# ---------------------------------------------------------------------------
+# Ordered per-group string aggregation — SQL string_agg(text, sep ORDER BY ...)
+
+
+@ray.remote
+def _piece_block(
+    block: pa.Table, blk_idx: int, key_cols: list[str], text_col: str, sep: str
+) -> pa.Table:
+    """One (key, __blk, piece) row per key run of a sorted block: the
+    block's rows for that key joined in order with ``sep``. Pure Arrow:
+    run boundaries via shifted inequality masks, ListArray reshape,
+    ``pc.binary_join``. Null texts are dropped first (string_agg skips
+    nulls); keys whose block slice is all-null emit nothing."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    t = block.filter(pc.is_valid(block[text_col]))
+    n = t.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                **{k: block[k].slice(0, 0) for k in key_cols},
+                "__blk": pa.array([], pa.int64()),
+                "__piece": pa.array([], pa.large_string()),
+            }
+        )
+    new_run = np.zeros(n, dtype=bool)
+    new_run[0] = True
+    for k in key_cols:
+        col = t[k].combine_chunks()
+        neq = pc.not_equal(col.slice(1), col.slice(0, n - 1))
+        new_run[1:] |= neq.to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(new_run).astype(np.int64)
+    texts = t[text_col].combine_chunks().cast(pa.large_string())
+    lists = pa.LargeListArray.from_arrays(
+        pa.array(np.concatenate([starts, [n]]), pa.int64()), texts
+    )
+    pieces = pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
+    out = {k: t[k].combine_chunks().take(pa.array(starts)) for k in key_cols}
+    out["__blk"] = pa.array(np.full(len(starts), blk_idx, np.int64))
+    out["__piece"] = pieces
+    return pa.table(out)
+
+
+def ordered_concat_per_group(
+    ds: "ray.data.Dataset",
+    *,
+    key_cols: list[str],
+    order_cols: list[str],
+    text_col: str,
+    sep: str = "\x1f",
+    out_col: str = "agg_text",
+    assume_sorted: bool = False,
+) -> "ray.data.Dataset":
+    """SQL ``string_agg(text, sep ORDER BY order_cols)`` grouped by
+    ``key_cols``: one row per key with the group's texts joined in order.
+
+    Scale shape: ONE distributed sort (skippable with ``assume_sorted``),
+    then each block emits one PIECE per key run (vectorized binary_join —
+    a group contributes as many pieces as blocks it straddles, almost
+    always 1), and one hash exchange of the piece rows merges straddlers
+    with the same vectorized kernel. The text moves once at the piece
+    exchange; per-group Python never runs. Groups whose texts are all
+    null are omitted (string_agg-over-nulls semantics — mirror with
+    ``HAVING count(text) > 0`` in the twin)."""
+    import numpy as np
+
+    sorted_ds = ds if assume_sorted else ds.sort(key_cols + order_cols)
+    from knowledgegraphs_ray.util.blocks import _as_arrow, _num_rows
+
+    raw = sorted_ds.to_arrow_refs()
+    raw_counts = ray.get([_num_rows.remote(r) for r in raw])
+    refs = [_as_arrow.remote(r) for r, n in zip(raw, raw_counts) if n > 0]
+    if not refs:
+        return sorted_ds
+    pieces = ray.data.from_arrow_refs(
+        [
+            _piece_block.remote(r, i, key_cols, text_col, sep)
+            for i, r in enumerate(refs)
+        ]
+    )
+
+    nparts = max(2, min(32, int(ray.cluster_resources().get("CPU", 8))))
+
+    def bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        h = pd.util.hash_pandas_object(df[key_cols], index=False).to_numpy()
+        return df.assign(__b=(h % np.uint64(nparts)).astype(np.int64))
+
+    def merge(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pyarrow.compute as pc
+
+        g = g.sort_values(key_cols + ["__blk"], kind="mergesort")
+        n = len(g)
+        new_run = np.zeros(n, dtype=bool)
+        if n:
+            new_run[0] = True
+            for k in key_cols:
+                v = g[k].to_numpy()
+                new_run[1:] |= v[1:] != v[:-1]
+        starts = np.flatnonzero(new_run)
+        texts = pa.array(g["__piece"].to_numpy(), pa.large_string())
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(np.concatenate([starts, [n]]), pa.int64()), texts
+        )
+        joined = pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
+        out = {k: g[k].to_numpy()[starts] for k in key_cols}
+        out[out_col] = joined.to_pandas()
+        return pd.DataFrame(out)
+
+    return (
+        pieces.map_batches(bucket, batch_format="pandas")
+        .groupby("__b")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -54,6 +54,7 @@ SUBSET = [
     "conv_stats",           # per-conversation shape stats, CASE twin (r4s3)
     "kg_bfs_depths",        # multi-source BFS, depth-capped CTE twin (r4s3)
     "link_prediction",      # CN + micro-AA wedge scores, self-join twin (r4s3)
+    "conv_fingerprints",    # ordered string_agg md5, conv-dedup key (r4s3)
 ]
 
 

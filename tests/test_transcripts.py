@@ -279,3 +279,60 @@ def test_conversation_stats_toy_and_block_straddle():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, one_block, check_dtype=False)
+
+
+def test_ordered_concat_per_group_straddle_and_nulls():
+    import ray.data
+
+    from knowledgegraphs_ray.util.segrank import ordered_concat_per_group
+
+    df = pd.DataFrame(
+        {
+            "k": ["a"] * 5 + ["b"] * 2 + ["c"] * 2,
+            "o": [2, 0, 1, 4, 3, 1, 0, 0, 1],
+            "t": ["C", "A", "B", "E", "D", "y", "x", None, None],
+        }
+    )
+    for nblocks in (1, 4, 9):
+        got = (
+            ordered_concat_per_group(
+                ray.data.from_pandas(df).repartition(nblocks),
+                key_cols=["k"],
+                order_cols=["o"],
+                text_col="t",
+                sep="|",
+            )
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        want = pd.DataFrame({"k": ["a", "b"], "agg_text": ["A|B|C|D|E", "x|y"]})
+        # group c is all-null -> omitted (string_agg semantics)
+        pd.testing.assert_frame_equal(
+            got.astype(str), want.astype(str), check_dtype=False
+        ), nblocks
+
+
+def test_conversation_fingerprints_matches_hashlib():
+    import hashlib
+
+    import ray.data
+
+    from knowledgegraphs_ray.pipelines.transcripts import conversation_fingerprints
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["a", "a", "a", "b"],
+            "turn_idx": [1, 0, 2, 0],
+            "text": ["mid", "first", "last", "solo"],
+        }
+    )
+    got = (
+        conversation_fingerprints(ray.data.from_pandas(df).repartition(2))
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    want_a = hashlib.md5("first\x1fmid\x1flast".encode()).hexdigest()
+    want_b = hashlib.md5("solo".encode()).hexdigest()
+    assert list(got["conv_md5"]) == [want_a, want_b]
