@@ -59,10 +59,18 @@ def link_prediction(
     min_cn: int = 2,
     max_center_degree: int = 50_000,
     assume_canonical: bool = False,
+    include_jaccard: bool = False,
 ) -> ray.data.Dataset:
     """-> (u, v, cn, aa_micro) for every non-adjacent pair with at least
     ``min_cn`` common neighbors; u < v; aa_micro = Σ floor(1e6/ln(deg(w)))
-    over common neighbors w."""
+    over common neighbors w.
+
+    ``include_jaccard=True`` appends ``jac_micro`` = floor(1e6 · cn /
+    (deg(u) + deg(v) − cn)) — neighborhood Jaccard in integer micro
+    units, PURE int64 arithmetic (no libm at all), attached by two extra
+    node-sized degree hash joins after the anti join. The
+    entity-resolution blocking score: near-identical KG neighborhoods ⇒
+    merge candidates."""
     base = (
         edges.select_columns([src, dst])
         if assume_canonical
@@ -156,23 +164,83 @@ def link_prediction(
         t = t.filter(pc.greater_equal(t["cn"], min_cn))
         return t.select(["u", "v", "cn", "aa_micro"]).cast(CAND_SCHEMA)
 
+    FULL_SCHEMA = pa.schema(
+        list(zip(CAND_SCHEMA.names, CAND_SCHEMA.types))
+        + ([("jac_micro", pa.int64())] if include_jaccard else [])
+    )
     cand = compact_nonempty(
         cand.map_batches(finish, batch_format="pyarrow"), CAND_SCHEMA
     )
     if cand.count() == 0:
         # nothing survived min_cn — skip the anti join (a 0-row join side
         # breaks Ray's hash-shuffle aggregator)
-        return ray.data.from_arrow(CAND_SCHEMA.empty_table())
+        return ray.data.from_arrow(FULL_SCHEMA.empty_table())
     # drop already-connected pairs: composite-key anti join against edges
-    return native_join(
+    out = native_join(
         cand, canon, left_on=("u", "v"), right_on=("u", "v"),
         how="left_anti", num_partitions=nparts,
     )
+    if not include_jaccard:
+        return out
+    out = compact_nonempty(
+        out.map_batches(lambda t: t.cast(CAND_SCHEMA), batch_format="pyarrow"),
+        CAND_SCHEMA,
+    )
+    if out.count() == 0:
+        return ray.data.from_arrow(FULL_SCHEMA.empty_table())
+    # endpoint degrees: two node-sized hash joins, then pure-int64 jaccard
+    degu = compact_nonempty(
+        deg.map_batches(
+            lambda t: t.select(["c", "deg"]).rename_columns(["u", "deg_u"]),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("u", node_t), ("deg_u", pa.int64())]),
+    )
+    degv = compact_nonempty(
+        deg.map_batches(
+            lambda t: t.select(["c", "deg"]).rename_columns(["v", "deg_v"]),
+            batch_format="pyarrow",
+        ),
+        pa.schema([("v", node_t), ("deg_v", pa.int64())]),
+    )
+    out = native_join(out, degu, left_on="u", right_on="u", num_partitions=nparts)
+    out = native_join(out, degv, left_on="v", right_on="v", num_partitions=nparts)
+
+    def jac(t: pa.Table) -> pa.Table:
+        cn = t["cn"]
+        # denom = deg_u + deg_v - cn >= cn >= 1; int64 divide is exact
+        # floor for non-negative operands
+        denom = pc.subtract(pc.add(t["deg_u"], t["deg_v"]), cn)
+        j = pc.divide(pc.multiply(pc.cast(cn, pa.int64()), pa.scalar(1_000_000)), denom)
+        return pa.table(
+            {
+                "u": t["u"],
+                "v": t["v"],
+                "cn": t["cn"],
+                "aa_micro": t["aa_micro"],
+                "jac_micro": pc.cast(j, pa.int64()),
+            }
+        )
+
+    return out.map_batches(jac, batch_format="pyarrow")
 
 
-def link_prediction_oracle_sql(edges_sql: str, *, min_cn: int = 2) -> str:
+def link_prediction_oracle_sql(
+    edges_sql: str, *, min_cn: int = 2, include_jaccard: bool = False
+) -> str:
     """DuckDB twin. ``edges_sql`` must select distinct canonical (u, v)
-    rows with u < v."""
+    rows with u < v. ``include_jaccard`` appends the same pure-integer
+    floor-division jac_micro (DuckDB ``//`` on BIGINT)."""
+    jac_col = (
+        ",\n       (1000000 * cand.cn) // (du.deg + dv.deg - cand.cn) AS jac_micro"
+        if include_jaccard
+        else ""
+    )
+    jac_join = (
+        "\nJOIN deg du ON du.node = cand.u JOIN deg dv ON dv.node = cand.v"
+        if include_jaccard
+        else ""
+    )
     return f"""
 WITH e AS ({edges_sql}),
 und AS (SELECT u AS c, v AS n FROM e UNION ALL SELECT v AS c, u AS n FROM e),
@@ -188,7 +256,8 @@ cand AS (
   FROM wedge JOIN deg d ON d.node = wedge.w
   GROUP BY u, v
 )
-SELECT u, v, cn, aa_micro FROM cand
-WHERE cn >= {min_cn}
+SELECT cand.u, cand.v, cand.cn, cand.aa_micro{jac_col}
+FROM cand{jac_join}
+WHERE cand.cn >= {min_cn}
   AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.u AND e.v = cand.v)
 """

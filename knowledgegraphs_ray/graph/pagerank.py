@@ -76,9 +76,17 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = SCALE,
     broadcast_limit: int = 5_000_000,
+    seed_prefix: str | None = None,
 ) -> ray.data.Dataset:
     """(src, dst) edge multiset -> (node, pr) with ``pr`` the int64
-    fixed-point rank after ``iters`` synchronous iterations."""
+    fixed-point rank after ``iters`` synchronous iterations.
+
+    ``seed_prefix``: PERSONALIZED PageRank — the teleport mass lands only
+    on nodes whose name starts with the prefix (pr_0 = scale on seeds, 0
+    elsewhere; the per-iteration base term is seed-masked the same way).
+    Relevance-from-seeds ranking for KG neighborhoods; identical integer
+    arithmetic, so the unrolled-CTE oracle stays bit-exact (the prefix
+    must not contain SQL LIKE wildcards)."""
     assert 0 < damping_pct < 100
     base = (scale * (100 - damping_pct)) // 100
 
@@ -99,11 +107,13 @@ def pagerank(
         return _pagerank_broadcast(
             edges, src=src, dst=dst, iters=iters,
             damping_pct=damping_pct, scale=scale, base=base,
+            seed_prefix=seed_prefix,
         )
     nodes = _distinct_nodes(edges, src, dst).materialize()
     return _pagerank_join(
         edges, nodes, src=src, dst=dst, iters=iters,
         damping_pct=damping_pct, scale=scale, base=base,
+        seed_prefix=seed_prefix,
     )
 
 
@@ -139,7 +149,7 @@ def _estimate_node_count(edges: ray.data.Dataset, src: str, dst: str) -> int:
 
 
 def _pagerank_broadcast(
-    edges, *, src, dst, iters, damping_pct, scale, base
+    edges, *, src, dst, iters, damping_pct, scale, base, seed_prefix=None
 ) -> ray.data.Dataset:
     # exact node set via tree-unique over the edge blocks (per-leaf
     # pc.unique, pairwise unique-merge — O(log blocks) rounds, node-sized
@@ -236,13 +246,20 @@ def _pagerank_broadcast(
     outdeg = tree_sum([dense_deg.remote(g) for g in groups])
     outdeg_ref = ray.put(outdeg)
 
-    ranks = np.full(n, scale, dtype=np.int64)
+    if seed_prefix is None:
+        base_vec = np.full(n, base, dtype=np.int64)
+        ranks = np.full(n, scale, dtype=np.int64)
+    else:
+        # node-sized seed mask: teleport mass only on the seed set
+        seed = pc.starts_with(node_pa, seed_prefix).to_numpy(zero_copy_only=False)
+        base_vec = np.where(seed, np.int64(base), np.int64(0))
+        ranks = np.where(seed, np.int64(scale), np.int64(0))
     for _ in range(iters):
         ranks_ref = ray.put(ranks)
         total = tree_sum(
             [dense_contrib.remote(g, ranks_ref, outdeg_ref) for g in groups]
         )
-        ranks = base + total
+        ranks = base_vec + total
 
     return ray.data.from_arrow(
         pa.table({"node": pa.array(node_arr, pa.string()), "pr": pa.array(ranks)})
@@ -250,7 +267,7 @@ def _pagerank_broadcast(
 
 
 def _pagerank_join(
-    edges, nodes, *, src, dst, iters, damping_pct, scale, base
+    edges, nodes, *, src, dst, iters, damping_pct, scale, base, seed_prefix=None
 ) -> ray.data.Dataset:
     # out-degree as a Dataset, hash-joined onto the edges exactly once; the
     # joined edge table is the loop invariant and is materialized so the
@@ -269,11 +286,16 @@ def _pagerank_join(
         right_cols=[src, "outdeg"],
     ).materialize()
 
+    def init_ranks(b: pa.Table) -> pa.Table:
+        if seed_prefix is None:
+            pr = pa.array(np.full(len(b), scale, np.int64))
+        else:
+            seed = pc.starts_with(b["node"].combine_chunks(), seed_prefix)
+            pr = pc.if_else(seed, pa.scalar(scale, pa.int64()), pa.scalar(0, pa.int64()))
+        return pa.table({"node": b["node"], "pr": pr})
+
     ranks = nodes.map_batches(
-        lambda b: pa.table(
-            {"node": b["node"], "pr": pa.array(np.full(len(b), scale, np.int64))}
-        ),
-        batch_format="pyarrow", zero_copy_batch=True,
+        init_ranks, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
     for _ in range(iters):
@@ -301,7 +323,14 @@ def _pagerank_join(
 
         def finish(df: pd.DataFrame) -> pd.DataFrame:
             c = df["c"].fillna(0).astype(np.int64)
-            return pd.DataFrame({"node": df["node"], "pr": base + c})
+            if seed_prefix is None:
+                b_vec = np.int64(base)
+            else:
+                b_vec = np.where(
+                    df["node"].str.startswith(seed_prefix).to_numpy(),
+                    np.int64(base), np.int64(0),
+                )
+            return pd.DataFrame({"node": df["node"], "pr": b_vec + c})
 
         ranks = nx.map_batches(finish, batch_format="pandas").materialize()
 
@@ -314,22 +343,34 @@ def pagerank_oracle_sql(
     iters: int = 5,
     damping_pct: int = 85,
     scale: int = SCALE,
+    seed_prefix: str | None = None,
 ) -> str:
     """Unrolled-CTE DuckDB oracle computing the identical fixed-point
     iteration. ``edges_sql`` must select columns (src, dst). DuckDB sums
     BIGINT into HUGEINT; the CAST back to BIGINT is safe because the sum is
-    bounded by the total rank mass."""
+    bounded by the total rank mass. ``seed_prefix`` emits the personalized
+    variant (seed-masked init and base term; prefix must be LIKE-safe)."""
     base = (scale * (100 - damping_pct)) // 100
+    if seed_prefix is None:
+        init_expr = f"CAST({scale} AS BIGINT)"
+        base_expr = str(base)
+    else:
+        seed_pred = f"n.node LIKE '{seed_prefix}%'"
+        init_expr = (
+            f"CAST(CASE WHEN node LIKE '{seed_prefix}%' THEN {scale} ELSE 0 END"
+            " AS BIGINT)"
+        )
+        base_expr = f"(CASE WHEN {seed_pred} THEN {base} ELSE 0 END)"
     parts = [
         f"WITH edges AS ({edges_sql}),",
         "nodes AS (SELECT DISTINCT node FROM "
         "(SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),",
         "outdeg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src),",
-        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS pr FROM nodes),",
+        f"r0 AS (SELECT node, {init_expr} AS pr FROM nodes),",
     ]
     for i in range(1, iters + 1):
         parts.append(
-            f"r{i} AS (SELECT n.node, CAST({base} + coalesce(s.c, 0) AS BIGINT) AS pr "
+            f"r{i} AS (SELECT n.node, CAST({base_expr} + coalesce(s.c, 0) AS BIGINT) AS pr "
             f"FROM nodes n LEFT JOIN ("
             f"SELECT e.dst AS node, sum((r.pr * {damping_pct}) // 100 // d.outdeg) AS c "
             f"FROM edges e JOIN r{i-1} r ON r.node = e.src "

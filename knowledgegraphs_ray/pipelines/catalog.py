@@ -106,6 +106,21 @@ def q_kg_pagerank(sf_dir: str):
     return pagerank(extract_link_edges(sf_dir, STAR_TABLES), iters=5)
 
 
+def q_kg_ppr(sf_dir: str):
+    """PERSONALIZED PageRank from the region seed entities over the same
+    star-KG link graph: teleport mass restricted to kg:region/* (seed-
+    masked init + base term, identical int64 fixed-point arithmetic) —
+    relevance-from-seeds ranking for KG neighborhood exploration
+    (graph/pagerank.py, seed_prefix)."""
+    from knowledgegraphs_ray.graph.pagerank import pagerank
+    from knowledgegraphs_ray.pipelines.relational import extract_link_edges
+
+    return pagerank(
+        extract_link_edges(sf_dir, STAR_TABLES), iters=5,
+        seed_prefix="kg:region/",
+    )
+
+
 def q_kg_bfs_depths(sf_dir: str):
     """Multi-source BFS over the star-KG link graph (graph/bfs.py): hop
     distance from the region entities to every reachable node (region 0,
@@ -1284,6 +1299,25 @@ def q_link_prediction(sf_dir: str):
     return link_prediction(edges, min_cn=2, assume_canonical=True)
 
 
+def q_copurchase_jaccard(sf_dir: str):
+    """Neighborhood-Jaccard ER blocking over the support-≥2 co-purchase
+    graph: non-adjacent part pairs scored by |N(u)∩N(v)| / |N(u)∪N(v)| in
+    integer micro units — the wedge kernel plus two node-sized degree
+    joins, pure int64 arithmetic end to end (graph/linkpred.py)."""
+    from knowledgegraphs_ray.graph.linkpred import link_prediction
+    from knowledgegraphs_ray.graph.triangles import cooccurrence_edges
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccurrence_edges(
+        li, group_col="l_orderkey", item_col="l_partkey", min_count=2
+    )
+    return link_prediction(
+        edges, min_cn=2, assume_canonical=True, include_jaccard=True
+    )
+
+
 def q_rolling_events(sf_dir: str):
     """Per-user sliding-frame aggregates over the events stream: ROWS frame
     (last 3 events: spend sum/cnt/min/max) and RANGE frame (trailing 1 h:
@@ -1356,6 +1390,44 @@ def q_event_funnel(sf_dir: str):
     return funnel_counts(ev, steps=["view", "click", "purchase"])
 
 
+def q_changelog_upsert(sf_dir: str):
+    """CDC latest-wins upsert: user profile = latest event per user,
+    'error' events tombstone the profile. Applied in TWO incremental
+    batches (event_id parity split, tombstones kept between batches) so
+    the snapshot+changelog merge path and the out-of-order tombstone
+    guard are both exercised; each batch is one pre-pruned hash exchange
+    (state/upsert.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from knowledgegraphs_ray.state.upsert import changelog_upsert
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"],
+    )
+
+    def to_log(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"],
+                "last_value": df["value"],
+                "last_event": df["event_type"],
+                "ts": df["ts"],
+                "seq": df["event_id"],
+                "op": np.where(df["event_type"] == "error", "delete", "upsert"),
+            }
+        )
+
+    log = ev.map_batches(to_log, batch_format="pandas").materialize()
+    even = log.map_batches(lambda df: df[df["seq"] % 2 == 0], batch_format="pandas")
+    odd = log.map_batches(lambda df: df[df["seq"] % 2 == 1], batch_format="pandas")
+    snap = changelog_upsert(
+        None, even, key="user_id", keep_tombstones=True
+    ).materialize()
+    return changelog_upsert(snap, odd, key="user_id")
+
+
 def q_retention_cohorts(sf_dir: str):
     """Weekly cohort retention over the events stream: distinct users per
     (first-event week, week offset) — int64 floor-divided week index,
@@ -1419,6 +1491,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # since.
     return {
         # --- never driver-verified (round-3 tail + round-4 additions) ---
+        "changelog_upsert": q_changelog_upsert,
+        "copurchase_jaccard": q_copurchase_jaccard,
+        "kg_ppr": q_kg_ppr,
         "tool_transitions": q_tool_transitions,
         "conv_stats": q_conv_stats,
         "conv_fingerprints": q_conv_fingerprints,
@@ -1642,6 +1717,21 @@ def oracle_sql() -> dict[str, str]:
             ") WHERE c >= 2",
             min_cn=2,
         ),
+        # copurchase_jaccard: same wedge twin + two degree joins, jac via
+        # DuckDB BIGINT // (floor division on non-negative operands)
+        "copurchase_jaccard": __import__(
+            "knowledgegraphs_ray.graph.linkpred",
+            fromlist=["link_prediction_oracle_sql"],
+        ).link_prediction_oracle_sql(
+            "SELECT src AS u, dst AS v FROM ("
+            "SELECT a.l_partkey AS src, b.l_partkey AS dst, "
+            "COUNT(DISTINCT a.l_orderkey) AS c FROM lineitem a "
+            "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey GROUP BY src, dst"
+            ") WHERE c >= 2",
+            min_cn=2,
+            include_jaccard=True,
+        ),
         "conv_stats": __import__(
             "knowledgegraphs_ray.pipelines.transcripts",
             fromlist=["conversation_stats_oracle_sql"],
@@ -1662,6 +1752,17 @@ def oracle_sql() -> dict[str, str]:
             + _plan_sql(STAR_TABLES)
             + ") WHERE pred LIKE 'kg:p~_%' ESCAPE '~'",
             iters=5,
+        ),
+        # kg_ppr: same unrolled-CTE twin with the seed-masked CASE init +
+        # base term (LIKE 'kg:region/%' — no wildcards in the prefix)
+        "kg_ppr": __import__(
+            "knowledgegraphs_ray.graph.pagerank", fromlist=["pagerank_oracle_sql"]
+        ).pagerank_oracle_sql(
+            "SELECT subj AS src, obj AS dst FROM ("
+            + _plan_sql(STAR_TABLES)
+            + ") WHERE pred LIKE 'kg:p~_%' ESCAPE '~'",
+            iters=5,
+            seed_prefix="kg:region/",
         ),
         # rolling_events: sliding ROWS + RANGE frames — exact int64 cents
         # sums/counts/min/max on both sides; DuckDB window SUM over BIGINT
@@ -1729,6 +1830,21 @@ def oracle_sql() -> dict[str, str]:
         # engine's round count (extra rounds are fixpoint no-ops); the
         # support-2 edge filter is a COUNT(DISTINCT order) HAVING on both
         # sides
+        # changelog_upsert: latest-wins row_number twin over the one-shot
+        # log — equals the engine's two-batch incremental application
+        # because tombstones are kept between batches
+        "changelog_upsert": __import__(
+            "knowledgegraphs_ray.state.upsert",
+            fromlist=["changelog_upsert_oracle_sql"],
+        ).changelog_upsert_oracle_sql(
+            None,
+            "SELECT user_id, value AS last_value, event_type AS last_event, "
+            "ts, event_id AS seq, "
+            "CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END "
+            "AS op FROM events",
+            key="user_id",
+            out_cols="user_id, last_value, last_event, ts, seq",
+        ),
         # retention_cohorts: int64 floor-divided week index on both sides
         "retention_cohorts": __import__(
             "knowledgegraphs_ray.streaming.retention",

@@ -76,3 +76,41 @@ def test_parallelism_invariance():
         ray.data.from_pandas(df).repartition(7), min_cn=1, assume_canonical=True
     ).to_pandas().sort_values(["u", "v"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(one, many)
+
+
+def test_jaccard_scores_exact_and_oracle():
+    import duckdb
+
+    from knowledgegraphs_ray.graph.linkpred import link_prediction_oracle_sql
+
+    out = link_prediction(
+        _edges(ROWS), min_cn=1, assume_canonical=True, include_jaccard=True
+    ).to_pandas()
+    got = out.sort_values(["u", "v"]).reset_index(drop=True).astype("int64")
+    # degrees: 0->4, 1->3, 2->3, 3->1, 4->1, 5->2
+    deg = {0: 4, 1: 3, 2: 3, 3: 1, 4: 1, 5: 2}
+    for _, r in got.iterrows():
+        du, dv, cn = deg[r["u"]], deg[r["v"]], r["cn"]
+        assert r["jac_micro"] == (1_000_000 * cn) // (du + dv - cn)
+    # (0,5): cn=2, deg 4+2-2=4 -> 500000
+    row = got[(got["u"] == 0) & (got["v"] == 5)]
+    assert row["jac_micro"].iloc[0] == 500_000
+
+    con = duckdb.connect()
+    con.register("edges_df", pd.DataFrame(ROWS, columns=["u", "v"]))
+    gold = con.execute(
+        link_prediction_oracle_sql(
+            "SELECT u, v FROM edges_df", min_cn=1, include_jaccard=True
+        )
+    ).fetchdf()
+    gold = gold.sort_values(["u", "v"]).reset_index(drop=True).astype("int64")
+    pd.testing.assert_frame_equal(got, gold)
+
+
+def test_jaccard_empty_candidates_short_circuit():
+    # a single edge has no wedges at min_cn=1 -> empty result with schema
+    out = link_prediction(
+        _edges([(0, 1)]), min_cn=1, assume_canonical=True, include_jaccard=True
+    )
+    assert out.count() == 0
+    assert out.schema().names == ["u", "v", "cn", "aa_micro", "jac_micro"]

@@ -111,3 +111,50 @@ def test_oracle_parity_small(sf_dir, tmp_path):
     )
     got = _run(edges, iters=5)
     pd.testing.assert_frame_equal(got, exp)
+
+
+def _ppr_reference(edges: pd.DataFrame, *, iters: int, prefix: str,
+                   damping_pct: int = 85, scale: int = SCALE) -> pd.DataFrame:
+    nodes = np.sort(pd.unique(pd.concat([edges["src"], edges["dst"]])))
+    idx = {n: i for i, n in enumerate(nodes)}
+    s = edges["src"].map(idx).to_numpy(np.int64)
+    d = edges["dst"].map(idx).to_numpy(np.int64)
+    deg = np.bincount(s, minlength=len(nodes)).astype(np.int64)
+    base = (scale * (100 - damping_pct)) // 100
+    seed = np.array([str(n).startswith(prefix) for n in nodes])
+    base_vec = np.where(seed, np.int64(base), np.int64(0))
+    r = np.where(seed, np.int64(scale), np.int64(0))
+    for _ in range(iters):
+        contrib = (r[s] * damping_pct) // 100 // deg[s]
+        nxt = base_vec.copy()
+        np.add.at(nxt, d, contrib)
+        r = nxt
+    return pd.DataFrame({"node": nodes, "pr": r})
+
+
+def test_personalized_matches_reference_both_tiers_and_oracle():
+    import duckdb
+
+    from knowledgegraphs_ray.graph.pagerank import pagerank_oracle_sql
+
+    edges = _random_edges(120, 800, seed=23)
+    # seeds = the n1* bucket (n1, n10..n19, n100..n119)
+    exp = _ppr_reference(edges, iters=4, prefix="n1")
+    got_bc = _run(edges, iters=4, n_blocks=4, seed_prefix="n1")
+    got_jn = _run(edges, iters=4, n_blocks=4, seed_prefix="n1",
+                  broadcast_limit=0)
+    exp = exp.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_bc, exp)
+    pd.testing.assert_frame_equal(got_jn, exp)
+    # non-seed nodes never receive teleport mass
+    non_seed = ~got_bc["node"].str.startswith("n1")
+    assert (got_bc.loc[non_seed, "pr"] >= 0).all()
+
+    con = duckdb.connect()
+    con.register("edges_df", edges)
+    gold = con.execute(
+        pagerank_oracle_sql("SELECT src, dst FROM edges_df", iters=4,
+                            seed_prefix="n1")
+    ).fetchdf().sort_values("node").reset_index(drop=True)
+    gold["pr"] = gold["pr"].astype("int64")
+    pd.testing.assert_frame_equal(got_bc, gold)
