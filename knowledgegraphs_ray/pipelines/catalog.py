@@ -121,6 +121,23 @@ def q_kg_ppr(sf_dir: str):
     )
 
 
+def q_kg_random_walks(sf_dir: str):
+    """Deterministic md5-ranked random walks over the star-KG link graph
+    from the lineitem entities (graph/walks.py) — the DeepWalk corpus
+    generator: 4-hop walks following lineitem -> orders/part ->
+    customer -> nation -> region, next hop = sorted neighbor at
+    md5(node ␟ walk ␟ step) % deg; broadcast-CSR tier, zero shuffles
+    after the one adjacency exchange."""
+    from knowledgegraphs_ray.graph.walks import random_walks
+    from knowledgegraphs_ray.pipelines.relational import extract_link_edges
+
+    return random_walks(
+        extract_link_edges(sf_dir, STAR_TABLES),
+        start_prefix="kg:lineitem/",
+        walk_len=4,
+    )
+
+
 def q_kg_bfs_depths(sf_dir: str):
     """Multi-source BFS over the star-KG link graph (graph/bfs.py): hop
     distance from the region entities to every reachable node (region 0,
@@ -1494,6 +1511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "changelog_upsert": q_changelog_upsert,
         "copurchase_jaccard": q_copurchase_jaccard,
         "kg_ppr": q_kg_ppr,
+        "kg_random_walks": q_kg_random_walks,
         "tool_transitions": q_tool_transitions,
         "conv_stats": q_conv_stats,
         "conv_fingerprints": q_conv_fingerprints,
@@ -1763,6 +1781,19 @@ def oracle_sql() -> dict[str, str]:
             + ") WHERE pred LIKE 'kg:p~_%' ESCAPE '~'",
             iters=5,
             seed_prefix="kg:region/",
+        ),
+        # kg_random_walks: unrolled per-step joins on rnk = md5-u64 % deg
+        # over the row_number-ranked distinct adjacency — bit-identical
+        # md5 choice on both sides
+        "kg_random_walks": __import__(
+            "knowledgegraphs_ray.graph.walks",
+            fromlist=["random_walks_oracle_sql"],
+        ).random_walks_oracle_sql(
+            "SELECT subj AS src, obj AS dst FROM ("
+            + _plan_sql(STAR_TABLES)
+            + ") WHERE pred LIKE 'kg:p~_%' ESCAPE '~'",
+            start_prefix="kg:lineitem/",
+            walk_len=4,
         ),
         # rolling_events: sliding ROWS + RANGE frames — exact int64 cents
         # sums/counts/min/max on both sides; DuckDB window SUM over BIGINT
