@@ -468,6 +468,54 @@ def q_pii_redact_documents(sf_dir: str):
     return redact_pii(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_watermark_windows(sf_dir: str):
+    """Watermark-aware incremental tumbling windows over three event
+    shards arriving out of order (streaming/watermark.py): two time-
+    ordered halves (split at Jan 16), then a 5 % straggler shard held
+    back to the end — with a 2-day allowed lateness the stragglers whose
+    window closed are DROPPED (exactly-once emission), recent ones merge
+    into still-open windows. Output = the union of per-shard emissions +
+    the final flush; the DuckDB twin replays the same per-shard
+    watermarks."""
+    import pandas as pd
+
+    from knowledgegraphs_ray.streaming.watermark import (
+        WindowState,
+        tumbling_advance,
+        tumbling_flush,
+    )
+
+    CUT_US = 1705363200000000  # 2024-01-16 00:00:00 UTC in epoch µs
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).materialize()
+
+    def part(df: pd.DataFrame, which: str) -> pd.DataFrame:
+        ep = df["ts"].astype("datetime64[us]").astype("int64")
+        straggler = df["event_id"] % 20 == 0
+        if which == "early":
+            m = ~straggler & (ep < CUT_US)
+        elif which == "late_half":
+            m = ~straggler & (ep >= CUT_US)
+        else:
+            m = straggler
+        return df[m][["user_id", "ts", "value"]]
+
+    shards = [
+        ev.map_batches(lambda df, w=w: part(df, w), batch_format="pandas")
+        for w in ("early", "late_half", "stragglers")
+    ]
+    st = WindowState(window_sec=3600, lateness_sec=2 * 86400)
+    outs = []
+    for sh in shards:
+        st, fin = tumbling_advance(st, sh)
+        outs.append(fin)
+    outs.append(tumbling_flush(st))
+    out = outs[0].union(*outs[1:])
+    return out
+
+
 def q_events_tumbling(sf_dir: str):
     from knowledgegraphs_ray.streaming.windows import tumbling_window_agg
 
@@ -1512,6 +1560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "copurchase_jaccard": q_copurchase_jaccard,
         "kg_ppr": q_kg_ppr,
         "kg_random_walks": q_kg_random_walks,
+        "watermark_windows": q_watermark_windows,
         "tool_transitions": q_tool_transitions,
         "conv_stats": q_conv_stats,
         "conv_fingerprints": q_conv_fingerprints,
@@ -1781,6 +1830,23 @@ def oracle_sql() -> dict[str, str]:
             + ") WHERE pred LIKE 'kg:p~_%' ESCAPE '~'",
             iters=5,
             seed_prefix="kg:region/",
+        ),
+        # watermark_windows: per-shard watermark CTEs — an event is kept
+        # iff its window end clears the watermark standing when its shard
+        # arrived; kept events then aggregate exactly once
+        "watermark_windows": __import__(
+            "knowledgegraphs_ray.streaming.watermark",
+            fromlist=["watermark_tumbling_oracle_sql"],
+        ).watermark_tumbling_oracle_sql(
+            [
+                "SELECT user_id, ts, value FROM events "
+                "WHERE event_id % 20 != 0 AND epoch_us(ts) < 1705363200000000",
+                "SELECT user_id, ts, value FROM events "
+                "WHERE event_id % 20 != 0 AND epoch_us(ts) >= 1705363200000000",
+                "SELECT user_id, ts, value FROM events WHERE event_id % 20 = 0",
+            ],
+            window_sec=3600,
+            lateness_sec=2 * 86400,
         ),
         # kg_random_walks: unrolled per-step joins on rnk = md5-u64 % deg
         # over the row_number-ranked distinct adjacency — bit-identical
