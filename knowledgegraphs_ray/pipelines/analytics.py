@@ -101,3 +101,105 @@ def top_customers_by_revenue(sf_dir: str, k: int = 10) -> pd.DataFrame:
     return df[["rank", "o_custkey", "total_cents", "n_orders"]].astype(
         {"rank": "int64", "o_custkey": "int64", "total_cents": "int64", "n_orders": "int64"}
     )
+
+
+def grouping_sets_agg(
+    ds: ray.data.Dataset,
+    *,
+    key_cols: list[str],
+    sets: list[list[str]],
+    sum_cols: dict[str, str],
+    count_col: str = "n",
+) -> ray.data.Dataset:
+    """Multi-grain aggregation in ONE pass + ONE slim exchange — SQL
+    ``GROUP BY GROUPING SETS / ROLLUP / CUBE`` as a Dataset operator.
+
+    Every block computes partials for ALL grouping sets map-side (the
+    combiner), so the exchange moves at most |sets| rows per observed key
+    per block — never a second scan per grain, never the raw rows.  Rolled-
+    up key cells are NULL exactly as in SQL; ``gid`` carries the standard
+    ``GROUPING(key_cols...)`` bitmask (first listed key = most significant
+    bit), which disambiguates a rolled-up NULL from a genuine NULL key.
+
+    ``sets``: subsets of ``key_cols`` (``[]`` = grand total).
+    ``sum_cols``: output name -> input column (int64 measures; prepare
+    cents/int64 upstream).  ``count_col``: COUNT(*) output name.
+    Output: key_cols (nullable) + gid + count_col + sum_cols, merged via
+    ``sum_partials`` (driver polars tier; the merged table is
+    grain-bounded, ≤ Σ per-set group counts).
+    """
+    import numpy as np
+
+    from knowledgegraphs_ray.util.fastagg import sum_partials
+
+    n_keys = len(key_cols)
+    set_masks = []
+    for s in sets:
+        unknown = set(s) - set(key_cols)
+        if unknown:
+            raise ValueError(f"grouping set {s} has non-key columns {unknown}")
+        gid = sum(
+            1 << (n_keys - 1 - i) for i, c in enumerate(key_cols) if c not in s
+        )
+        set_masks.append((list(s), gid))
+    meas_srcs = list(sum_cols.values())
+    meas_outs = list(sum_cols)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for s, gid in set_masks:
+            if s:
+                g = df.groupby(s, as_index=False, dropna=False, sort=False).agg(
+                    **{count_col: (s[0], "size")},
+                    **{o: (src, "sum") for o, src in sum_cols.items()},
+                )
+            else:
+                g = pd.DataFrame(
+                    {
+                        count_col: [np.int64(len(df))],
+                        **{
+                            o: [np.int64(df[src].sum()) if len(df) else np.int64(0)]
+                            for o, src in sum_cols.items()
+                        },
+                    }
+                )
+            for c in key_cols:
+                if c not in s:
+                    g[c] = None
+            g["gid"] = np.int64(gid)
+            frames.append(g[key_cols + ["gid", count_col] + meas_outs])
+        out = pd.concat(frames, ignore_index=True)
+        for o in [count_col] + meas_outs:
+            out[o] = out[o].astype("int64")
+        return out
+
+    parts = ds.select_columns(
+        sorted(set(c for s, _ in set_masks for c in s) | set(meas_srcs))
+    ).map_batches(partial, batch_format="pandas")
+    return sum_partials(
+        parts, keys=key_cols + ["gid"], sum_cols=[count_col] + meas_outs
+    )
+
+
+def grouping_sets_oracle_sql(
+    table_sql: str,
+    *,
+    key_cols: list[str],
+    sets: list[list[str]],
+    sum_cols: dict[str, str],
+    count_col: str = "n",
+) -> str:
+    """DuckDB twin of :func:`grouping_sets_agg` — GROUP BY GROUPING SETS
+    with the identical GROUPING() bitmask."""
+    set_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets)
+    meas = ", ".join(
+        f"CAST(sum({src}) AS BIGINT) AS {o}" for o, src in sum_cols.items()
+    )
+    return f"""
+SELECT {', '.join(key_cols)},
+       CAST(GROUPING({', '.join(key_cols)}) AS BIGINT) AS gid,
+       COUNT(*)::BIGINT AS {count_col}{',' if meas else ''}
+       {meas}
+FROM ({table_sql})
+GROUP BY GROUPING SETS ({set_sql})
+"""

@@ -1455,6 +1455,52 @@ def q_event_funnel(sf_dir: str):
     return funnel_counts(ev, steps=["view", "click", "purchase"])
 
 
+def q_orders_rollup(sf_dir: str):
+    """Multi-grain order totals via GROUP BY ROLLUP(o_orderpriority,
+    o_orderstatus): one map-side pass computes all three grains' partials
+    (combine-before-shuffle ×3), one slim grain-bounded exchange; gid is
+    the SQL GROUPING() bitmask, money in integer cents
+    (pipelines/analytics.py:grouping_sets_agg)."""
+    from knowledgegraphs_ray.pipelines.analytics import grouping_sets_agg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderstatus": t["o_orderstatus"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100)), pa.int64()
+                ),
+            }
+        )
+
+    return grouping_sets_agg(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        key_cols=["o_orderpriority", "o_orderstatus"],
+        sets=[["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+        sum_cols={"total_cents": "cents"},
+        count_col="n_orders",
+    )
+
+
+def q_pmi_collocations(sf_dir: str):
+    """PMI collocation scores over the top-200 document-frequency tokens:
+    integer co-occurrence counts (text/cooccur.py) plus
+    pmi_micro = floor(1e6·ln(N·c_xy/(c_x·c_y))) — exact int64 products cast
+    to double on both sides, one libm ln, bit-exact vs the twin."""
+    from knowledgegraphs_ray.text.cooccur import pmi_collocations
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pmi_collocations(docs, vocab_size=200, min_pair_count=2)
+
+
 def q_changelog_upsert(sf_dir: str):
     """CDC latest-wins upsert: user profile = latest event per user,
     'error' events tombstone the profile. Applied in TWO incremental
@@ -1556,6 +1602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # since.
     return {
         # --- never driver-verified (round-3 tail + round-4 additions) ---
+        "orders_rollup": q_orders_rollup,
+        "pmi_collocations": q_pmi_collocations,
         "changelog_upsert": q_changelog_upsert,
         "copurchase_jaccard": q_copurchase_jaccard,
         "kg_ppr": q_kg_ppr,
@@ -1927,6 +1975,24 @@ def oracle_sql() -> dict[str, str]:
         # engine's round count (extra rounds are fixpoint no-ops); the
         # support-2 edge filter is a COUNT(DISTINCT order) HAVING on both
         # sides
+        # orders_rollup: GROUP BY GROUPING SETS twin with the identical
+        # GROUPING() bitmask; cents via the shared round(x*100) rule
+        "orders_rollup": __import__(
+            "knowledgegraphs_ray.pipelines.analytics",
+            fromlist=["grouping_sets_oracle_sql"],
+        ).grouping_sets_oracle_sql(
+            "SELECT o_orderpriority, o_orderstatus, "
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders",
+            key_cols=["o_orderpriority", "o_orderstatus"],
+            sets=[["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            sum_cols={"total_cents": "cents"},
+            count_col="n_orders",
+        ),
+        # pmi_collocations: co-occurrence twin + identical int64-product →
+        # double → ln → floor pipeline (single libm call on both sides)
+        "pmi_collocations": __import__(
+            "knowledgegraphs_ray.text.cooccur", fromlist=["pmi_oracle_sql"]
+        ).pmi_oracle_sql(vocab_size=200, min_pair_count=2),
         # changelog_upsert: latest-wins row_number twin over the one-shot
         # log — equals the engine's two-batch incremental application
         # because tombstones are kept between batches

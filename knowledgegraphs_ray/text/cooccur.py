@@ -189,3 +189,77 @@ JOIN vocab vb ON vb.t = p.y
 WHERE p.pair_count >= {min_pair_count}
 ORDER BY p.x, p.y
 """
+
+
+def pmi_collocations(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 200,
+    min_pair_count: int = 2,
+) -> ray.data.Dataset:
+    """Pointwise-mutual-information collocation scores over the top-V
+    token pairs: pmi_micro = floor(1e6 · ln((N·c_xy) / (c_x·c_y))) with
+    N = document count, c_* = document frequencies / pair counts from
+    :func:`token_cooccurrence`.
+
+    Float discipline (the aa_micro pattern, graph/linkpred.py:149): both
+    operands of the division are exact int64 products cast to double, so
+    the ratio, the single libm ``ln`` call, and the floor are bit-identical
+    to the DuckDB twin.  N·c_xy stays exact in a double while
+    N·max(c) < 2^53 — at larger corpora switch the caller to df-fraction
+    micro units first.
+
+    Adds ONE scalar (the document count — a streaming count, no
+    materialization) on top of the co-occurrence plan; scoring is a
+    map-only pass over the V²-bounded pair table.
+    """
+    n_docs = np.int64(docs.count())
+    pairs = token_cooccurrence(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        vocab_size=vocab_size,
+        min_pair_count=min_pair_count,
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        cxy = t["pair_count"].to_numpy().astype(np.int64)
+        num = (n_docs * cxy).astype(np.float64)
+        den = (
+            t["x_df"].to_numpy().astype(np.int64)
+            * t["y_df"].to_numpy().astype(np.int64)
+        ).astype(np.float64)
+        pmi = np.floor(1_000_000.0 * np.log(num / den)).astype(np.int64)
+        return t.append_column("pmi_micro", pa.array(pmi, pa.int64()))
+
+    return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def pmi_oracle_sql(
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 200,
+    min_pair_count: int = 2,
+) -> str:
+    """DuckDB twin of :func:`pmi_collocations` — the co-occurrence twin
+    plus the identical int64-product → double → ln → floor pipeline."""
+    inner = cooccurrence_oracle_sql(
+        table=table,
+        text_col=text_col,
+        id_col=id_col,
+        vocab_size=vocab_size,
+        min_pair_count=min_pair_count,
+    )
+    return f"""
+WITH co AS ({inner}),
+n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM {table})
+SELECT co.*,
+       CAST(floor(1000000.0 * ln(
+         CAST(n.n_docs * co.pair_count AS DOUBLE)
+         / CAST(co.x_df * co.y_df AS DOUBLE))) AS BIGINT) AS pmi_micro
+FROM co, n
+"""

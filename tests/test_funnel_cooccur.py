@@ -164,3 +164,64 @@ def test_cooccurrence_matches_duckdb_twin():
         ray.data.from_pandas(df).repartition(7), vocab_size=25, min_pair_count=3
     ).to_pandas()
     pd.testing.assert_frame_equal(got7.reset_index(drop=True), want, check_dtype=False)
+
+
+def test_pmi_hand_checked():
+    from math import floor, log
+
+    from knowledgegraphs_ray.text.cooccur import pmi_collocations
+
+    df = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["a b c", "a b", "a a b"]}
+    )
+    out = pmi_collocations(
+        ray.data.from_pandas(df), min_pair_count=1
+    ).to_pandas()
+    got = {(r.x, r.y): r.pmi_micro for r in out.itertuples()}
+    # N=3; ab: c=3, dfs 3·3 -> ln(9/9)=0; ac: c=1, dfs 3·1 -> ln(3/3)=0;
+    # bc identical to ac
+    assert got == {("a", "b"): 0, ("a", "c"): 0, ("b", "c"): 0}
+    # a negative-PMI pair: x,y independent-ish
+    df2 = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": ["x y", "x q", "x q", "y q", "y q", "q q"],
+        }
+    )
+    out2 = pmi_collocations(
+        ray.data.from_pandas(df2), min_pair_count=1
+    ).to_pandas()
+    got2 = {(r.x, r.y): r.pmi_micro for r in out2.itertuples()}
+    # (x,y): c=1, df_x=3, df_y=3, N=6 -> ln(6/9) < 0
+    assert got2[("x", "y")] == floor(1_000_000 * log(6 / 9))
+
+
+def test_pmi_matches_duckdb_twin():
+    from knowledgegraphs_ray.text.cooccur import pmi_collocations, pmi_oracle_sql
+
+    rng = np.random.default_rng(11)
+    words = np.array([f"w{i}" for i in range(30)])
+    texts = [
+        " ".join(rng.choice(words, rng.integers(3, 20))) for _ in range(300)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(300), "text": texts})
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = (
+        con.execute(pmi_oracle_sql(vocab_size=20, min_pair_count=2))
+        .df()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    got = (
+        pmi_collocations(
+            ray.data.from_pandas(df).repartition(5),
+            vocab_size=20,
+            min_pair_count=2,
+        )
+        .to_pandas()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert (got["pmi_micro"] != 0).any()

@@ -55,6 +55,8 @@ SUBSET = [
     "kg_bfs_depths",        # multi-source BFS, depth-capped CTE twin (r4s3)
     "link_prediction",      # CN + micro-AA wedge scores, self-join twin (r4s3)
     "conv_fingerprints",    # ordered string_agg md5, conv-dedup key (r4s3)
+    "orders_rollup",        # GROUPING SETS multi-grain, GROUPING() twin (r4s4)
+    "pmi_collocations",     # PMI micro-nats over co-occurrence counts (r4s4)
 ]
 
 
