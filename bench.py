@@ -119,6 +119,13 @@ def run_bench() -> dict:
     timed("conv_fingerprints", catalog.q_conv_fingerprints)
     timed("kg_bfs_depths", catalog.q_kg_bfs_depths)
     timed("link_prediction", catalog.q_link_prediction)
+    timed("changelog_upsert", catalog.q_changelog_upsert)
+    timed("copurchase_jaccard", catalog.q_copurchase_jaccard)
+    timed("kg_ppr", catalog.q_kg_ppr)
+    timed("kg_random_walks", catalog.q_kg_random_walks)
+    timed("watermark_windows", catalog.q_watermark_windows)
+    timed("orders_rollup", catalog.q_orders_rollup)
+    timed("pmi_collocations", catalog.q_pmi_collocations)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)
