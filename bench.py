@@ -125,6 +125,7 @@ def run_bench() -> dict:
     timed("kg_random_walks", catalog.q_kg_random_walks)
     timed("watermark_windows", catalog.q_watermark_windows)
     timed("orders_rollup", catalog.q_orders_rollup)
+    timed("dq_orders", catalog.q_dq_orders)
     timed("pmi_collocations", catalog.q_pmi_collocations)
 
     total = round(sum(timings.values()), 3)

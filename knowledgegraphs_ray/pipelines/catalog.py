@@ -1455,6 +1455,59 @@ def q_event_funnel(sf_dir: str):
     return funnel_counts(ev, steps=["view", "click", "purchase"])
 
 
+def q_dq_orders(sf_dir: str):
+    """Declarative data-quality report over orders: not_null / unique /
+    accepted_values / in_range / regex rules in ONE vectorized pass
+    (|rules|-row partials per block), plus an fk-containment rule against
+    the broadcast distinct customer keys (schema/validate.py)."""
+    from knowledgegraphs_ray.schema.validate import Rule, validate
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=[
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+            "o_orderpriority",
+        ],
+    )
+    customer = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    return validate(
+        orders,
+        [
+            Rule("orderkey_not_null", "not_null", "o_orderkey"),
+            Rule("orderkey_unique", "unique", "o_orderkey"),
+            Rule(
+                "status_domain",
+                "accepted_values",
+                "o_orderstatus",
+                {"values": ["O", "F", "P"]},
+            ),
+            Rule(
+                "price_range",
+                "in_range",
+                "o_totalprice",
+                {"lo": 0, "hi": 300000},
+            ),
+            Rule(
+                "priority_format",
+                "matches_regex",
+                "o_orderpriority",
+                {"pattern": "^[1-5]-"},
+            ),
+            Rule(
+                "custkey_fk",
+                "fk",
+                "o_custkey",
+                {"ref": customer, "ref_col": "c_custkey"},
+            ),
+        ],
+    )
+
+
 def q_orders_rollup(sf_dir: str):
     """Multi-grain order totals via GROUP BY ROLLUP(o_orderpriority,
     o_orderstatus): one map-side pass computes all three grains' partials
@@ -1602,6 +1655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # since.
     return {
         # --- never driver-verified (round-3 tail + round-4 additions) ---
+        "dq_orders": q_dq_orders,
         "orders_rollup": q_orders_rollup,
         "pmi_collocations": q_pmi_collocations,
         "changelog_upsert": q_changelog_upsert,
@@ -1768,6 +1822,34 @@ _ANN_TOPK_SQL = (
     "  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank "
     "FROM scored QUALIFY rank <= 10"
 )
+
+
+def _dq_orders_oracle() -> str:
+    from knowledgegraphs_ray.schema.validate import Rule, validate_oracle_sql
+
+    rules = [
+        Rule("orderkey_not_null", "not_null", "o_orderkey"),
+        Rule("orderkey_unique", "unique", "o_orderkey"),
+        Rule(
+            "status_domain",
+            "accepted_values",
+            "o_orderstatus",
+            {"values": ["O", "F", "P"]},
+        ),
+        Rule("price_range", "in_range", "o_totalprice", {"lo": 0, "hi": 300000}),
+        Rule(
+            "priority_format",
+            "matches_regex",
+            "o_orderpriority",
+            {"pattern": "^[1-5]-"},
+        ),
+        Rule("custkey_fk", "fk", "o_custkey", {"ref": None, "ref_col": "c_custkey"}),
+    ]
+    return validate_oracle_sql(
+        "SELECT * FROM orders",
+        rules,
+        ref_sqls={"custkey_fk": "SELECT c_custkey FROM customer"},
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1975,6 +2057,9 @@ def oracle_sql() -> dict[str, str]:
         # engine's round count (extra rounds are fixpoint no-ops); the
         # support-2 edge filter is a COUNT(DISTINCT order) HAVING on both
         # sides
+        # dq_orders: UNION ALL of per-rule filtered counts with SQL null
+        # discipline (NULL violates only not_null; unique over non-nulls)
+        "dq_orders": _dq_orders_oracle(),
         # orders_rollup: GROUP BY GROUPING SETS twin with the identical
         # GROUPING() bitmask; cents via the shared round(x*100) rule
         "orders_rollup": __import__(

@@ -57,6 +57,7 @@ SUBSET = [
     "conv_fingerprints",    # ordered string_agg md5, conv-dedup key (r4s3)
     "orders_rollup",        # GROUPING SETS multi-grain, GROUPING() twin (r4s4)
     "pmi_collocations",     # PMI micro-nats over co-occurrence counts (r4s4)
+    "dq_orders",            # declarative DQ rules, UNION ALL twin (r4s4)
 ]
 
 
