@@ -126,6 +126,7 @@ def run_bench() -> dict:
     timed("watermark_windows", catalog.q_watermark_windows)
     timed("orders_rollup", catalog.q_orders_rollup)
     timed("dq_orders", catalog.q_dq_orders)
+    timed("setjoin_pairs", catalog.q_setjoin_pairs)
     timed("pmi_collocations", catalog.q_pmi_collocations)
 
     total = round(sum(timings.values()), 3)

@@ -1455,6 +1455,20 @@ def q_event_funnel(sf_dir: str):
     return funnel_counts(ev, steps=["view", "click", "purchase"])
 
 
+def q_setjoin_pairs(sf_dir: str):
+    """Exact set-similarity self-join at Jaccard ≥ 0.9 over the documents
+    corpus (AllPairs/PPJoin prefix filtering: rarity-ordered prefixes are
+    the only rows that shuffle, pairs emitted per prefix-token group, exact
+    integer floor-division verify — dedup/setjoin.py). The exact
+    complement to the probabilistic minhash tier."""
+    from knowledgegraphs_ray.dedup.setjoin import set_similarity_join
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return set_similarity_join(docs, threshold_micro=900_000)
+
+
 def q_dq_orders(sf_dir: str):
     """Declarative data-quality report over orders: not_null / unique /
     accepted_values / in_range / regex rules in ONE vectorized pass
@@ -1655,6 +1669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # since.
     return {
         # --- never driver-verified (round-3 tail + round-4 additions) ---
+        "setjoin_pairs": q_setjoin_pairs,
         "dq_orders": q_dq_orders,
         "orders_rollup": q_orders_rollup,
         "pmi_collocations": q_pmi_collocations,
@@ -2057,6 +2072,12 @@ def oracle_sql() -> dict[str, str]:
         # engine's round count (extra rounds are fixpoint no-ops); the
         # support-2 edge filter is a COUNT(DISTINCT order) HAVING on both
         # sides
+        # setjoin_pairs: brute-force token self-join twin — the engine's
+        # prefix filter is completeness-preserving, so the sets are equal
+        "setjoin_pairs": __import__(
+            "knowledgegraphs_ray.dedup.setjoin",
+            fromlist=["set_similarity_oracle_sql"],
+        ).set_similarity_oracle_sql(threshold_micro=900_000),
         # dq_orders: UNION ALL of per-rule filtered counts with SQL null
         # discipline (NULL violates only not_null; unique over non-nulls)
         "dq_orders": _dq_orders_oracle(),

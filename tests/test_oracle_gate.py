@@ -58,6 +58,7 @@ SUBSET = [
     "orders_rollup",        # GROUPING SETS multi-grain, GROUPING() twin (r4s4)
     "pmi_collocations",     # PMI micro-nats over co-occurrence counts (r4s4)
     "dq_orders",            # declarative DQ rules, UNION ALL twin (r4s4)
+    "setjoin_pairs",        # exact PPJoin-style set-similarity join (r4s4)
 ]
 
 
