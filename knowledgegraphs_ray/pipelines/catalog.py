@@ -1455,6 +1455,17 @@ def q_event_funnel(sf_dir: str):
     return funnel_counts(ev, steps=["view", "click", "purchase"])
 
 
+def q_repeated_spans(sf_dir: str):
+    """Maximal duplicated character spans per document (text/substrdup.py —
+    Lee et al. exact substring dedup's removal list): 25-char windows at
+    stride 5, 128-bit double-Horner grouping, broadcast dup filter,
+    gaps-and-islands span merge. The character-coordinate complement to
+    the token-window dup_window_stats."""
+    from knowledgegraphs_ray.text.substrdup import repeated_substring_spans
+
+    return repeated_substring_spans(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_setjoin_pairs(sf_dir: str):
     """Exact set-similarity self-join at Jaccard ≥ 0.9 over the documents
     corpus (AllPairs/PPJoin prefix filtering: rarity-ordered prefixes are
@@ -1669,6 +1680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # since.
     return {
         # --- never driver-verified (round-3 tail + round-4 additions) ---
+        "repeated_spans": q_repeated_spans,
         "setjoin_pairs": q_setjoin_pairs,
         "dq_orders": q_dq_orders,
         "orders_rollup": q_orders_rollup,
@@ -1884,6 +1896,13 @@ def oracle_sql() -> dict[str, str]:
     from knowledgegraphs_ray.linking.selection_gate import mapping_selection_sql
 
     return {
+        # repeated_spans: window generation via scalar range()+unnest, dup
+        # filter counts the gram STRING (engine: 128-bit byte fold of the
+        # same grams), identical lag/cumsum island rule with gap = length
+        "repeated_spans": __import__(
+            "knowledgegraphs_ray.text.substrdup",
+            fromlist=["repeated_spans_oracle_sql"],
+        ).repeated_spans_oracle_sql(),
         "mapping_selection": mapping_selection_sql(),
         "dsir_bigram_weights": __import__(
             "knowledgegraphs_ray.text.dsir", fromlist=["dsir_hashed_oracle_sql"]

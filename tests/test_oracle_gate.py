@@ -59,6 +59,7 @@ SUBSET = [
     "pmi_collocations",     # PMI micro-nats over co-occurrence counts (r4s4)
     "dq_orders",            # declarative DQ rules, UNION ALL twin (r4s4)
     "setjoin_pairs",        # exact PPJoin-style set-similarity join (r4s4)
+    "repeated_spans",       # char-window dup span inventory, islands twin (r4s5)
 ]
 
 
