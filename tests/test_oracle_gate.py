@@ -60,6 +60,7 @@ SUBSET = [
     "dq_orders",            # declarative DQ rules, UNION ALL twin (r4s4)
     "setjoin_pairs",        # exact PPJoin-style set-similarity join (r4s4)
     "repeated_spans",       # char-window dup span inventory, islands twin (r4s5)
+    "snm_candidate_pairs",  # sorted-neighborhood blocking, rank-gap twin (r4s5)
 ]
 
 
