@@ -1466,6 +1466,30 @@ def q_repeated_spans(sf_dir: str):
     return repeated_substring_spans(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_user_event_pivot(sf_dir: str):
+    """Long->wide pivot of the event log (pipelines/pivot.py): one row per
+    user, per-event-type counts + integer-cent sums over a FIXED category
+    vocabulary ('error' pools into other); (groups x categories)-bounded
+    partials, one slim exchange."""
+    from knowledgegraphs_ray.pipelines.pivot import pivot_counts
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "cents", pc.cast(pc.round(pc.multiply(t["value"], 100)), pa.int64())
+        )
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"]
+    ).map_batches(cents, batch_format="pyarrow")
+    return pivot_counts(
+        ev,
+        group_col="user_id",
+        pivot_col="event_type",
+        categories=["view", "click", "purchase", "signup"],
+        value_cents_col="cents",
+    )
+
+
 def q_snm_candidate_pairs(sf_dir: str):
     """Sorted-neighborhood blocking over documents keyed on the 16-char
     text prefix (linking/blocking.py): ONE sort + an id-only positional
@@ -1702,6 +1726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- never driver-verified (round-3 tail + round-4 additions) ---
         "repeated_spans": q_repeated_spans,
         "snm_candidate_pairs": q_snm_candidate_pairs,
+        "user_event_pivot": q_user_event_pivot,
         "setjoin_pairs": q_setjoin_pairs,
         "dq_orders": q_dq_orders,
         "orders_rollup": q_orders_rollup,
@@ -1933,6 +1958,17 @@ def oracle_sql() -> dict[str, str]:
             id_expr="doc_id",
             key_exprs=["substr(text, 1, 16)"],
             window=4,
+        ),
+        # user_event_pivot: SUM(CASE ...) twin, identical column naming,
+        # cents via the shared round(x*100) rule, OOV pool = NOT IN list
+        "user_event_pivot": __import__(
+            "knowledgegraphs_ray.pipelines.pivot", fromlist=["pivot_oracle_sql"]
+        ).pivot_oracle_sql(
+            table="events",
+            group_col="user_id",
+            pivot_col="event_type",
+            categories=["view", "click", "purchase", "signup"],
+            value_cents_expr="CAST(round(value * 100) AS BIGINT)",
         ),
         "mapping_selection": mapping_selection_sql(),
         "dsir_bigram_weights": __import__(

@@ -61,6 +61,7 @@ SUBSET = [
     "setjoin_pairs",        # exact PPJoin-style set-similarity join (r4s4)
     "repeated_spans",       # char-window dup span inventory, islands twin (r4s5)
     "snm_candidate_pairs",  # sorted-neighborhood blocking, rank-gap twin (r4s5)
+    "user_event_pivot",     # long->wide pivot, SUM(CASE) twin (r4s5)
 ]
 
 
