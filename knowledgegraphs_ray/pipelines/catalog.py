@@ -1466,6 +1466,16 @@ def q_repeated_spans(sf_dir: str):
     return repeated_substring_spans(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_er_canonical_ids(sf_dir: str):
+    """End-to-end entity resolution (pipelines/er.py): SNM blocking on the
+    16-char prefix -> exact join-shaped token-Jaccard verify at 0.7 ->
+    components -> (doc_id, canon_id) for every record. The composed
+    record-linkage chain (Hernandez-Stolfo shape)."""
+    from knowledgegraphs_ray.pipelines.er import er_resolve
+
+    return er_resolve(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_user_event_pivot(sf_dir: str):
     """Long->wide pivot of the event log (pipelines/pivot.py): one row per
     user, per-event-type counts + integer-cent sums over a FIXED category
@@ -1727,6 +1737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeated_spans": q_repeated_spans,
         "snm_candidate_pairs": q_snm_candidate_pairs,
         "user_event_pivot": q_user_event_pivot,
+        "er_canonical_ids": q_er_canonical_ids,
         "setjoin_pairs": q_setjoin_pairs,
         "dq_orders": q_dq_orders,
         "orders_rollup": q_orders_rollup,
@@ -1959,6 +1970,12 @@ def oracle_sql() -> dict[str, str]:
             key_exprs=["substr(text, 1, 16)"],
             window=4,
         ),
+        # er_canonical_ids: composed twin — rank-gap blocking + distinct-
+        # token intersection + floor-division threshold + recursive-CTE
+        # components + coalesce(self) for singletons
+        "er_canonical_ids": __import__(
+            "knowledgegraphs_ray.pipelines.er", fromlist=["er_resolve_oracle_sql"]
+        ).er_resolve_oracle_sql(),
         # user_event_pivot: SUM(CASE ...) twin, identical column naming,
         # cents via the shared round(x*100) rule, OOV pool = NOT IN list
         "user_event_pivot": __import__(

@@ -62,6 +62,7 @@ SUBSET = [
     "repeated_spans",       # char-window dup span inventory, islands twin (r4s5)
     "snm_candidate_pairs",  # sorted-neighborhood blocking, rank-gap twin (r4s5)
     "user_event_pivot",     # long->wide pivot, SUM(CASE) twin (r4s5)
+    "er_canonical_ids",     # SNM->verify->components ER chain twin (r4s5)
 ]
 
 
