@@ -128,6 +128,10 @@ def run_bench() -> dict:
     timed("dq_orders", catalog.q_dq_orders)
     timed("setjoin_pairs", catalog.q_setjoin_pairs)
     timed("pmi_collocations", catalog.q_pmi_collocations)
+    timed("repeated_spans", catalog.q_repeated_spans)
+    timed("snm_candidate_pairs", catalog.q_snm_candidate_pairs)
+    timed("user_event_pivot", catalog.q_user_event_pivot)
+    timed("er_canonical_ids", catalog.q_er_canonical_ids)
 
     total = round(sum(timings.values()), 3)
     n_turns = counts.get("kg_transcripts", 0)
