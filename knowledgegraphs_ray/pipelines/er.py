@@ -60,6 +60,7 @@ def er_resolve(
     threshold_micro: int = 700_000,
     max_driver_edges: int = 1_000_000,
     propagation_max_iter: int = 100,
+    hash_tokens: bool = False,
 ) -> ray.data.Dataset:
     """-> (doc_id, canon_id) for EVERY input record, sorted by doc_id;
     canon_id = min record id of the verified-duplicate component (self for
@@ -96,9 +97,21 @@ def er_resolve(
         return ids_only.map_batches(selfmap, batch_format="pyarrow").sort("doc_id")
 
     # --- 2. verify: exact token Jaccard over candidate pairs --------------
+    # hash_tokens: the 100-TB knob — 8-byte token keys through the two
+    # verify joins instead of literal strings (same 64-bit collision class
+    # as dedup/spans.py; a collision only ever inflates an intersection).
+    # Default False so the oracle gate compares literal-token Jaccard.
     def tok_rows(df: pd.DataFrame) -> pd.DataFrame:
         dt = _doc_tokens(df, text_col, id_col)
-        return dt.rename(columns={id_col: "doc"}).astype({"doc": "int64"})
+        out = dt.rename(columns={id_col: "doc"}).astype({"doc": "int64"})
+        if hash_tokens:
+            from knowledgegraphs_ray.text.analysis import rolling_hashes
+
+            h = rolling_hashes(pa.array(out["t"], pa.string()))
+            out = pd.DataFrame(
+                {"doc": out["doc"].to_numpy(), "t": h.view(np.int64)}
+            )
+        return out
 
     toks = docs.map_batches(tok_rows, batch_format="pandas")
 

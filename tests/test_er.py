@@ -57,6 +57,14 @@ def test_er_propagation_tier_equivalent(ray_session):
     _assert_match(res, exp)
 
 
+def test_er_hashed_token_tier_equivalent(ray_session):
+    # the 8-byte-key scale knob must reproduce the literal-token result
+    # (collisions are the documented 64-bit class — none at fixture scale)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    res = er_resolve(docs, hash_tokens=True)
+    _assert_match(res, _oracle(SF))
+
+
 def test_er_no_edges_self_map(ray_session):
     df = pd.DataFrame(
         {
