@@ -1727,8 +1727,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # entries in dict order.  The window holds every query that has never
     # had a driver-side green row (round-3 tail + round-4 additions, newest
     # first) and then previously-green queries whose code changed this
-    # round.  The four displaced by the newest additions (simhash_pairs,
-    # embedding_near_dups, ann_ivf_pq_topk, minhash-tier kin) are pinned in
+    # round.  Every query displaced past entry 50 by newer additions
+    # (most recently frequent_tokens / bm25_topk / token_quantiles /
+    # lm_perplexity, plus the earlier simhash/embedding/minhash-tier and
+    # dedup_resolved_corpus displacements) is pinned in
     # tests/test_oracle_gate.py's sf0.001 pytest gate instead.  Entries 51+
     # were all green in CORRECTNESS_r03 and their code paths are unchanged
     # since.

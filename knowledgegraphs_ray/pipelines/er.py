@@ -127,9 +127,22 @@ def er_resolve(
     )
 
     n = _nparts()
+    # 0-row blocks intermittently break Ray's HashShuffleAggregator
+    # finalize (documented flake) — compact every join input
+    from knowledgegraphs_ray.util.blocks import compact_nonempty
+
+    t_type = pa.int64() if hash_tokens else pa.string()
+    TOK_SCHEMA = pa.schema([("doc", pa.int64()), ("t", t_type)])
+    CAND_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+    toks = compact_nonempty(toks, TOK_SCHEMA)
+    cand_c = compact_nonempty(cand, CAND_SCHEMA)
     left_toks = native_join(
-        cand, toks, left_on="id_a", right_on="doc", num_partitions=n
+        cand_c, toks, left_on="id_a", right_on="doc", num_partitions=n
     ).select_columns(["id_a", "id_b", "t"])
+    left_toks = compact_nonempty(
+        left_toks,
+        pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("t", t_type)]),
+    )
     inter_rows = native_join(
         left_toks,
         toks,
@@ -151,12 +164,31 @@ def er_resolve(
     ).materialize()
     if inter.count() == 0:  # candidates share no tokens at all
         return ids_only.map_batches(selfmap, batch_format="pyarrow").sort("doc_id")
+    INTER_SCHEMA = pa.schema(
+        [("id_a", pa.int64()), ("id_b", pa.int64()), ("inter", pa.int64())]
+    )
+    SZ_SCHEMA = pa.schema([("doc", pa.int64()), ("s", pa.int64())])
+    sz = compact_nonempty(sz, SZ_SCHEMA)
     with_su = native_join(
-        inter, sz, left_on="id_a", right_on="doc", num_partitions=n
+        compact_nonempty(inter, INTER_SCHEMA),
+        sz,
+        left_on="id_a",
+        right_on="doc",
+        num_partitions=n,
     )
     with_sv = native_join(
-        with_su.select_columns(["id_a", "id_b", "inter", "s"]).rename_columns(
-            {"s": "size_u"}
+        compact_nonempty(
+            with_su.select_columns(["id_a", "id_b", "inter", "s"]).rename_columns(
+                {"s": "size_u"}
+            ),
+            pa.schema(
+                [
+                    ("id_a", pa.int64()),
+                    ("id_b", pa.int64()),
+                    ("inter", pa.int64()),
+                    ("size_u", pa.int64()),
+                ]
+            ),
         ),
         sz,
         left_on="id_b",
