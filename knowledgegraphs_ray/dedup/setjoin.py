@@ -46,12 +46,34 @@ def _nparts() -> int:
     return max(2, min(32, int(ray.cluster_resources().get("CPU", 8))))
 
 
-def _doc_tokens(df: pd.DataFrame, text_col: str, id_col: str) -> pd.DataFrame:
+def _doc_tokens(
+    df: pd.DataFrame, text_col: str, id_col: str, shingle_k: int = 1
+) -> pd.DataFrame:
+    """Distinct set elements per doc: unigram tokens (k=1) or ordered
+    k-token shingles joined with single spaces (k>1). Shingling restores
+    prefix-filter selectivity on tiny-vocabulary corpora, where every
+    unigram is hot and AllPairs degrades to the quadratic join."""
     toks = df[text_col].str.split(" ")
     out = df[[id_col]].copy()
     out["t"] = toks
     out = out.explode("t", ignore_index=True)
     out = out[(out["t"].notna()) & (out["t"] != "")]
+    if shingle_k > 1:
+        k = shingle_k
+        ids = out[id_col].to_numpy()
+        t = out["t"].to_numpy(dtype=object)
+        n = len(t)
+        if n < k:
+            return out.iloc[0:0][[id_col, "t"]]
+        # explode preserves per-doc token order; a window is valid when its
+        # first and last token belong to the same doc
+        m = n - k + 1
+        sh = t[0:m].copy()
+        for j in range(1, k):
+            sh = sh + " "
+            sh = sh + t[j : m + j]
+        same = ids[0:m] == ids[k - 1 : n]
+        out = pd.DataFrame({id_col: ids[0:m][same], "t": sh[same]})
     return out.drop_duplicates([id_col, "t"])
 
 
@@ -63,9 +85,16 @@ def set_similarity_join(
     threshold_micro: int = 700_000,
     vocab_limit: int = 5_000_000,
     max_token_group: int = 20_000,
+    shingle_k: int = 1,
 ) -> ray.data.Dataset:
     """-> (u, v, inter, size_u, size_v, jac_micro) for every pair with
-    token-set Jaccard ≥ threshold_micro/1e6; u < v by id order."""
+    token-set Jaccard ≥ threshold_micro/1e6; u < v by id order.
+
+    ``shingle_k > 1`` computes Jaccard over ordered k-token shingle sets
+    instead of unigram sets — REQUIRED for tiny-vocabulary corpora, where
+    every unigram is corpus-hot and prefix filtering degrades to the
+    quadratic join (sf0.1 fixture: 31 distinct tokens, max df 3923/5000
+    -> unigram 61.6 s vs 3-shingle seconds at identical output quality)."""
     t_micro = int(threshold_micro)
     if not (0 < t_micro <= 1_000_000):
         raise ValueError("threshold_micro must be in (0, 1e6]")
@@ -73,7 +102,7 @@ def set_similarity_join(
 
     # ---- global rarity order: df partials -> broadcast token→rank ----
     tok_parts = docs.map_batches(
-        lambda df: _doc_tokens(df, text_col, id_col)
+        lambda df: _doc_tokens(df, text_col, id_col, shingle_k)
         .groupby("t", as_index=False, sort=False)
         .size()
         .rename(columns={"size": "df"}),
@@ -108,7 +137,7 @@ def set_similarity_join(
     # ---- map-side prefix emission: (rank, doc, size, bucket) ----
     def prefixes(df: pd.DataFrame) -> pd.DataFrame:
         lut = ray.get(rank_ref)
-        dt = _doc_tokens(df, text_col, id_col)
+        dt = _doc_tokens(df, text_col, id_col, shingle_k)
         r = dt["t"].map(lut).to_numpy(dtype=np.int64)
         ids = dt[id_col].to_numpy()
         order = np.lexsort((r, ids))
@@ -208,7 +237,7 @@ def set_similarity_join(
     # ---- verify: candidate-bounded joins to per-doc token-rank lists ----
     def toklist(df: pd.DataFrame) -> pa.Table:
         lut = ray.get(rank_ref)
-        dt = _doc_tokens(df, text_col, id_col)
+        dt = _doc_tokens(df, text_col, id_col, shingle_k)
         r = dt["t"].map(lut).to_numpy(dtype=np.int64)
         ids = dt[id_col].to_numpy()
         order = np.lexsort((r, ids))
@@ -226,11 +255,19 @@ def set_similarity_join(
         return pa.table({"doc": pa.array(docs_u, pa.int64()), "toks": blob})
 
     lists = docs.map_batches(toklist, batch_format="pandas")
-    lu = lists.map_batches(
-        lambda t: t.rename_columns(["u", "toks_u"]), batch_format="pyarrow"
+    # 0-row blocks (tiny corpora over many partitions) intermittently
+    # break the hash-shuffle join finalize — compact both list sides
+    lu = compact_nonempty(
+        lists.map_batches(
+            lambda t: t.rename_columns(["u", "toks_u"]), batch_format="pyarrow"
+        ),
+        pa.schema([("u", pa.int64()), ("toks_u", pa.large_binary())]),
     )
-    lv = lists.map_batches(
-        lambda t: t.rename_columns(["v", "toks_v"]), batch_format="pyarrow"
+    lv = compact_nonempty(
+        lists.map_batches(
+            lambda t: t.rename_columns(["v", "toks_v"]), batch_format="pyarrow"
+        ),
+        pa.schema([("v", pa.int64()), ("toks_v", pa.large_binary())]),
     )
     JOIN1 = pa.schema(
         list(zip(CAND_SCHEMA.names, CAND_SCHEMA.types))
@@ -292,15 +329,32 @@ def set_similarity_oracle_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold_micro: int = 700_000,
+    shingle_k: int = 1,
 ) -> str:
-    """DuckDB twin: distinct tokens per doc, exact pair intersection via
-    self-join, identical integer floor-division jac_micro filter."""
-    return f"""
-WITH toks AS (
+    """DuckDB twin: distinct tokens (or space-joined k-shingles) per doc,
+    exact pair intersection via self-join, identical integer
+    floor-division jac_micro filter."""
+    if shingle_k > 1:
+        k = shingle_k
+        join_expr = " || ' ' || ".join(f"l[i+{j}]" for j in range(k))
+        toks_cte = f"""toks AS (
+  SELECT DISTINCT doc, t FROM (
+    SELECT {id_col} AS doc,
+           UNNEST(list_transform(range(1, len(l) - {k - 2}),
+                                 i -> {join_expr})) AS t
+    FROM (SELECT {id_col},
+                 list_filter(string_split({text_col}, ' '),
+                             x -> x <> '') AS l
+          FROM {table}))
+)"""
+    else:
+        toks_cte = f"""toks AS (
   SELECT DISTINCT {id_col} AS doc, t FROM (
     SELECT {id_col}, UNNEST(string_split({text_col}, ' ')) AS t FROM {table})
   WHERE t <> ''
-),
+)"""
+    return f"""
+WITH {toks_cte},
 sz AS (SELECT doc, COUNT(*)::BIGINT AS s FROM toks GROUP BY doc),
 inter AS (
   SELECT a.doc AS u, b.doc AS v, COUNT(*)::BIGINT AS i

@@ -1525,13 +1525,15 @@ def q_setjoin_pairs(sf_dir: str):
     corpus (AllPairs/PPJoin prefix filtering: rarity-ordered prefixes are
     the only rows that shuffle, pairs emitted per prefix-token group, exact
     integer floor-division verify — dedup/setjoin.py). The exact
-    complement to the probabilistic minhash tier."""
+    complement to the probabilistic minhash tier. Jaccard is over 3-token
+    shingle sets: the fixture's 31-unigram vocabulary makes every unigram
+    corpus-hot (prefix filtering would degrade to the quadratic join)."""
     from knowledgegraphs_ray.dedup.setjoin import set_similarity_join
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return set_similarity_join(docs, threshold_micro=900_000)
+    return set_similarity_join(docs, threshold_micro=900_000, shingle_k=3)
 
 
 def q_dq_orders(sf_dir: str):
@@ -2182,7 +2184,7 @@ def oracle_sql() -> dict[str, str]:
         "setjoin_pairs": __import__(
             "knowledgegraphs_ray.dedup.setjoin",
             fromlist=["set_similarity_oracle_sql"],
-        ).set_similarity_oracle_sql(threshold_micro=900_000),
+        ).set_similarity_oracle_sql(threshold_micro=900_000, shingle_k=3),
         # dq_orders: UNION ALL of per-rule filtered counts with SQL null
         # discipline (NULL violates only not_null; unique over non-nulls)
         "dq_orders": _dq_orders_oracle(),

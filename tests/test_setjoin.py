@@ -124,3 +124,41 @@ def test_setjoin_empty_and_no_pairs():
         "size_v",
         "jac_micro",
     ]
+
+
+def test_setjoin_shingle_tier_matches_oracle():
+    # 3-token shingle sets vs the shingle-CTE twin; tiny vocabulary makes
+    # unigrams useless (every token hot) while shingles separate the docs
+    rng = np.random.default_rng(3)
+    words = np.array(list("abcdefgh"))
+    texts = []
+    base = " ".join(words[rng.integers(0, 8, 30)])
+    for i in range(20):
+        if i % 4 == 0:
+            texts.append(base + f" z{i}")  # near-dups of the base
+        else:
+            texts.append(" ".join(words[rng.integers(0, 8, 30)]))
+    df = pd.DataFrame({"doc_id": np.arange(20, dtype="int64"), "text": texts})
+    got = _run(df, 700_000, shingle_k=3)
+    con = duckdb.connect()
+    con.register("documents", df)
+    want = (
+        con.execute(set_similarity_oracle_sql(threshold_micro=700_000, shingle_k=3))
+        .df()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_setjoin_shingle_short_docs_excluded():
+    # docs with < k tokens have an empty shingle set on BOTH sides
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(3, dtype="int64"),
+            "text": ["a b", "a b c d e", "a b c d e"],
+        }
+    )
+    got = _run(df, 900_000, shingle_k=3)
+    assert got[["u", "v"]].values.tolist() == [[1, 2]]
