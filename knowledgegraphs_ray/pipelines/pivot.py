@@ -63,14 +63,25 @@ def pivot_counts(
         )
         if value_cents_col is not None:
             df["v"] = batch[value_cents_col].to_numpy(zero_copy_only=False)
-        known = df["c"].isin(cats)
+        # SQL-twin NULL semantics: a NULL pivot value matches NO category
+        # (NOT IN yields NULL -> ELSE 0 in the oracle), so it lands in the
+        # dropped "__null__" bucket — but its GROUP row must still appear,
+        # so the row stays in the groupby rather than being filtered out.
+        is_null = df["c"].isna()
+        known = df["c"].isin(cats) & ~is_null
         df.loc[~known, "c"] = "__other__"
+        df.loc[is_null, "c"] = "__null__"
         agg = {"n": ("c", "size")}
         if value_cents_col is not None:
             agg["v"] = ("v", "sum")
+        # dropna=False semantics: the oracle keeps NULL group keys as a real
+        # group — factorize with NaN as its own code so the pandas pivot
+        # (whose NaN-index handling is version-dependent) never sees nulls
+        gcodes, guniques = pd.factorize(df["g"], use_na_sentinel=False)
+        df["g"] = gcodes
         p = df.groupby(["g", "c"], as_index=False).agg(**agg)
         wide = p.pivot(index="g", columns="c", values="n").fillna(0)
-        out = pd.DataFrame({group_col: wide.index})
+        out = pd.DataFrame({group_col: pd.Series(guniques)[wide.index].to_numpy()})
         for c in cats:
             out[f"n_{c}"] = (
                 wide[c].to_numpy() if c in wide.columns else 0
@@ -114,12 +125,17 @@ def pivot_oracle_sql(
     value_cents_expr: str | None = None,
     include_other: bool = True,
 ) -> str:
-    """SUM(CASE ...) twin with the identical column naming and OOV pool."""
+    """SUM(CASE ...) twin with the identical column naming and OOV pool.
+    Category values are escaped for SQL string literals (embedded quotes)."""
     cols = []
-    in_list = ", ".join(f"'{c}'" for c in categories)
+
+    def lit(c: str) -> str:
+        return "'" + c.replace("'", "''") + "'"
+
+    in_list = ", ".join(lit(c) for c in categories)
     for c in categories:
         cols.append(
-            f"CAST(SUM(CASE WHEN {pivot_col} = '{c}' THEN 1 ELSE 0 END) "
+            f"CAST(SUM(CASE WHEN {pivot_col} = {lit(c)} THEN 1 ELSE 0 END) "
             f"AS BIGINT) AS n_{c}"
         )
     if include_other:
@@ -130,7 +146,7 @@ def pivot_oracle_sql(
     if value_cents_expr is not None:
         for c in categories:
             cols.append(
-                f"CAST(SUM(CASE WHEN {pivot_col} = '{c}' THEN "
+                f"CAST(SUM(CASE WHEN {pivot_col} = {lit(c)} THEN "
                 f"{value_cents_expr} ELSE 0 END) AS BIGINT) AS cents_{c}"
             )
         if include_other:

@@ -119,14 +119,16 @@ def _window_arrays(
     AND GRAMS stay character-exact (hash = fold of the gram's UTF-8 bytes
     in both paths)."""
     arr = block[text_col].combine_chunks()
-    if pa.types.is_large_string(arr.type):
-        arr = arr.cast(pa.string())
     n = len(arr)
     ids = block[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     if n == 0:
         z = np.empty(0, np.int64)
         return z, z, z, z
-    offsets = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+    # large_string blocks (>2 GiB of text) carry int64 offsets — read them
+    # directly instead of casting down to string, which raises ArrowInvalid
+    # past int32 offsets
+    off_t = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    offsets = np.frombuffer(arr.buffers()[1], dtype=off_t)[
         arr.offset : arr.offset + n + 1
     ].astype(np.int64)
     buf = arr.buffers()[2]

@@ -120,3 +120,30 @@ def test_sliced_block_safe(ray_session):
     assert list(sl[2]) == [2, 2, 3, 3]
     # doc 2's hashes computed from the sliced block equal the full block's
     assert list(sl[0][:2]) == list(full[0][2:4])
+
+
+def test_large_string_blocks_int64_offsets(ray_session):
+    """large_string text blocks (int64 offsets) hash identically to the
+    string path — no ArrowInvalid downcast (ADVICE r4)."""
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "abcdefghij-window-abcdefghij-window-xyz",
+                "zz abcdefghij-window-abcdefghij-window-",
+                "no repeats in here at all, none",
+            ],
+        }
+    )
+    t_small = pa.Table.from_pandas(df, preserve_index=False)
+    t_large = t_small.set_column(
+        1, "text", t_small["text"].cast(pa.large_string())
+    )
+    res_s = repeated_substring_spans(
+        ray.data.from_arrow(t_small), length=10, stride=2
+    ).to_pandas()
+    res_l = repeated_substring_spans(
+        ray.data.from_arrow(t_large), length=10, stride=2
+    ).to_pandas()
+    assert len(res_s) > 0
+    pd.testing.assert_frame_equal(res_s, res_l)
