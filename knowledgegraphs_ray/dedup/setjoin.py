@@ -224,12 +224,9 @@ def set_similarity_join(
     cand = sum_partials(
         pairs, keys=["u", "v", "size_u", "size_v"], sum_cols=["__one"]
     )
-    cand = compact_nonempty(
-        cand.map_batches(
-            lambda t: t.select(["u", "v", "size_u", "size_v"]).cast(CAND_SCHEMA),
-            batch_format="pyarrow",
-        ),
-        CAND_SCHEMA,
+    cand = cand.map_batches(
+        lambda t: t.select(["u", "v", "size_u", "size_v"]).cast(CAND_SCHEMA),
+        batch_format="pyarrow",
     )
     if cand.count() == 0:
         return ray.data.from_arrow(PAIR_SCHEMA.empty_table())
@@ -255,31 +252,22 @@ def set_similarity_join(
         return pa.table({"doc": pa.array(docs_u, pa.int64()), "toks": blob})
 
     lists = docs.map_batches(toklist, batch_format="pandas")
-    # 0-row blocks (tiny corpora over many partitions) intermittently
-    # break the hash-shuffle join finalize — compact both list sides
-    lu = compact_nonempty(
-        lists.map_batches(
-            lambda t: t.rename_columns(["u", "toks_u"]), batch_format="pyarrow"
-        ),
-        pa.schema([("u", pa.int64()), ("toks_u", pa.large_binary())]),
+    # native_join compacts 0-row blocks on both sides itself (r5) — no
+    # per-input compact_nonempty guards needed here anymore
+    lu = lists.map_batches(
+        lambda t: t.rename_columns(["u", "toks_u"]), batch_format="pyarrow"
     )
-    lv = compact_nonempty(
-        lists.map_batches(
-            lambda t: t.rename_columns(["v", "toks_v"]), batch_format="pyarrow"
-        ),
-        pa.schema([("v", pa.int64()), ("toks_v", pa.large_binary())]),
+    lv = lists.map_batches(
+        lambda t: t.rename_columns(["v", "toks_v"]), batch_format="pyarrow"
     )
     JOIN1 = pa.schema(
         list(zip(CAND_SCHEMA.names, CAND_SCHEMA.types))
         + [("toks_u", pa.large_binary())]
     )
-    half = compact_nonempty(
-        native_join(
-            cand, lu, left_on="u", right_on="u", num_partitions=nparts
-        ).map_batches(
-            lambda t: t.select(JOIN1.names).cast(JOIN1), batch_format="pyarrow"
-        ),
-        JOIN1,
+    half = native_join(
+        cand, lu, left_on="u", right_on="u", num_partitions=nparts
+    ).map_batches(
+        lambda t: t.select(JOIN1.names).cast(JOIN1), batch_format="pyarrow"
     )
     if half.count() == 0:
         return ray.data.from_arrow(PAIR_SCHEMA.empty_table())

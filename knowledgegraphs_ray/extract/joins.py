@@ -65,11 +65,24 @@ def native_join(
     right_on: str | tuple[str, ...],
     how: str = "inner",
     num_partitions: int = 16,
+    compact: bool = True,
 ) -> ray.data.Dataset:
     """Ray's built-in hash-partitioned join (Dataset.join, Ray >= 2.46) —
     the preferred both-sides-large path when available; ``bucket_join`` below
     is the portable fallback with explicit salting control. A tuple key
-    joins on the composite (e.g. the (band_id, band_hash) LSH key)."""
+    joins on the composite (e.g. the (band_id, band_hash) LSH key).
+
+    ``compact`` (default on) drops 0-row blocks from BOTH sides first:
+    Ray's hash-shuffle aggregator intermittently fails on schema-poisoned
+    empty blocks (the documented flake formerly guarded ad hoc at call
+    sites). The check reads block metadata only — a side with no empty
+    blocks passes through untouched; disable for join inputs already
+    compacted upstream."""
+    if compact:
+        from knowledgegraphs_ray.util.blocks import drop_empty_blocks
+
+        left = drop_empty_blocks(left)
+        right = drop_empty_blocks(right)
     return left.join(
         right,
         join_type=how,

@@ -59,3 +59,25 @@ def compact_nonempty(ds: ray.data.Dataset, schema: pa.Schema) -> ray.data.Datase
     if not kept:
         return ray.data.from_arrow(schema.empty_table())
     return ray.data.from_arrow_refs(kept)
+
+
+def drop_empty_blocks(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Materialize ``ds`` and drop its 0-row blocks — the centralized join
+    hygiene ``extract/joins.native_join`` applies to both sides (Ray's
+    hash-shuffle join intermittently fails on schema-poisoned empty
+    blocks). Row counts come from block METADATA (no remote calls); when
+    no block is empty the materialized dataset is returned untouched, and
+    an all-empty dataset is returned as-is (the caller's count()==0
+    short-circuits own that case, exactly as before centralization)."""
+    mat = ds.materialize()
+    refs: list = []
+    counts: list = []
+    for b in mat.iter_internal_ref_bundles():
+        refs.extend(b.block_refs)
+        counts.extend(m.num_rows for m in b.metadata)
+    if any(c is None for c in counts):  # metadata gap: count remotely
+        counts = ray.get([_num_rows.remote(r) for r in refs])
+    if all(c > 0 for c in counts) or not any(counts):
+        return mat
+    kept = [_as_arrow.remote(r) for r, c in zip(refs, counts) if c > 0]
+    return ray.data.from_arrow_refs(kept)

@@ -237,3 +237,44 @@ def test_asof_scan_matches_group_strategy_randomized():
         )
         cols = sorted(a.columns)
         pd.testing.assert_frame_equal(a[cols], b[cols], check_dtype=False)
+
+
+def test_native_join_compacts_zero_row_blocks():
+    """The documented Ray hash-shuffle flake: 0-row (schema-poisoned)
+    blocks on a join side.  native_join's centralized compaction (r5)
+    must drop them via block metadata and return the exact join result."""
+    import pyarrow as pa
+
+    from knowledgegraphs_ray.extract.joins import native_join
+    from knowledgegraphs_ray.util.blocks import drop_empty_blocks
+
+    lt = pd.DataFrame({"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]})
+    rt = pd.DataFrame({"k": [2, 3, 5], "rv": [200, 300, 500]})
+    # over-partitioning tiny data guarantees 0-row blocks on both sides
+    lds = ray.data.from_pandas(lt).repartition(16)
+    rds = ray.data.from_pandas(rt).repartition(16)
+
+    # drop_empty_blocks invariants
+    c = drop_empty_blocks(lds)
+    sizes = [
+        m.num_rows for b in c.iter_internal_ref_bundles() for m in b.metadata
+    ]
+    assert all(s > 0 for s in sizes) and sum(sizes) == 4
+    # no-empties input passes through with blocks untouched
+    c2 = drop_empty_blocks(c)
+    assert c2.count() == 4
+    # all-empty input is returned as-is (caller short-circuits on count)
+    empty = ray.data.from_arrow(
+        pa.schema([("k", pa.int64())]).empty_table()
+    )
+    assert drop_empty_blocks(empty).count() == 0
+
+    out = (
+        native_join(lds, rds, left_on="k", right_on="k", num_partitions=4)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    exp = lt.merge(rt, on="k").sort_values("k").reset_index(drop=True)
+    cols = sorted(out.columns)
+    pd.testing.assert_frame_equal(out[cols], exp[cols], check_dtype=False)
