@@ -57,12 +57,41 @@ def test_er_propagation_tier_equivalent(ray_session):
     _assert_match(res, exp)
 
 
-def test_er_hashed_token_tier_equivalent(ray_session):
-    # the 8-byte-key scale knob must reproduce the literal-token result
-    # (collisions are the documented 64-bit class — none at fixture scale)
+def test_er_join_tier_equivalent(ray_session):
+    # the join-shaped verify (non-positional candidate sources) must
+    # reproduce the fused halo tier / oracle exactly
     docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
-    res = er_resolve(docs, hash_tokens=True)
+    res = er_resolve(docs, verify="join")
     _assert_match(res, _oracle(SF))
+
+
+def test_er_hashed_token_tier_equivalent(ray_session):
+    # the 8-byte-key scale knob (join tier) must reproduce the
+    # literal-token result (collisions are the documented 64-bit class —
+    # none at fixture scale)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    res = er_resolve(docs, verify="join", hash_tokens=True)
+    _assert_match(res, _oracle(SF))
+
+
+def test_er_custom_id_col_output_naming(ray_session):
+    # ADVICE r4: a non-default id_col must come back under ITS name in
+    # both engine and oracle outputs
+    df = pd.DataFrame(
+        {
+            "rec": [1, 2, 3],
+            "text": ["same same same text", "same same same text", "other words"],
+        }
+    )
+    res = er_resolve(ray.data.from_pandas(df), id_col="rec").to_pandas()
+    assert list(res.columns) == ["rec", "canon_id"]
+    exp = _oracle(df, id_col="rec")
+    assert list(exp.columns) == ["rec", "canon_id"]
+    pd.testing.assert_frame_equal(
+        res.reset_index(drop=True).astype("int64"),
+        exp.reset_index(drop=True).astype("int64"),
+    )
+    assert res["canon_id"].tolist() == [1, 1, 3]
 
 
 def test_er_no_edges_self_map(ray_session):
