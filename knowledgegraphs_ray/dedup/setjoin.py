@@ -77,30 +77,18 @@ def _doc_tokens(
     return out.drop_duplicates([id_col, "t"])
 
 
-def set_similarity_join(
+def _rarity_and_prefixes(
     docs: ray.data.Dataset,
     *,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    threshold_micro: int = 700_000,
-    vocab_limit: int = 5_000_000,
-    max_token_group: int = 20_000,
-    shingle_k: int = 1,
-) -> ray.data.Dataset:
-    """-> (u, v, inter, size_u, size_v, jac_micro) for every pair with
-    token-set Jaccard ≥ threshold_micro/1e6; u < v by id order.
-
-    ``shingle_k > 1`` computes Jaccard over ordered k-token shingle sets
-    instead of unigram sets — REQUIRED for tiny-vocabulary corpora, where
-    every unigram is corpus-hot and prefix filtering degrades to the
-    quadratic join (sf0.1 fixture: 31 distinct tokens, max df 3923/5000
-    -> unigram 61.6 s vs 3-shingle seconds at identical output quality)."""
-    t_micro = int(threshold_micro)
-    if not (0 < t_micro <= 1_000_000):
-        raise ValueError("threshold_micro must be in (0, 1e6]")
-    nparts = _nparts()
-
-    # ---- global rarity order: df partials -> broadcast token→rank ----
+    text_col: str,
+    id_col: str,
+    t_micro: int,
+    vocab_limit: int,
+    shingle_k: int,
+    nparts: int,
+):
+    """One rarity pass at a fixed ``shingle_k``: -> (n_vocab, rank_ref,
+    pref) with pref the slim (rank, doc, size, bucket) prefix rows."""
     tok_parts = docs.map_batches(
         lambda df: _doc_tokens(df, text_col, id_col, shingle_k)
         .groupby("t", as_index=False, sort=False)
@@ -116,18 +104,8 @@ def set_similarity_join(
             f"(> vocab_limit={vocab_limit}); the token→rank order must stay "
             "driver-broadcastable — use dedup/minhash.py for open vocabularies"
         )
-    PAIR_SCHEMA = pa.schema(
-        [
-            ("u", pa.int64()),
-            ("v", pa.int64()),
-            ("inter", pa.int64()),
-            ("size_u", pa.int64()),
-            ("size_v", pa.int64()),
-            ("jac_micro", pa.int64()),
-        ]
-    )
     if n_vocab == 0:
-        return ray.data.from_arrow(PAIR_SCHEMA.empty_table())
+        return 0, None, None
     vdf = dfreq.to_pandas().sort_values(["df", "t"], kind="mergesort")
     rank = pd.Series(
         np.arange(len(vdf), dtype=np.int64), index=vdf["t"].to_numpy()
@@ -158,7 +136,143 @@ def set_similarity_join(
         out["__b"] = (out["r"].to_numpy() % nparts).astype(np.int64)
         return out
 
-    pref = docs.map_batches(prefixes, batch_format="pandas")
+    return n_vocab, rank_ref, docs.map_batches(prefixes, batch_format="pandas")
+
+
+def _prefix_group_stats(pref: ray.data.Dataset) -> tuple[int, int]:
+    """-> (candidate_volume, max_group) from the slim prefix rows: group
+    sizes per prefix-token rank, Σ C(g, 2) pairs BEFORE generation — the
+    exact cost the emit stage would pay, measured from partials the
+    rarity pass already produces."""
+    parts = pref.map_batches(
+        lambda df: df.groupby("r", as_index=False, sort=False)
+        .size()
+        .rename(columns={"size": "c"}),
+        batch_format="pandas",
+    )
+    g = sum_partials(parts, keys=["r"], sum_cols=["c"]).to_pandas()
+    if g.empty:
+        return 0, 0
+    c = g["c"].to_numpy(dtype=np.int64)
+    return int((c * (c - 1) // 2).sum()), int(c.max())
+
+
+AUTO_SHINGLE_KS = (1, 3, 5)
+
+
+def choose_shingle_k(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_micro: int = 700_000,
+    vocab_limit: int = 5_000_000,
+    max_token_group: int = 20_000,
+    auto_candidate_limit: int = 2_000_000,
+) -> int:
+    """Deterministic degeneracy steering: the smallest k in
+    ``AUTO_SHINGLE_KS`` whose prefix-group candidate volume Σ C(g, 2)
+    fits ``auto_candidate_limit`` with every group ≤ ``max_token_group``.
+    Raises with the minhash remedy when even the largest k is degenerate
+    (near-identical corpus: shingling cannot help)."""
+    t_micro = int(threshold_micro)
+    nparts = _nparts()
+    last = None
+    for k in AUTO_SHINGLE_KS:
+        n_vocab, _, pref = _rarity_and_prefixes(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            t_micro=t_micro,
+            vocab_limit=vocab_limit,
+            shingle_k=k,
+            nparts=nparts,
+        )
+        if n_vocab == 0:
+            return k  # empty token sets at this k -> empty result either way
+        vol, maxg = _prefix_group_stats(pref)
+        last = (k, vol, maxg)
+        if vol <= auto_candidate_limit and maxg <= max_token_group:
+            return k
+    k, vol, maxg = last
+    raise RuntimeError(
+        f"set_similarity_join: degenerate corpus — at shingle_k={k} the "
+        f"prefix groups still yield {vol} candidate pairs (limit "
+        f"{auto_candidate_limit}, max group {maxg}); pair emission is "
+        "O(group²) — use the minhash tier (dedup/minhash.py) for "
+        "near-identical corpora"
+    )
+
+
+def set_similarity_join(
+    docs: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_micro: int = 700_000,
+    vocab_limit: int = 5_000_000,
+    max_token_group: int = 20_000,
+    shingle_k: int | str = 1,
+    auto_candidate_limit: int = 2_000_000,
+) -> ray.data.Dataset:
+    """-> (u, v, inter, size_u, size_v, jac_micro) for every pair with
+    token-set Jaccard ≥ threshold_micro/1e6; u < v by id order.
+
+    ``shingle_k > 1`` computes Jaccard over ordered k-token shingle sets
+    instead of unigram sets — REQUIRED for tiny-vocabulary corpora, where
+    every unigram is corpus-hot and prefix filtering degrades to the
+    quadratic join (sf0.1 fixture: 31 distinct tokens, max df 3923/5000
+    -> unigram 61.6 s vs 3-shingle seconds at identical output quality).
+
+    ``shingle_k="auto"``: measure the EXACT candidate volume Σ C(g, 2)
+    from the prefix-group sizes (a slim aggregate over rows the rarity
+    pass produces anyway) and escalate k through ``AUTO_SHINGLE_KS``
+    until it fits ``auto_candidate_limit`` and every group fits
+    ``max_token_group`` — degeneracy is steered around BEFORE candidate
+    generation instead of raising mid-run. Raises (naming the minhash
+    tier) if even the largest k stays degenerate. The chosen k changes
+    the similarity SEMANTICS (shingle sets, not unigram sets), so oracle
+    comparisons must pin an explicit k; ``choose_shingle_k`` exposes the
+    decision."""
+    t_micro = int(threshold_micro)
+    if not (0 < t_micro <= 1_000_000):
+        raise ValueError("threshold_micro must be in (0, 1e6]")
+    nparts = _nparts()
+
+    PAIR_SCHEMA = pa.schema(
+        [
+            ("u", pa.int64()),
+            ("v", pa.int64()),
+            ("inter", pa.int64()),
+            ("size_u", pa.int64()),
+            ("size_v", pa.int64()),
+            ("jac_micro", pa.int64()),
+        ]
+    )
+
+    if shingle_k == "auto":
+        shingle_k = choose_shingle_k(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            threshold_micro=t_micro,
+            vocab_limit=vocab_limit,
+            max_token_group=max_token_group,
+            auto_candidate_limit=auto_candidate_limit,
+        )
+    shingle_k = int(shingle_k)
+
+    n_vocab, rank_ref, pref = _rarity_and_prefixes(
+        docs,
+        text_col=text_col,
+        id_col=id_col,
+        t_micro=t_micro,
+        vocab_limit=vocab_limit,
+        shingle_k=shingle_k,
+        nparts=nparts,
+    )
+    if n_vocab == 0:
+        return ray.data.from_arrow(PAIR_SCHEMA.empty_table())
 
     # ---- candidate pairs inside per-token groups ----
     def emit(g: pd.DataFrame) -> pd.DataFrame:

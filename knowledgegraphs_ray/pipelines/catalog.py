@@ -1527,7 +1527,12 @@ def q_setjoin_pairs(sf_dir: str):
     integer floor-division verify — dedup/setjoin.py). The exact
     complement to the probabilistic minhash tier. Jaccard is over 3-token
     shingle sets: the fixture's 31-unigram vocabulary makes every unigram
-    corpus-hot (prefix filtering would degrade to the quadratic join)."""
+    corpus-hot (prefix filtering would degrade to the quadratic join).
+    k=3 is PINNED here because the static oracle SQL must match the
+    engine's shingle semantics — but ``shingle_k="auto"`` derives the
+    same k=3 from the prefix-group volume probe
+    (``dedup/setjoin.choose_shingle_k``), so no hand-tuning is needed
+    outside oracle-twinned contexts."""
     from knowledgegraphs_ray.dedup.setjoin import set_similarity_join
 
     docs = ray.data.read_parquet(

@@ -162,3 +162,52 @@ def test_setjoin_shingle_short_docs_excluded():
     )
     got = _run(df, 900_000, shingle_k=3)
     assert got[["u", "v"]].values.tolist() == [[1, 2]]
+
+
+def test_auto_shingle_escalates_on_tiny_vocab():
+    """Degeneracy steering (r5): a tiny-vocabulary corpus (every unigram
+    corpus-hot) must escalate k BEFORE candidate generation, and the
+    auto result must equal the explicitly-pinned k's result."""
+    from knowledgegraphs_ray.dedup.setjoin import choose_shingle_k
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(8)]  # 8 distinct unigrams only
+    texts = [
+        " ".join(rng.choice(vocab, size=20)) for _ in range(300)
+    ]
+    texts[50] = texts[10]  # planted duplicates: non-empty output at any k
+    texts[51] = texts[11]
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype="int64"), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(4)
+    k = choose_shingle_k(ds, auto_candidate_limit=5_000)
+    assert k > 1, "unigram prefixes are degenerate here; k must escalate"
+    auto = _run(df, 700_000, shingle_k="auto", auto_candidate_limit=5_000)
+    pinned = _run(df, 700_000, shingle_k=k)
+    assert len(auto) >= 2
+    pd.testing.assert_frame_equal(auto, pinned)
+
+
+def test_auto_shingle_keeps_unigrams_on_healthy_vocab():
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i:04d}" for i in range(3000)]
+    texts = [" ".join(rng.choice(vocab, size=15)) for _ in range(200)]
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype="int64"), "text": texts})
+    from knowledgegraphs_ray.dedup.setjoin import choose_shingle_k
+
+    assert choose_shingle_k(ray.data.from_pandas(df).repartition(4)) == 1
+
+
+def test_auto_shingle_raises_on_near_identical_corpus():
+    # every doc identical: prefixes collide at EVERY k -> minhash remedy
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(80, dtype="int64"),
+            "text": ["a b c d e f g h i j k l"] * 80,
+        }
+    )
+    from knowledgegraphs_ray.dedup.setjoin import choose_shingle_k
+
+    with pytest.raises(RuntimeError, match="minhash"):
+        choose_shingle_k(
+            ray.data.from_pandas(df).repartition(4), auto_candidate_limit=100
+        )
