@@ -516,6 +516,52 @@ def q_watermark_windows(sf_dir: str):
     return out
 
 
+def q_watermark_sessions(sf_dir: str):
+    """Watermark-aware SESSION windows (gap-based, allowed lateness) over
+    the same three out-of-order event shards as ``watermark_windows``
+    (streaming/watermark.py sessions_advance/flush): open sessions are
+    merge-capable interval state — a kept straggler landing within the
+    gap of two open sessions bridges them; sessions whose end + gap
+    cleared the watermark finalize exactly once. The DuckDB twin replays
+    the per-shard watermarks and sessionizes the kept union."""
+    import pandas as pd
+
+    from knowledgegraphs_ray.streaming.watermark import (
+        SessionState,
+        sessions_advance,
+        sessions_flush,
+    )
+
+    CUT_US = 1705363200000000  # 2024-01-16 00:00:00 UTC in epoch µs
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "value"],
+    ).materialize()
+
+    def part(df: pd.DataFrame, which: str) -> pd.DataFrame:
+        ep = df["ts"].astype("datetime64[us]").astype("int64")
+        straggler = df["event_id"] % 20 == 0
+        if which == "early":
+            m = ~straggler & (ep < CUT_US)
+        elif which == "late_half":
+            m = ~straggler & (ep >= CUT_US)
+        else:
+            m = straggler
+        return df[m][["user_id", "ts", "value"]]
+
+    shards = [
+        ev.map_batches(lambda df, w=w: part(df, w), batch_format="pandas")
+        for w in ("early", "late_half", "stragglers")
+    ]
+    st = SessionState(gap_sec=6 * 3600, lateness_sec=2 * 86400)
+    outs = []
+    for sh in shards:
+        st, fin = sessions_advance(st, sh)
+        outs.append(fin)
+    outs.append(sessions_flush(st))
+    return outs[0].union(*outs[1:])
+
+
 def q_events_tumbling(sf_dir: str):
     from knowledgegraphs_ray.streaming.windows import tumbling_window_agg
 
@@ -1743,6 +1789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # since.
     return {
         # --- never driver-verified (round-3 tail + round-4 additions) ---
+        "watermark_sessions": q_watermark_sessions,
         "repeated_spans": q_repeated_spans,
         "snm_candidate_pairs": q_snm_candidate_pairs,
         "user_event_pivot": q_user_event_pivot,
@@ -2103,6 +2150,24 @@ def oracle_sql() -> dict[str, str]:
                 "SELECT user_id, ts, value FROM events WHERE event_id % 20 = 0",
             ],
             window_sec=3600,
+            lateness_sec=2 * 86400,
+        ),
+        # watermark_sessions: same per-shard watermark CTEs; the kept
+        # union sessionizes with the batch gaps-and-islands twin (equal
+        # to the incremental emission by the finalization safety
+        # argument in streaming/watermark.py)
+        "watermark_sessions": __import__(
+            "knowledgegraphs_ray.streaming.watermark",
+            fromlist=["watermark_sessions_oracle_sql"],
+        ).watermark_sessions_oracle_sql(
+            [
+                "SELECT user_id, ts, value FROM events "
+                "WHERE event_id % 20 != 0 AND epoch_us(ts) < 1705363200000000",
+                "SELECT user_id, ts, value FROM events "
+                "WHERE event_id % 20 != 0 AND epoch_us(ts) >= 1705363200000000",
+                "SELECT user_id, ts, value FROM events WHERE event_id % 20 = 0",
+            ],
+            gap_sec=6 * 3600,
             lateness_sec=2 * 86400,
         ),
         # kg_random_walks: unrolled per-step joins on rnk = md5-u64 % deg

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -226,4 +227,264 @@ def watermark_tumbling_oracle_sql(
         f"SELECT {key}, (ep_us // {w_us}) * {window_sec} AS window_start, "
         f"count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS sum_cents "
         f"FROM kept GROUP BY 1, 2"
+    )
+
+
+# --- watermark-aware SESSION windows ---------------------------------------
+#
+# Gap-based sessions with allowed lateness, same protocol family as the
+# tumbling operator above but with MERGE-capable state: an open session is
+# an interval (key, start_us, end_us, n_events, sum_cents); a kept event
+# landing within ``gap`` of two open sessions bridges them into one (the
+# classic session-window merge). State is a keyed Dataset of open-session
+# intervals — O(open sessions), spills like any table.
+#
+# Finalization is safe by construction: a session with
+# end_us + gap_us <= watermark can never merge again, because every kept
+# future event has ts > watermark >= end_us + gap_us, i.e. strictly more
+# than ``gap`` past the session end — it starts a new session. So the
+# union of per-shard emissions + flush equals batch sessionization over
+# the kept (non-late) events, which is what the SQL twin computes with
+# per-shard watermark CTEs.
+
+
+@dataclass
+class SessionState:
+    """Open-session intervals + watermark + late-event count."""
+
+    partials: ray.data.Dataset | None = None
+    watermark_us: int = -(2**62)
+    late_events: int = 0
+    key: str = "user_id"
+    gap_sec: int = 1800
+    lateness_sec: int = 0
+    driver_limit: int = 5_000_000
+
+
+def _merge_session_intervals(
+    df: pd.DataFrame, *, key: str, gap_us: int
+) -> pd.DataFrame:
+    """Vectorized interval merge: sort by (key, start_us); a session breaks
+    where start exceeds the running max end of its key by more than gap."""
+    if df.empty:
+        return df
+    df = df.sort_values([key, "start_us", "end_us"], kind="mergesort")
+    cm = df.groupby(key, sort=False)["end_us"].cummax()
+    prev_end = cm.shift(1)
+    k = df[key].to_numpy()
+    new_key = np.r_[True, k[1:] != k[:-1]]
+    brk = new_key | (df["start_us"].to_numpy() > prev_end.to_numpy() + gap_us)
+    sid = np.cumsum(brk)
+    out = (
+        pd.DataFrame(
+            {
+                key: df[key].to_numpy(),
+                "__sid": sid,
+                "start_us": df["start_us"].to_numpy(),
+                "end_us": df["end_us"].to_numpy(),
+                "n_events": df["n_events"].to_numpy(),
+                "sum_cents": df["sum_cents"].to_numpy(),
+            }
+        )
+        .groupby([key, "__sid"], as_index=False)
+        .agg(
+            start_us=("start_us", "min"),
+            end_us=("end_us", "max"),
+            n_events=("n_events", "sum"),
+            sum_cents=("sum_cents", "sum"),
+        )
+        .drop(columns="__sid")
+    )
+    for c in ("start_us", "end_us", "n_events", "sum_cents"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def sessions_advance(
+    state: SessionState,
+    shard: ray.data.Dataset,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> tuple[SessionState, ray.data.Dataset]:
+    """Fold one arriving shard into ``state``; returns (new_state,
+    finalized sessions emitted by this shard). See the session-window
+    block comment above for the protocol and safety argument."""
+    key, gap_us = state.key, state.gap_sec * 1_000_000
+    wm = state.watermark_us
+    NEG_INF = -(2**62)
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        ts_us = batch[ts_col].combine_chunks().cast(pa.timestamp("us"), safe=False)
+        ep = pc.cast(ts_us, pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(
+            pc.round(pc.multiply(batch[value_col], 100)), pa.int64()
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                key: batch[key].to_numpy(zero_copy_only=False),
+                "ep": ep,
+                "cents": cents,
+            }
+        )
+        late = df["ep"].to_numpy() <= wm
+        n_late = int(late.sum())
+        df = df[~late]
+        if len(df):
+            df = df.sort_values([key, "ep"], kind="mergesort")
+            k = df[key].to_numpy()
+            e = df["ep"].to_numpy()
+            brk = np.r_[True, (k[1:] != k[:-1]) | (e[1:] - e[:-1] > gap_us)]
+            df = df.assign(__sid=np.cumsum(brk))
+            g = df.groupby([key, "__sid"], as_index=False).agg(
+                start_us=("ep", "min"),
+                end_us=("ep", "max"),
+                n_events=("ep", "size"),
+                sum_cents=("cents", "sum"),
+            ).drop(columns="__sid")
+            g["__max_ep"] = int(e.max())
+        else:
+            g = pd.DataFrame(
+                {
+                    key: pd.Series([], dtype=object),
+                    "start_us": pd.Series([], dtype="int64"),
+                    "end_us": pd.Series([], dtype="int64"),
+                    "n_events": pd.Series([], dtype="int64"),
+                    "sum_cents": pd.Series([], dtype="int64"),
+                    "__max_ep": pd.Series([], dtype="int64"),
+                }
+            )
+        g["__late"] = 0
+        if len(g):
+            g.iloc[0, g.columns.get_loc("__late")] = n_late
+        elif n_late:
+            g = pd.DataFrame(
+                {
+                    key: pd.Series([None], dtype=object),
+                    "start_us": [0],
+                    "end_us": [0],
+                    "n_events": [0],
+                    "sum_cents": [0],
+                    "__max_ep": [NEG_INF],
+                    "__late": [n_late],
+                }
+            )
+        return g
+
+    parts = shard.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_late = 0
+    merged_in = state.partials
+    if parts.count() > 0:
+        stats = parts.map_batches(
+            lambda df: pd.DataFrame(
+                {"m": [df["__max_ep"].max()], "l": [df["__late"].sum()]}
+            ),
+            batch_format="pandas",
+        ).to_pandas()
+        n_late = int(stats["l"].sum())
+        max_ep = int(stats["m"].max())
+        if max_ep > NEG_INF:
+            wm = max(wm, max_ep - state.lateness_sec * 1_000_000)
+        micro = parts.map_batches(
+            lambda df: df[df["n_events"] > 0][
+                [key, "start_us", "end_us", "n_events", "sum_cents"]
+            ],
+            batch_format="pandas",
+        )
+        merged_in = (
+            micro if state.partials is None else state.partials.union(micro)
+        )
+    if merged_in is None:
+        return state, ray.data.from_items([])
+
+    merged_in = merged_in.materialize()
+    if merged_in.count() <= state.driver_limit:
+        sess = ray.data.from_pandas(
+            _merge_session_intervals(
+                merged_in.to_pandas(), key=key, gap_us=gap_us
+            ).reset_index(drop=True)
+        )
+    else:
+        # distributed tier: per-key interval merge, key-parallel — open
+        # sessions per key are few, so groups stay tiny
+        sess = merged_in.groupby(key).map_groups(
+            lambda g: _merge_session_intervals(g, key=key, gap_us=gap_us),
+            batch_format="pandas",
+        )
+    sess = sess.materialize()
+
+    def split(df: pd.DataFrame, *, final: bool) -> pd.DataFrame:
+        closed = df["end_us"] + gap_us <= wm
+        return df[closed] if final else df[~closed]
+
+    finalized = sess.map_batches(
+        lambda df: split(df, final=True), batch_format="pandas"
+    ).materialize()
+    remaining = sess.map_batches(
+        lambda df: split(df, final=False), batch_format="pandas"
+    ).materialize()
+    new_state = SessionState(
+        partials=remaining,
+        watermark_us=wm,
+        late_events=state.late_events + n_late,
+        key=key,
+        gap_sec=state.gap_sec,
+        lateness_sec=state.lateness_sec,
+        driver_limit=state.driver_limit,
+    )
+    return new_state, finalized
+
+
+def sessions_flush(state: SessionState) -> ray.data.Dataset:
+    """Force-finalize all open sessions (end of log)."""
+    if state.partials is None:
+        return ray.data.from_items([])
+    return state.partials
+
+
+def watermark_sessions_oracle_sql(
+    shard_sqls: list[str],
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_sec: int = 1800,
+    lateness_sec: int = 0,
+) -> str:
+    """DuckDB twin of sessions_advance(shard_1) … + flush: per-shard
+    watermark CTEs drop late events (ep <= watermark standing when the
+    shard arrived), then batch gaps-and-islands sessionization over the
+    kept union — equal to the incremental emission by the finalization
+    safety argument in the module."""
+    gap_us = gap_sec * 1_000_000
+    shard_ctes = []
+    for i, s in enumerate(shard_sqls):
+        shard_ctes.append(
+            f"sh{i} AS (SELECT {key}, "
+            f"epoch_us(CAST({ts_col} AS TIMESTAMP)) AS ep_us, "
+            f"CAST(round({value_col} * 100) AS BIGINT) AS cents FROM ({s}))"
+        )
+    wm_exprs = ["CAST(-4611686018427387904 AS BIGINT)"]
+    for i in range(1, len(shard_sqls)):
+        prev = " UNION ALL ".join(f"SELECT ep_us FROM sh{j}" for j in range(i))
+        wm_exprs.append(
+            f"(SELECT max(ep_us) - {lateness_sec * 1_000_000} FROM ({prev}))"
+        )
+    keep = " UNION ALL ".join(
+        f"SELECT {key}, ep_us, cents FROM sh{i} WHERE ep_us > ({wm_exprs[i]})"
+        for i in range(len(shard_sqls))
+    )
+    return (
+        "WITH " + ",\n".join(shard_ctes) + ",\n"
+        f"kept AS ({keep}),\n"
+        f"s AS (SELECT *, CASE WHEN ep_us - lag(ep_us) OVER "
+        f"  (PARTITION BY {key} ORDER BY ep_us) > {gap_us} "
+        f"  THEN 1 ELSE 0 END AS brk FROM kept),\n"
+        f"t AS (SELECT *, SUM(brk) OVER (PARTITION BY {key} ORDER BY ep_us "
+        f"  ROWS UNBOUNDED PRECEDING) AS sid FROM s)\n"
+        f"SELECT {key}, min(ep_us) AS start_us, max(ep_us) AS end_us, "
+        f"count(*)::BIGINT AS n_events, sum(cents)::BIGINT AS sum_cents "
+        f"FROM t GROUP BY {key}, sid"
     )
