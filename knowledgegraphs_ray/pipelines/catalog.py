@@ -1376,10 +1376,12 @@ def q_leakage_safe_splits(sf_dir: str):
 
 
 def q_copurchase_kcore(sf_dir: str):
-    """3-core of the support-≥2 co-purchase graph (parts sharing at least
-    two orders — the raw co-purchase graph is near-complete, so its cores
-    are all-or-nothing): iterative delta-broadcast peeling
-    (graph/kcore.py; at sf0.01 the peel strips ~half the nodes over
+    """2-core of the support-≥2 co-purchase graph (parts sharing at least
+    two orders). k=2 instead of 3 so the BENCH scale exercises the
+    non-empty path too: the support-2 graph thins as sf grows (key-space
+    dilution), and at sf0.1 its 3-core is empty while the 2-core
+    survives. Iterative delta-broadcast peeling
+    (graph/kcore.py; at sf0.01 the peel strips nodes over
     multiple cascading rounds), integer-exact vs the unrolled-CTE twin."""
     from knowledgegraphs_ray.graph.kcore import kcore
     from knowledgegraphs_ray.graph.triangles import cooccurrence_edges
@@ -1390,14 +1392,15 @@ def q_copurchase_kcore(sf_dir: str):
     edges = cooccurrence_edges(
         li, group_col="l_orderkey", item_col="l_partkey", min_count=2
     )
-    return kcore(edges, src="u", dst="v", assume_canonical=True, k=3)
+    return kcore(edges, src="u", dst="v", assume_canonical=True, k=2)
 
 
 def q_link_prediction(sf_dir: str):
     """Common-neighbor / Adamic-Adar link prediction over the support-≥2
     co-purchase graph (graph/linkpred.py): non-adjacent part pairs sharing
-    ≥2 neighbors, AA in integer micro units (floor(1e6/ln(deg)) per shared
-    neighbor — libm-bit-exact vs the DuckDB twin)."""
+    ≥1 neighbor (min_cn=1 so the thinned sf0.1 graph still produces
+    rows at bench scale), AA in integer micro units (floor(1e6/ln(deg))
+    per shared neighbor — libm-bit-exact vs the DuckDB twin)."""
     from knowledgegraphs_ray.graph.linkpred import link_prediction
     from knowledgegraphs_ray.graph.triangles import cooccurrence_edges
 
@@ -1407,7 +1410,7 @@ def q_link_prediction(sf_dir: str):
     edges = cooccurrence_edges(
         li, group_col="l_orderkey", item_col="l_partkey", min_count=2
     )
-    return link_prediction(edges, min_cn=2, assume_canonical=True)
+    return link_prediction(edges, min_cn=1, assume_canonical=True)
 
 
 def q_copurchase_jaccard(sf_dir: str):
@@ -1425,7 +1428,7 @@ def q_copurchase_jaccard(sf_dir: str):
         li, group_col="l_orderkey", item_col="l_partkey", min_count=2
     )
     return link_prediction(
-        edges, min_cn=2, assume_canonical=True, include_jaccard=True
+        edges, min_cn=1, assume_canonical=True, include_jaccard=True
     )
 
 
@@ -2086,7 +2089,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
             "AND a.l_partkey < b.l_partkey GROUP BY src, dst"
             ") WHERE c >= 2",
-            min_cn=2,
+            min_cn=1,
         ),
         # copurchase_jaccard: same wedge twin + two degree joins, jac via
         # DuckDB BIGINT // (floor division on non-negative operands)
@@ -2100,7 +2103,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
             "AND a.l_partkey < b.l_partkey GROUP BY src, dst"
             ") WHERE c >= 2",
-            min_cn=2,
+            min_cn=1,
             include_jaccard=True,
         ),
         "conv_stats": __import__(
@@ -2336,7 +2339,7 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
             "AND a.l_partkey < b.l_partkey GROUP BY src, dst"
             ") WHERE c >= 2",
-            k_sql="3",
+            k_sql="2",
             rounds=24,
         ),
         # kg_components: undirected reachability, representative = min
