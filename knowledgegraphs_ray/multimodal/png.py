@@ -1,11 +1,13 @@
 """From-scratch PNG codec — stdlib ``zlib`` + numpy, no PIL.
 
-Scope (documented, checked, raises outside it): 8-bit depth, color types
-0 (grayscale), 2 (RGB), 6 (RGBA), no interlacing, all five scanline
-filters (None/Sub/Up/Average/Paeth) on decode. That covers every PNG this
-engine writes and the overwhelming share of crawled PNGs; palette /
-16-bit / Adam7 inputs raise ``UnsupportedPng`` so a pipeline can route
-them to a quarantine sink instead of mis-decoding.
+Decode scope (documented, checked, raises outside it): color types 0
+(grayscale, 1/2/4/8/16-bit), 2 (RGB, 8/16), 3 (palette, 1/2/4/8-bit,
+PLTE + optional tRNS alpha — expanded to RGB/RGBA on decode), 4
+(gray+alpha, 8/16), 6 (RGBA, 8/16); no interlacing; all five scanline
+filters (None/Sub/Up/Average/Paeth). That covers every PNG this engine
+writes and crawled palette/16-bit PNGs (r5); Adam7 inputs raise
+``UnsupportedPng`` so a pipeline can route them to a quarantine sink
+instead of mis-decoding. Encode stays 8-bit types 0/2/6.
 
 Same build-it-from-the-spec approach as ``sources/dicom.py`` (PS3.10
 parser): the wire format is public (RFC 2083), the container gives us
@@ -27,7 +29,7 @@ import zlib
 import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-_CHANNELS = {0: 1, 2: 3, 6: 4}
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 class UnsupportedPng(ValueError):
@@ -66,31 +68,55 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc_ else c
 
 
+_ALLOWED_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
 def decode_png(data: bytes) -> np.ndarray:
-    """-> uint8 array (h, w) for grayscale or (h, w, channels) for RGB/RGBA."""
+    """-> pixel array: uint8 or uint16 (16-bit inputs), shape (h, w) for
+    grayscale, (h, w, ch) otherwise. Palette images (color type 3) come
+    back EXPANDED to RGB uint8 — RGBA when a tRNS chunk adds alpha."""
     width = height = None
     color_type = bit_depth = None
     idat = bytearray()
+    plte = trns = None
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, comp, filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
-            if bit_depth != 8:
-                raise UnsupportedPng(f"bit depth {bit_depth} (only 8 supported)")
-            if color_type not in _CHANNELS:
-                raise UnsupportedPng(f"color type {color_type} (0/2/6 supported)")
+            if color_type not in _ALLOWED_DEPTHS:
+                raise UnsupportedPng(f"color type {color_type}")
+            if bit_depth not in _ALLOWED_DEPTHS[color_type]:
+                raise UnsupportedPng(
+                    f"bit depth {bit_depth} for color type {color_type}"
+                )
             if interlace:
                 raise UnsupportedPng("Adam7 interlacing")
             if comp or filt:
                 raise BadPng("unknown compression/filter method")
+        elif ctype == b"PLTE":
+            if len(body) % 3:
+                raise BadPng("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color_type == 3:
+            trns = np.frombuffer(body, np.uint8)
         elif ctype == b"IDAT":
             idat.extend(body)
     if width is None:
         raise BadPng("no IHDR")
+    if color_type == 3 and plte is None:
+        raise BadPng("palette image without PLTE")
     ch = _CHANNELS[color_type]
+    bits_px = ch * bit_depth
+    stride = (width * bits_px + 7) // 8  # filtered bytes per scanline
+    bpp = max(1, bits_px // 8)  # filter byte offset
     raw = zlib.decompress(bytes(idat))
-    stride = width * ch
     if len(raw) != height * (stride + 1):
         raise BadPng("decompressed size mismatch")
     raw = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
@@ -106,24 +132,54 @@ def decode_png(data: bytes) -> np.ndarray:
             out[y] = (cur + prev) & 0xFF
         elif f == 1:  # Sub — within-row dependency
             line = out[y]
-            line[:ch] = cur[:ch]
-            for x in range(ch, stride):
-                line[x] = (cur[x] + line[x - ch]) & 0xFF
+            line[:bpp] = cur[:bpp]
+            for x in range(bpp, stride):
+                line[x] = (cur[x] + line[x - bpp]) & 0xFF
         elif f == 3:  # Average
             line = out[y]
-            line[:ch] = (cur[:ch] + prev[:ch] // 2) & 0xFF
-            for x in range(ch, stride):
-                line[x] = (cur[x] + (line[x - ch] + prev[x]) // 2) & 0xFF
+            line[:bpp] = (cur[:bpp] + prev[:bpp] // 2) & 0xFF
+            for x in range(bpp, stride):
+                line[x] = (cur[x] + (line[x - bpp] + prev[x]) // 2) & 0xFF
         elif f == 4:  # Paeth
             line = out[y]
             for x in range(stride):
-                a = int(line[x - ch]) if x >= ch else 0
+                a = int(line[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 line[x] = (cur[x] + _paeth(a, b, c)) & 0xFF
         else:
             raise BadPng(f"filter type {f}")
-    img = out.astype(np.uint8)
+    img8 = out.astype(np.uint8)
+    if bit_depth == 16:
+        hi = img8[:, 0::2].astype(np.uint16)
+        lo = img8[:, 1::2].astype(np.uint16)
+        px = ((hi << 8) | lo).reshape(height, width, ch)
+        return px.reshape(height, width) if ch == 1 else px
+    if bit_depth < 8:
+        # sub-byte samples: MSB-first within each scanline byte
+        samples = np.unpackbits(img8, axis=1)
+        per = bit_depth
+        n_samp = stride * 8 // per
+        grouped = samples[:, : n_samp * per].reshape(height, n_samp, per)
+        weights = (1 << np.arange(per - 1, -1, -1)).astype(np.int64)
+        vals = (grouped * weights).sum(axis=2)[:, :width].astype(np.uint8)
+        idx = vals
+    else:
+        idx = img8.reshape(height, width * ch)
+    if color_type == 3:
+        pal_idx = idx.reshape(height, width)
+        if int(pal_idx.max(initial=0)) >= len(plte):
+            raise BadPng("palette index out of range")
+        rgb = plte[pal_idx]  # (h, w, 3) uint8
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[pal_idx]])
+        return rgb
+    if bit_depth < 8:  # grayscale 1/2/4-bit: scale to full 8-bit range
+        scale = 255 // ((1 << bit_depth) - 1)
+        return (idx * scale).astype(np.uint8)
+    img = idx
     return img.reshape(height, width) if ch == 1 else img.reshape(height, width, ch)
 
 

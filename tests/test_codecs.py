@@ -67,14 +67,100 @@ def test_png_unsupported_scope():
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    # 16-bit depth
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    # Adam7 interlacing stays out of scope
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
     with pytest.raises(UnsupportedPng):
         decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
-    # palette color type
+    # 16-bit palette is invalid-by-spec -> unsupported
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    with pytest.raises(UnsupportedPng):
+        decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+    # palette image without a PLTE chunk is corrupt
+    from knowledgegraphs_ray.multimodal.png import BadPng
+
     ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
-    with pytest.raises(UnsupportedPng):
-        decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
+    body = zlib.compress(bytes(2 * 3))
+    with pytest.raises(BadPng):
+        decode_png(
+            sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", body) + chunk(b"IEND", b"")
+        )
+
+
+def _raw_png(w, h, bit_depth, color_type, scanline_payload, extra_chunks=()):
+    """Hand-build a PNG from raw (already-packed) scanline bytes with
+    filter 0 on every row — the fixture constructor for decode paths the
+    encoder doesn't emit (palette / 16-bit / sub-byte)."""
+    import struct
+    import zlib
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, color_type, 0, 0, 0)
+    body = b"".join(b"\x00" + row for row in scanline_payload)
+    out = sig + chunk(b"IHDR", ihdr)
+    for ctype, payload in extra_chunks:
+        out += chunk(ctype, payload)
+    return out + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+
+def test_png_palette_decode_expands_rgb():
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])  # 4 colors
+    rows = [bytes([0, 1, 2]), bytes([3, 0, 3])]
+    img = decode_png(_raw_png(3, 2, 8, 3, rows, [(b"PLTE", pal)]))
+    assert img.shape == (2, 3, 3) and img.dtype == np.uint8
+    assert img[0, 0].tolist() == [255, 0, 0]
+    assert img[1, 1].tolist() == [255, 0, 0]
+    assert img[1, 2].tolist() == [10, 20, 30]
+
+
+def test_png_palette_trns_alpha():
+    pal = bytes([1, 2, 3, 4, 5, 6])
+    rows = [bytes([0, 1])]
+    img = decode_png(
+        _raw_png(2, 1, 8, 3, rows, [(b"PLTE", pal), (b"tRNS", bytes([128]))])
+    )
+    assert img.shape == (1, 2, 4)
+    assert img[0, 0].tolist() == [1, 2, 3, 128]
+    assert img[0, 1].tolist() == [4, 5, 6, 255]  # beyond tRNS -> opaque
+
+
+def test_png_palette_4bit_packing():
+    pal = bytes([0, 0, 0, 50, 50, 50, 100, 100, 100, 200, 200, 200])
+    # 3 px/row at 4 bits: indices 1,2,3 pack to 0x12 0x30
+    img = decode_png(_raw_png(3, 1, 4, 3, [bytes([0x12, 0x30])], [(b"PLTE", pal)]))
+    assert img[0].tolist() == [[50] * 3, [100] * 3, [200] * 3]
+
+
+def test_png_16bit_gray_and_rgb():
+    g = np.array([[0, 1000], [65535, 513]], np.uint16)
+    rows = [g[0].astype(">u2").tobytes(), g[1].astype(">u2").tobytes()]
+    out = decode_png(_raw_png(2, 2, 16, 0, rows))
+    assert out.dtype == np.uint16
+    np.testing.assert_array_equal(out, g)
+    rgb = np.arange(2 * 2 * 3, dtype=np.uint16).reshape(2, 2, 3) * 4000
+    rows = [rgb[y].astype(">u2").tobytes() for y in range(2)]
+    out = decode_png(_raw_png(2, 2, 16, 2, rows))
+    assert out.shape == (2, 2, 3) and out.dtype == np.uint16
+    np.testing.assert_array_equal(out, rgb)
+
+
+def test_png_1bit_gray_scales_full_range():
+    # 0b10110000 -> pixels 1,0,1,1 (w=4) -> 255,0,255,255
+    out = decode_png(_raw_png(4, 1, 1, 0, [bytes([0b10110000])]))
+    assert out.tolist() == [[255, 0, 255, 255]]
+
+
+def test_png_gray_alpha_decode():
+    ga = np.array([[[10, 255], [20, 128]]], np.uint8)  # (1, 2, 2)
+    out = decode_png(_raw_png(2, 1, 8, 4, [ga[0].tobytes()]))
+    assert out.shape == (1, 2, 2)
+    np.testing.assert_array_equal(out, ga)
 
 
 @pytest.mark.parametrize("channels", [1, 2])
