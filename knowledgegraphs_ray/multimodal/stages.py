@@ -9,8 +9,10 @@ Images/audio/video are treated as ``binary`` columns + metadata columns
   length-prefixed PNG-frame container (``pack_frames``).
 * ``mode="fake"`` — deterministic byte-statistics decode (real plumbing,
   fake pixels) for plumbing tests with raw payloads.
-* ``mode="real"`` — raises ``NotImplementedError`` at the exact seam where
-  a JPEG/WebP/H.264 decoder (PIL/ffmpeg — not in this container) drops in.
+* ``mode="real"`` — REAL pixels with payload sniffing: PNG signatures
+  decode via ``multimodal/png.py`` (incl. palette/16-bit), JPEG SOI via
+  the from-scratch baseline codec ``multimodal/jpeg.py`` (r5). WebP /
+  H.264 remain the documented ``NotImplementedError`` seams.
 
 Scale notes: binary rows are large ⇒ these stages run with SMALL
 ``batch_size`` (payload bytes × batch_size × concurrency must fit worker
@@ -88,16 +90,25 @@ class ImageDecoder:
         if mode not in ("fake", "png", "real"):
             raise ValueError(mode)
         self.mode = mode
-        if mode == "png":  # codec import belongs here: once per actor
+        if mode in ("png", "real"):  # codec imports belong here: per actor
             from knowledgegraphs_ray.multimodal.png import decode_png
 
             self._decode_png = decode_png
+        if mode == "real":
+            from knowledgegraphs_ray.multimodal.jpeg import decode_jpeg
+
+            self._decode_jpeg = decode_jpeg
 
     def decode_one(self, payload: bytes, w: int, h: int) -> np.ndarray:
         if self.mode == "real":
+            if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                return self._decode_png(payload)
+            if payload[:2] == b"\xff\xd8":
+                return self._decode_jpeg(payload)
             raise NotImplementedError(
-                "JPEG/WebP decode requires PIL/libjpeg — not in this "
-                "container; PNG payloads decode natively via mode='png'"
+                "mode='real' decodes PNG and baseline JPEG natively; other "
+                "containers (WebP/AVIF/...) need an image library — route "
+                "them to a quarantine sink"
             )
         if self.mode == "png":
             return self._decode_png(payload)
@@ -131,20 +142,33 @@ class ImageResizer:
         self.mode = mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.mode == "real":
-            raise NotImplementedError(
-                "JPEG/WebP resize needs an image library; PNG payloads "
-                "resize natively via mode='png'"
-            )
-        if self.mode == "png":
+        if self.mode in ("png", "real"):
             from knowledgegraphs_ray.multimodal.png import decode_png, encode_png
+        if self.mode == "real":
+            from knowledgegraphs_ray.multimodal.jpeg import decode_jpeg
         out_payloads = []
-        for pay, w, h in zip(
+        fmts = []
+        for pay, w, h, fmt in zip(
             batch["payload"].to_pylist(),
             batch["width"].to_pylist(),
             batch["height"].to_pylist(),
+            batch["format"].to_pylist(),
         ):
-            if self.mode == "png":
+            if self.mode == "real":
+                # sniff the container: PNG / baseline JPEG decode natively
+                if pay[:8] == b"\x89PNG\r\n\x1a\n":
+                    img = decode_png(pay)
+                elif pay[:2] == b"\xff\xd8":
+                    img = decode_jpeg(pay)
+                else:
+                    raise NotImplementedError(
+                        "mode='real' resizes PNG and baseline JPEG "
+                        "natively; other containers need an image library"
+                    )
+                if img.dtype == np.uint16:  # 16-bit PNG -> 8-bit thumbnail
+                    img = (img >> 8).astype(np.uint8)
+                h, w = img.shape[:2]
+            elif self.mode == "png":
                 img = decode_png(pay)
                 h, w = img.shape[:2]
             else:
@@ -152,9 +176,12 @@ class ImageResizer:
             ys = (np.arange(self.th) * h // self.th).clip(0, h - 1)
             xs = (np.arange(self.tw) * w // self.tw).clip(0, w - 1)
             small = img[np.ix_(ys, xs)]
-            out_payloads.append(
-                encode_png(small) if self.mode == "png" else small.tobytes()
-            )
+            if self.mode in ("png", "real"):
+                out_payloads.append(encode_png(small))
+                fmts.append("image/png")
+            else:
+                out_payloads.append(small.tobytes())
+                fmts.append(fmt)
         n = batch.num_rows
         return pa.table(
             {
@@ -162,7 +189,7 @@ class ImageResizer:
                 "payload": pa.array(out_payloads, pa.binary()),
                 "width": pa.array([self.tw] * n, pa.int32()),
                 "height": pa.array([self.th] * n, pa.int32()),
-                "format": batch["format"].combine_chunks(),
+                "format": pa.array(fmts, pa.string()),
             },
             schema=IMAGE_SCHEMA,
         )

@@ -239,3 +239,139 @@ def test_video_frame_sampler():
     assert out["width"].to_pylist() == [8, 8, 8]
     exp0 = float(decode_png(frames[0]).mean())
     assert out["mean_px"].to_pylist()[0] == pytest.approx(exp0)
+
+
+# --- baseline JPEG codec (r5) -----------------------------------------------
+
+from knowledgegraphs_ray.multimodal.jpeg import (  # noqa: E402
+    BadJpeg,
+    UnsupportedJpeg,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_jpeg_solid_and_smooth_roundtrip():
+    img = np.full((16, 16), 128, np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img)), img)
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    rgb[..., 0], rgb[..., 1], rgb[..., 2] = 200, 100, 50
+    out = decode_jpeg(encode_jpeg(rgb, quality=95))
+    assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 1
+    x = np.tile(np.linspace(0, 255, 32).astype(np.uint8), (24, 1))
+    out = decode_jpeg(encode_jpeg(x, quality=90))
+    assert out.shape == (24, 32)
+    assert int(np.abs(out.astype(int) - x.astype(int)).max()) <= 2
+
+
+def test_jpeg_fixture_bit_exact():
+    """Committed reference array: the decoder's output for this exact
+    deterministic fixture must never drift (Huffman/zigzag/IDCT plumbing
+    is pinned bit for bit)."""
+    yy, xx = np.mgrid[0:8, 0:8]
+    img = ((yy * 29 + xx * 13) % 251).astype(np.uint8)
+    payload = encode_jpeg(img, quality=75)
+    expected = np.array(
+        [
+            [7, 10, 30, 29, 62, 60, 84, 86],
+            [12, 50, 56, 59, 88, 86, 100, 134],
+            [61, 77, 73, 109, 105, 112, 146, 132],
+            [81, 87, 136, 118, 138, 172, 143, 201],
+            [124, 121, 137, 148, 164, 176, 193, 190],
+            [147, 174, 166, 191, 200, 207, 231, 240],
+            [165, 178, 210, 207, 227, 234, 0, 17],
+            [209, 208, 228, 250, 1, 17, 42, 35],
+        ],
+        np.uint8,
+    )
+    np.testing.assert_array_equal(decode_jpeg(payload), expected)
+
+
+def test_jpeg_420_subsampling_and_odd_sizes():
+    yy, xx = np.mgrid[0:37, 0:29]
+    img = np.dstack(
+        [
+            (127 + 100 * np.sin(yy / 8)).astype(np.uint8),
+            (127 + 100 * np.cos(xx / 9)).astype(np.uint8),
+            ((yy + xx) // 2).astype(np.uint8),
+        ]
+    )
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        assert out.shape == img.shape
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert err.mean() < 4.0, f"{sub}: mean err {err.mean()}"
+
+
+def test_jpeg_restart_markers_identical():
+    yy, xx = np.mgrid[0:33, 0:41]
+    img = ((yy * 7 + xx * 3) % 256).astype(np.uint8)
+    a = decode_jpeg(encode_jpeg(img, quality=85, restart_interval=2))
+    b = decode_jpeg(encode_jpeg(img, quality=85))
+    np.testing.assert_array_equal(a, b)
+    rgb = np.dstack([img, img[::-1], img[:, ::-1]])
+    a = decode_jpeg(encode_jpeg(rgb, quality=85, subsampling="420", restart_interval=3))
+    b = decode_jpeg(encode_jpeg(rgb, quality=85, subsampling="420"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_jpeg_rejects_bad_and_unsupported():
+    with pytest.raises(BadJpeg):
+        decode_jpeg(b"not a jpeg at all")
+    good = encode_jpeg(np.full((8, 8), 10, np.uint8))
+    # flip SOF0 to SOF2 (progressive) -> unsupported
+    idx = good.find(b"\xff\xc0")
+    bad = good[:idx] + b"\xff\xc2" + good[idx + 2 :]
+    with pytest.raises(UnsupportedJpeg):
+        decode_jpeg(bad)
+
+
+def test_image_decoder_real_mode_sniffs_png_and_jpeg():
+    from knowledgegraphs_ray.multimodal.stages import ImageDecoder
+
+    dec = ImageDecoder(mode="real")
+    img = np.full((9, 11), 77, np.uint8)
+    assert dec.decode_one(encode_png(img), 11, 9).shape == (9, 11)
+    assert dec.decode_one(encode_jpeg(img), 11, 9).shape == (9, 11)
+    with pytest.raises(NotImplementedError):
+        dec.decode_one(b"RIFF....WEBP", 1, 1)
+
+
+def test_image_resizer_real_mode_mixed_formats(ray_session):
+    from knowledgegraphs_ray.multimodal.stages import IMAGE_SCHEMA, ImageResizer
+
+    rng = np.random.default_rng(3)
+    payloads, fmts = [], []
+    for i in range(6):
+        img = rng.integers(0, 256, (20 + i, 17 + i), dtype=np.uint8)
+        if i % 2:
+            payloads.append(encode_jpeg(img, quality=90))
+            fmts.append("image/jpeg")
+        else:
+            payloads.append(encode_png(img))
+            fmts.append("image/png")
+    t = pa.table(
+        {
+            "item_id": pa.array(np.arange(6), pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([17 + i for i in range(6)], pa.int32()),
+            "height": pa.array([20 + i for i in range(6)], pa.int32()),
+            "format": pa.array(fmts, pa.string()),
+        },
+        schema=IMAGE_SCHEMA,
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(
+            ImageResizer(target=(8, 8), mode="real"),
+            batch_size=4,
+            batch_format="pyarrow",
+            concurrency=1,
+        )
+        .take_all()
+    )
+    assert len(out) == 6
+    for row in out:
+        assert row["format"] == "image/png"
+        small = decode_png(row["payload"])
+        assert small.shape == (8, 8)
