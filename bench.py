@@ -124,6 +124,7 @@ def run_bench() -> dict:
     timed("kg_ppr", catalog.q_kg_ppr)
     timed("kg_random_walks", catalog.q_kg_random_walks)
     timed("watermark_windows", catalog.q_watermark_windows)
+    timed("watermark_sessions", catalog.q_watermark_sessions)
     timed("orders_rollup", catalog.q_orders_rollup)
     timed("dq_orders", catalog.q_dq_orders)
     timed("setjoin_pairs", catalog.q_setjoin_pairs)
