@@ -341,7 +341,7 @@ def set_similarity_join(
     cand = cand.map_batches(
         lambda t: t.select(["u", "v", "size_u", "size_v"]).cast(CAND_SCHEMA),
         batch_format="pyarrow",
-    )
+    ).materialize()  # count() below + the verify join both reuse it
     if cand.count() == 0:
         return ray.data.from_arrow(PAIR_SCHEMA.empty_table())
 
@@ -382,7 +382,7 @@ def set_similarity_join(
         cand, lu, left_on="u", right_on="u", num_partitions=nparts
     ).map_batches(
         lambda t: t.select(JOIN1.names).cast(JOIN1), batch_format="pyarrow"
-    )
+    ).materialize()  # count() below + the second join both reuse it
     if half.count() == 0:
         return ray.data.from_arrow(PAIR_SCHEMA.empty_table())
     joined = native_join(

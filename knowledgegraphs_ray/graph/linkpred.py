@@ -51,6 +51,54 @@ def _nparts() -> int:
     return max(2, min(32, int(ray.cluster_resources().get("CPU", 8))))
 
 
+def _linkpred_driver(
+    df: pd.DataFrame,
+    *,
+    min_cn: int,
+    max_center_degree: int,
+    include_jaccard: bool,
+) -> pd.DataFrame:
+    """Driver tier: the identical wedge/AA/jaccard arithmetic on one
+    pandas frame — same numpy log/floor and integer floor division as the
+    distributed tier, pinned equivalent by pytest."""
+    u = df["u"].to_numpy()
+    v = df["v"].to_numpy()
+    und = pd.DataFrame(
+        {"c": np.concatenate([u, v]), "n": np.concatenate([v, u])}
+    )
+    deg = und.groupby("c", sort=False)["n"].size().astype("int64")
+    g = und.sort_values(["c", "n"], kind="mergesort")
+    codes, _ = pd.factorize(g["c"], sort=False)
+    k = np.bincount(codes) if len(codes) else np.empty(0, np.int64)
+    if len(k) and int(k.max()) > max_center_degree:
+        raise RuntimeError(
+            f"link_prediction: a node has {int(k.max())} neighbors "
+            f"(> max_center_degree={max_center_degree}); wedge emission "
+            "is O(deg²) per node — cap hub nodes upstream or raise the "
+            "guard deliberately"
+        )
+    items = g["n"].to_numpy()
+    a, b = _pairs_within_sorted_groups(codes)
+    deg_a = deg.loc[g["c"].to_numpy()[a]].to_numpy().astype(np.float64)
+    aa_w = np.floor(1_000_000.0 / np.log(deg_a)).astype(np.int64)
+    pairs = pd.DataFrame(
+        {"u": items[a], "v": items[b], "cn": np.int64(1), "aa_micro": aa_w}
+    ).groupby(["u", "v"], as_index=False, sort=False).sum()
+    pairs = pairs[pairs["cn"] >= min_cn]
+    # anti join vs existing edges on the composite key
+    merged = pairs.merge(
+        df[["u", "v"]], on=["u", "v"], how="left", indicator=True
+    )
+    out = merged[merged["_merge"] == "left_only"].drop(columns="_merge")
+    out = out.astype({"cn": "int64", "aa_micro": "int64"})
+    if include_jaccard:
+        du = deg.loc[out["u"].to_numpy()].to_numpy().astype(np.int64)
+        dv = deg.loc[out["v"].to_numpy()].to_numpy().astype(np.int64)
+        cn = out["cn"].to_numpy()
+        out = out.assign(jac_micro=(1_000_000 * cn) // (du + dv - cn))
+    return out.reset_index(drop=True)
+
+
 def link_prediction(
     edges: ray.data.Dataset,
     *,
@@ -60,6 +108,7 @@ def link_prediction(
     max_center_degree: int = 50_000,
     assume_canonical: bool = False,
     include_jaccard: bool = False,
+    driver_limit: int = 2_000_000,
 ) -> ray.data.Dataset:
     """-> (u, v, cn, aa_micro) for every non-adjacent pair with at least
     ``min_cn`` common neighbors; u < v; aa_micro = Σ floor(1e6/ln(deg(w)))
@@ -86,6 +135,20 @@ def link_prediction(
     EDGE_SCHEMA = pa.schema(list(zip(_sch.names, _sch.types)))
     node_t = EDGE_SCHEMA.field("u").type
     canon = compact_nonempty(canon, EDGE_SCHEMA)
+
+    # DRIVER TIER: below driver_limit edges the whole pipeline is one
+    # vectorized pandas pass — the 4-stage join/shuffle plan's fixed
+    # per-stage latency dominates small graphs (the engine-wide
+    # driver-tier discipline; tier-equivalence pinned in test_linkpred)
+    n_edges = canon.count()
+    if n_edges <= driver_limit:
+        out = _linkpred_driver(
+            canon.to_pandas(),
+            min_cn=min_cn,
+            max_center_degree=max_center_degree,
+            include_jaccard=include_jaccard,
+        )
+        return ray.data.from_pandas(out)
 
     # (center, neighbor) exploded view + per-node degree (partials merge)
     def explode(df: pd.DataFrame) -> pd.DataFrame:

@@ -1780,53 +1780,85 @@ def q_token_cooccurrence(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
-    # entries in dict order.  The window holds every query that has never
-    # had a driver-side green row (round-3 tail + round-4 additions, newest
-    # first) and then previously-green queries whose code changed this
-    # round.  Every query displaced past entry 50 by newer additions
-    # (most recently frequent_tokens / bm25_topk / token_quantiles /
-    # lm_perplexity, plus the earlier simhash/embedding/minhash-tier and
-    # dedup_resolved_corpus displacements) is pinned in
-    # tests/test_oracle_gate.py's sf0.001 pytest gate instead.  Entries 51+
-    # were all green in CORRECTNESS_r03 and their code paths are unchanged
-    # since.
+    # entries in dict order.  Round-5 window: the 13 round-3-tail queries
+    # that had never had a driver-side green row, the new
+    # watermark_sessions operator, every query whose code changed this
+    # round (ER halo verify, setjoin auto-steering, pivot NULL semantics,
+    # substrdup offsets, the co-purchase trio thresholds), and the
+    # heaviest users of the newly-centralized native_join compaction.
+    # Entries 51+ were all green in the r1-r4 driver union with code
+    # unchanged since; the displaced ones are additionally pinned in
+    # tests/test_oracle_gate.py's sf0.001 pytest gate.
     return {
-        # --- never driver-verified (round-3 tail + round-4 additions) ---
+        # --- the 50-entry driver window (r5) ---
+        "frequent_tokens": q_frequent_tokens,
+        "bm25_topk": q_bm25_topk,
+        "token_quantiles": q_token_quantiles,
+        "lm_perplexity": q_lm_perplexity,
+        "dup_window_stats": q_dup_window_stats,
+        "dsir_weights": q_dsir_weights,
+        "semantic_dedup": q_semantic_dedup,
+        "bpe_token_counts": q_bpe_token_counts,
+        "c4_clean": q_c4_clean,
+        "mixture_budget": q_mixture_budget,
+        "chunk_sequences": q_chunk_sequences,
+        "top_docs_per_lang": q_top_docs_per_lang,
+        "customers_without_orders": q_customers_without_orders,
         "watermark_sessions": q_watermark_sessions,
-        "repeated_spans": q_repeated_spans,
-        "snm_candidate_pairs": q_snm_candidate_pairs,
-        "user_event_pivot": q_user_event_pivot,
         "er_canonical_ids": q_er_canonical_ids,
         "setjoin_pairs": q_setjoin_pairs,
+        "user_event_pivot": q_user_event_pivot,
+        "repeated_spans": q_repeated_spans,
+        "copurchase_kcore": q_copurchase_kcore,
+        "copurchase_jaccard": q_copurchase_jaccard,
+        "link_prediction": q_link_prediction,
+        "incremental_minhash": q_incremental_minhash,
+        "incremental_dedup": q_incremental_dedup,
+        "minhash_dedup_pairs": q_minhash_dedup_pairs,
+        "minhash_components": q_minhash_components,
+        "dedup_resolved_corpus": q_dedup_resolved_corpus,
+        "decontaminated_docs": q_decontaminated_docs,
+        "simhash_pairs": q_simhash_pairs,
+        "embedding_near_dups": q_embedding_near_dups,
+        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
+        "kg_bfs_depths": q_kg_bfs_depths,
+        "kg_random_walks": q_kg_random_walks,
+        "kg_ppr": q_kg_ppr,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_components": q_kg_components,
+        "copurchase_triangles": q_copurchase_triangles,
+        "curation_chain": q_curation_chain,
+        "kg_triples_star": q_kg_triples_star,
+        "kg_transcripts": q_kg_transcripts,
+        "kg_triples_events": q_kg_triples_events,
+        "kg_triples_dedup": q_kg_triples_dedup,
+        "discovered_fks": q_discovered_fks,
+        "fk_containment": q_fk_containment,
+        "lineitem_orders_join": q_lineitem_orders_join,
+        "orders_customer_join": q_orders_customer_join,
+        "purchases_last_view": q_purchases_last_view,
+        "purchase_sessions": q_purchase_sessions,
         "dq_orders": q_dq_orders,
+        "hybrid_search": q_hybrid_search,
+        "mapping_selection": q_mapping_selection,
+        # --- green in the r1-r4 driver union, code unchanged ---
+        "snm_candidate_pairs": q_snm_candidate_pairs,
         "orders_rollup": q_orders_rollup,
         "pmi_collocations": q_pmi_collocations,
         "changelog_upsert": q_changelog_upsert,
-        "copurchase_jaccard": q_copurchase_jaccard,
-        "kg_ppr": q_kg_ppr,
-        "kg_random_walks": q_kg_random_walks,
         "watermark_windows": q_watermark_windows,
         "tool_transitions": q_tool_transitions,
         "conv_stats": q_conv_stats,
         "conv_fingerprints": q_conv_fingerprints,
-        "kg_bfs_depths": q_kg_bfs_depths,
-        "link_prediction": q_link_prediction,
         "rolling_events": q_rolling_events,
         "spend_outliers": q_spend_outliers,
-        "copurchase_kcore": q_copurchase_kcore,
         "retention_cohorts": q_retention_cohorts,
-        "hybrid_search": q_hybrid_search,
         "ngram_diversity": q_ngram_diversity,
         "source_quota_cap": q_source_quota_cap,
         "leakage_safe_splits": q_leakage_safe_splits,
         "event_funnel": q_event_funnel,
         "token_cooccurrence": q_token_cooccurrence,
-        "copurchase_triangles": q_copurchase_triangles,
-        "incremental_minhash": q_incremental_minhash,
-        "mapping_selection": q_mapping_selection,
         "dsir_bigram_weights": q_dsir_bigram_weights,
-        "curation_chain": q_curation_chain,
-        "incremental_dedup": q_incremental_dedup,
         "gopher_quality": q_gopher_quality,
         "chat_pairs": q_chat_pairs,
         "lm_bigram_ppl": q_lm_bigram_ppl,
@@ -1843,35 +1875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": q_quality_classifier,
         "corpus_shuffle": q_corpus_shuffle,
         "paragraph_dedup": q_paragraph_dedup,
-        "frequent_tokens": q_frequent_tokens,
-        "bm25_topk": q_bm25_topk,
-        "token_quantiles": q_token_quantiles,
-        "lm_perplexity": q_lm_perplexity,
-        "dup_window_stats": q_dup_window_stats,
-        "dsir_weights": q_dsir_weights,
-        "semantic_dedup": q_semantic_dedup,
-        "bpe_token_counts": q_bpe_token_counts,
-        "c4_clean": q_c4_clean,
-        "mixture_budget": q_mixture_budget,
-        "chunk_sequences": q_chunk_sequences,
-        "top_docs_per_lang": q_top_docs_per_lang,
-        "customers_without_orders": q_customers_without_orders,
-        # --- previously green, code changed this round ---
-        "minhash_dedup_pairs": q_minhash_dedup_pairs,
-        "minhash_components": q_minhash_components,
-        "dedup_resolved_corpus": q_dedup_resolved_corpus,
-        "decontaminated_docs": q_decontaminated_docs,
-        "simhash_pairs": q_simhash_pairs,
-        "embedding_near_dups": q_embedding_near_dups,
-        "ann_ivf_pq_topk": q_ann_ivf_pq_topk,
-        # --- previously green flagship cores ---
-        "kg_triples_star": q_kg_triples_star,
-        "kg_transcripts": q_kg_transcripts,
-        "kg_triples_events": q_kg_triples_events,
-        "kg_triples_dedup": q_kg_triples_dedup,
         "kg_pred_stats": q_kg_pred_stats,
-        "kg_pagerank": q_kg_pagerank,
-        "discovered_fks": q_discovered_fks,
         "dedup_exact_documents": q_dedup_exact_documents,
         "ngram_dedup_pairs": q_ngram_dedup_pairs,
         "link_scored_documents": q_link_scored_documents,
@@ -1879,10 +1883,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scan_documents": q_pii_scan_documents,
         "pii_redact_documents": q_pii_redact_documents,
         "events_sessionize": q_events_sessionize,
-        "purchases_last_view": q_purchases_last_view,
-        # --- green in CORRECTNESS_r03, code unchanged since ---
-        "kg_components": q_kg_components,
-        "fk_containment": q_fk_containment,
         "candidate_keys_customer": q_candidate_keys_customer,
         "kg_triples_customer": q_kg_triples_customer,
         "kg_triples_orders": q_kg_triples_orders,
@@ -1898,15 +1898,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_exact_documents": q_link_exact_documents,
         "clean_corpus": q_clean_corpus,
         "corpus_sample": q_corpus_sample,
-        "lineitem_orders_join": q_lineitem_orders_join,
         "pricing_summary": q_pricing_summary,
-        "orders_customer_join": q_orders_customer_join,
         "top_customers": q_top_customers,
         "pii_schema": q_pii_schema,
         "events_tumbling": q_events_tumbling,
         "events_hopping": q_events_hopping,
         "events_sessionize_incremental": q_events_sessionize_incremental,
-        "purchase_sessions": q_purchase_sessions,
         "json_triples_events": q_json_triples_events,
         "embedding_pairs_exact": q_embedding_pairs_exact,
     }

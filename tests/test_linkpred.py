@@ -114,3 +114,38 @@ def test_jaccard_empty_candidates_short_circuit():
     )
     assert out.count() == 0
     assert out.schema().names == ["u", "v", "cn", "aa_micro", "jac_micro"]
+
+
+def test_driver_and_distributed_tiers_identical(ray_session):
+    """r5 driver tier: same wedge/AA/jaccard arithmetic, pinned equal."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    u = rng.integers(0, 60, 400)
+    v = rng.integers(0, 60, 400)
+    keep = u != v
+    lo, hi = np.minimum(u, v)[keep], np.maximum(u, v)[keep]
+    df = pd.DataFrame({"u": lo, "v": hi}).drop_duplicates()
+    ds = ray.data.from_pandas(df.reset_index(drop=True)).repartition(4)
+    for jac in (False, True):
+        a = (
+            link_prediction(
+                ds, min_cn=1, assume_canonical=True, include_jaccard=jac
+            )
+            .to_pandas()
+            .sort_values(["u", "v"])
+            .reset_index(drop=True)
+        )
+        b = (
+            link_prediction(
+                ds, min_cn=1, assume_canonical=True, include_jaccard=jac,
+                driver_limit=0,
+            )
+            .to_pandas()
+            .sort_values(["u", "v"])
+            .reset_index(drop=True)
+        )
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(
+            a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+        )
