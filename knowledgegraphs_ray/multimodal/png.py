@@ -3,11 +3,11 @@
 Decode scope (documented, checked, raises outside it): color types 0
 (grayscale, 1/2/4/8/16-bit), 2 (RGB, 8/16), 3 (palette, 1/2/4/8-bit,
 PLTE + optional tRNS alpha — expanded to RGB/RGBA on decode), 4
-(gray+alpha, 8/16), 6 (RGBA, 8/16); no interlacing; all five scanline
-filters (None/Sub/Up/Average/Paeth). That covers every PNG this engine
-writes and crawled palette/16-bit PNGs (r5); Adam7 inputs raise
-``UnsupportedPng`` so a pipeline can route them to a quarantine sink
-instead of mis-decoding. Encode stays 8-bit types 0/2/6.
+(gray+alpha, 8/16), 6 (RGBA, 8/16); all five scanline filters
+(None/Sub/Up/Average/Paeth); Adam7 interlaced inputs decode
+pass-by-pass (r5). That covers every PNG this engine writes and
+crawled palette/16-bit/interlaced PNGs. Encode stays 8-bit
+non-interlaced types 0/2/6.
 
 Same build-it-from-the-spec approach as ``sources/dicom.py`` (PS3.10
 parser): the wire format is public (RFC 2083), the container gives us
@@ -77,49 +77,16 @@ _ALLOWED_DEPTHS = {
 }
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """-> pixel array: uint8 or uint16 (16-bit inputs), shape (h, w) for
-    grayscale, (h, w, ch) otherwise. Palette images (color type 3) come
-    back EXPANDED to RGB uint8 — RGBA when a tRNS chunk adds alpha."""
-    width = height = None
-    color_type = bit_depth = None
-    idat = bytearray()
-    plte = trns = None
-    for ctype, body in _chunks(data):
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, comp, filt, interlace = (
-                struct.unpack(">IIBBBBB", body)
-            )
-            if color_type not in _ALLOWED_DEPTHS:
-                raise UnsupportedPng(f"color type {color_type}")
-            if bit_depth not in _ALLOWED_DEPTHS[color_type]:
-                raise UnsupportedPng(
-                    f"bit depth {bit_depth} for color type {color_type}"
-                )
-            if interlace:
-                raise UnsupportedPng("Adam7 interlacing")
-            if comp or filt:
-                raise BadPng("unknown compression/filter method")
-        elif ctype == b"PLTE":
-            if len(body) % 3:
-                raise BadPng("PLTE length not a multiple of 3")
-            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
-        elif ctype == b"tRNS" and color_type == 3:
-            trns = np.frombuffer(body, np.uint8)
-        elif ctype == b"IDAT":
-            idat.extend(body)
-    if width is None:
-        raise BadPng("no IHDR")
-    if color_type == 3 and plte is None:
-        raise BadPng("palette image without PLTE")
-    ch = _CHANNELS[color_type]
-    bits_px = ch * bit_depth
-    stride = (width * bits_px + 7) // 8  # filtered bytes per scanline
-    bpp = max(1, bits_px // 8)  # filter byte offset
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise BadPng("decompressed size mismatch")
-    raw = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+# Adam7 pass geometry: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _unfilter(raw: np.ndarray, stride: int, bpp: int) -> np.ndarray:
+    """(h, stride+1) filtered bytes -> (h, stride) uint8 scanline bytes."""
+    height = raw.shape[0]
     filters = raw[:, 0]
     rows = raw[:, 1:].astype(np.int64)  # headroom for the filter arithmetic
     out = np.zeros((height, stride), np.int64)
@@ -149,23 +116,104 @@ def decode_png(data: bytes) -> np.ndarray:
                 line[x] = (cur[x] + _paeth(a, b, c)) & 0xFF
         else:
             raise BadPng(f"filter type {f}")
-    img8 = out.astype(np.uint8)
+    return out.astype(np.uint8)
+
+
+def _samples(img8: np.ndarray, bit_depth: int, width: int, ch: int) -> np.ndarray:
+    """(h, stride) scanline bytes -> (h, width*ch) samples (uint8, or
+    uint16 for 16-bit inputs)."""
+    height, stride = img8.shape
     if bit_depth == 16:
         hi = img8[:, 0::2].astype(np.uint16)
         lo = img8[:, 1::2].astype(np.uint16)
-        px = ((hi << 8) | lo).reshape(height, width, ch)
-        return px.reshape(height, width) if ch == 1 else px
+        return ((hi << 8) | lo)[:, : width * ch]
     if bit_depth < 8:
-        # sub-byte samples: MSB-first within each scanline byte
-        samples = np.unpackbits(img8, axis=1)
+        # sub-byte samples: MSB-first within each scanline byte (ch == 1)
+        bits = np.unpackbits(img8, axis=1)
         per = bit_depth
         n_samp = stride * 8 // per
-        grouped = samples[:, : n_samp * per].reshape(height, n_samp, per)
+        grouped = bits[:, : n_samp * per].reshape(height, n_samp, per)
         weights = (1 << np.arange(per - 1, -1, -1)).astype(np.int64)
-        vals = (grouped * weights).sum(axis=2)[:, :width].astype(np.uint8)
-        idx = vals
+        return (grouped * weights).sum(axis=2)[:, :width].astype(np.uint8)
+    return img8[:, : width * ch]
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """-> pixel array: uint8 or uint16 (16-bit inputs), shape (h, w) for
+    grayscale, (h, w, ch) otherwise. Palette images (color type 3) come
+    back EXPANDED to RGB uint8 — RGBA when a tRNS chunk adds alpha.
+    Adam7 interlaced images decode pass-by-pass (r5)."""
+    width = height = None
+    color_type = bit_depth = None
+    interlace = 0
+    idat = bytearray()
+    plte = trns = None
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", body)
+            )
+            if color_type not in _ALLOWED_DEPTHS:
+                raise UnsupportedPng(f"color type {color_type}")
+            if bit_depth not in _ALLOWED_DEPTHS[color_type]:
+                raise UnsupportedPng(
+                    f"bit depth {bit_depth} for color type {color_type}"
+                )
+            if interlace not in (0, 1):
+                raise BadPng(f"interlace method {interlace}")
+            if comp or filt:
+                raise BadPng("unknown compression/filter method")
+        elif ctype == b"PLTE":
+            if len(body) % 3:
+                raise BadPng("PLTE length not a multiple of 3")
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS" and color_type == 3:
+            trns = np.frombuffer(body, np.uint8)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if width is None:
+        raise BadPng("no IHDR")
+    if color_type == 3 and plte is None:
+        raise BadPng("palette image without PLTE")
+    ch = _CHANNELS[color_type]
+    bits_px = ch * bit_depth
+    bpp = max(1, bits_px // 8)  # filter byte offset
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise BadPng(f"IDAT inflate failed: {e}") from None
+    samp_t = np.uint16 if bit_depth == 16 else np.uint8
+
+    if not interlace:
+        stride = (width * bits_px + 7) // 8
+        if len(raw) != height * (stride + 1):
+            raise BadPng("decompressed size mismatch")
+        rawm = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
+        idx = _samples(_unfilter(rawm, stride, bpp), bit_depth, width, ch)
     else:
-        idx = img8.reshape(height, width * ch)
+        idx = np.zeros((height, width * ch), samp_t)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (width - x0 + dx - 1) // dx
+            hp = (height - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            stride = (wp * bits_px + 7) // 8
+            need = hp * (stride + 1)
+            if pos + need > len(raw):
+                raise BadPng("decompressed size mismatch (interlaced)")
+            rawm = np.frombuffer(
+                raw[pos : pos + need], np.uint8
+            ).reshape(hp, stride + 1)
+            pos += need
+            sub = _samples(_unfilter(rawm, stride, bpp), bit_depth, wp, ch)
+            rows = y0 + dy * np.arange(hp)
+            colpix = x0 + dx * np.arange(wp)
+            cols = (colpix[:, None] * ch + np.arange(ch)).ravel()
+            idx[np.ix_(rows, cols)] = sub
+        if pos != len(raw):
+            raise BadPng("decompressed size mismatch (interlaced)")
+
     if color_type == 3:
         pal_idx = idx.reshape(height, width)
         if int(pal_idx.max(initial=0)) >= len(plte):

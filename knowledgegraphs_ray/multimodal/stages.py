@@ -116,21 +116,60 @@ class ImageDecoder:
         return arr[: w * h].reshape(h, w)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = {"mean_px": [], "std_px": [], "n_px": []}
-        for pay, w, h in zip(
-            batch["payload"].to_pylist(),
-            batch["width"].to_pylist(),
-            batch["height"].to_pylist(),
-        ):
-            img = self.decode_one(pay, w, h)
-            feats["mean_px"].append(float(img.mean()))
-            feats["std_px"].append(float(img.std()))
-            feats["n_px"].append(int(img.size))
-        out = batch.drop(["payload"])  # payload consumed; don't re-ship bytes
-        for k, v in feats.items():
-            out = out.append_column(
-                k, pa.array(v, pa.float64() if k != "n_px" else pa.int64())
+        n = batch.num_rows
+        if self.mode == "fake":
+            # fully vectorized: per-row byte stats straight off the Arrow
+            # values buffer via reduceat — no per-row decode, no Python
+            # lists on the actor-pool hot path (r4 verdict wart 3)
+            col = batch["payload"].combine_chunks()
+            off_t = (
+                np.int64 if pa.types.is_large_binary(col.type) else np.int32
             )
+            offsets = np.frombuffer(col.buffers()[1], dtype=off_t)[
+                col.offset : col.offset + n + 1
+            ].astype(np.int64)
+            buf = col.buffers()[2]
+            data = (
+                np.frombuffer(buf, np.uint8).astype(np.float64)
+                if buf
+                else np.empty(0, np.float64)
+            )
+            data = np.append(data, 0.0)  # reduceat guard: index==len valid
+            w = batch["width"].to_numpy(zero_copy_only=False).astype(np.int64)
+            h = batch["height"].to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = offsets[:-1]
+            use = np.minimum(np.diff(offsets), w * h)
+            idx = np.empty(2 * n, np.int64)
+            idx[0::2] = starts
+            idx[1::2] = starts + use
+            sums = np.add.reduceat(data, idx)[0::2]
+            sqs = np.add.reduceat(data * data, idx)[0::2]
+            empty = use == 0
+            sums[empty] = 0.0
+            sqs[empty] = 0.0
+            denom = np.maximum(use, 1).astype(np.float64)
+            mean = sums / denom
+            var = np.maximum(sqs / denom - mean * mean, 0.0)
+            mean_px, std_px, n_px = mean, np.sqrt(var), use
+        else:
+            mean_px = np.empty(n, np.float64)
+            std_px = np.empty(n, np.float64)
+            n_px = np.empty(n, np.int64)
+            for i, (pay, w, h) in enumerate(
+                zip(
+                    batch["payload"].to_pylist(),
+                    batch["width"].to_pylist(),
+                    batch["height"].to_pylist(),
+                )
+            ):
+                img = self.decode_one(pay, w, h)
+                mean_px[i] = float(img.mean())
+                std_px[i] = float(img.std())
+                n_px[i] = img.size
+        out = batch.drop(["payload"])  # payload consumed; don't re-ship bytes
+        out = out.append_column("mean_px", pa.array(mean_px, pa.float64()))
+        out = out.append_column("std_px", pa.array(std_px, pa.float64()))
+        out = out.append_column("n_px", pa.array(n_px, pa.int64()))
         return out
 
 

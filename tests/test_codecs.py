@@ -67,10 +67,6 @@ def test_png_unsupported_scope():
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    # Adam7 interlacing stays out of scope
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
-    with pytest.raises(UnsupportedPng):
-        decode_png(sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""))
     # 16-bit palette is invalid-by-spec -> unsupported
     ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
     with pytest.raises(UnsupportedPng):
@@ -375,3 +371,45 @@ def test_image_resizer_real_mode_mixed_formats(ray_session):
         assert row["format"] == "image/png"
         small = decode_png(row["payload"])
         assert small.shape == (8, 8)
+
+
+def _adam7_png(img, color_type):
+    """Hand-interlace ``img`` into an Adam7 PNG with filter-0 passes."""
+    import struct
+    import zlib
+
+    from knowledgegraphs_ray.multimodal.png import _ADAM7
+
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    h, w = img.shape[:2]
+    chn = 1 if img.ndim == 2 else img.shape[2]
+    body = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        hp, wp = sub.shape[:2]
+        flat = sub.reshape(hp, wp * chn)
+        for r in range(hp):
+            body += b"\x00" + flat[r].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body)))
+        + chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize(
+    "shape,ct", [((13, 11), 0), ((9, 10, 3), 2), ((8, 8, 4), 6), ((3, 2), 0)]
+)
+def test_png_adam7_interlaced_decode(shape, ct):
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(_adam7_png(img, ct)), img)
