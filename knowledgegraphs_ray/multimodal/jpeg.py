@@ -1,20 +1,24 @@
 """From-scratch baseline JPEG (JFIF) codec — stdlib + numpy, no PIL.
 
 Decode scope (documented, checked, raises outside it): baseline DCT
-(SOF0), Huffman entropy coding, 8-bit samples, 1-component grayscale or
-3-component YCbCr with 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, restart
-markers (DRI/RSTn), 8- or 16-bit quantization tables. Progressive
-(SOF2), arithmetic coding, 12-bit, and CMYK inputs raise
-``UnsupportedJpeg`` so a pipeline can quarantine them instead of
-mis-decoding — the same build-it-from-the-spec approach as
-``multimodal/png.py`` and ``sources/dicom.py`` (the wire format is
-public: ITU-T T.81 + JFIF).
+(SOF0/SOF1) AND progressive (SOF2 — spectral selection + successive
+approximation, DC/AC first and refinement scans, EOB runs), Huffman
+entropy coding, 8-bit samples, 1-component grayscale or 3-component
+YCbCr with 4:4:4 / 4:2:2 / 4:2:0 chroma subsampling, restart markers
+(DRI/RSTn), 8- or 16-bit quantization tables. Arithmetic coding,
+12-bit, hierarchical, and CMYK inputs raise ``UnsupportedJpeg`` so a
+pipeline can quarantine them instead of mis-decoding — the same
+build-it-from-the-spec approach as ``multimodal/png.py`` and
+``sources/dicom.py`` (the wire format is public: ITU-T T.81 + JFIF).
 
-Encode scope: baseline 4:4:4 (and grayscale) with the Annex K example
-quantization tables scaled by the libjpeg quality formula and the Annex
-K typical Huffman tables — enough to make deterministic fixtures and
-thumbnails without an image library; every encoder output is within the
-decoder's scope.
+Encode scope: baseline 4:4:4 / 4:2:0 (and grayscale) with the Annex K
+example quantization tables scaled by the libjpeg quality formula and
+the Annex K typical Huffman tables; ``progressive=True`` emits the
+libjpeg-style successive-approximation scan script (4:4:4/grayscale,
+real EOB runs) with the SAME quantized coefficients as the baseline
+path — so progressive-decode == baseline-decode bit-exactly, which is
+how the progressive decoder is pinned in tests. Every encoder output is
+within the decoder's scope.
 
 Cost shape: Huffman symbol decode is a per-symbol Python loop (inherent
 bit-serial dependency), but dequant + inverse zigzag + IDCT run batched
@@ -285,7 +289,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 values = list(seg[p + 17 : p + 17 + n])
                 huff[(tc, th)], _ = _canonical_codes(bits, values)
                 p += 17 + n
-        elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline / ext sequential)
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise UnsupportedJpeg(f"{prec}-bit samples")
@@ -295,14 +299,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise UnsupportedJpeg(f"SOF marker 0x{m:02X} (baseline SOF0 only)")
+            frame = {"h": h, "w": w, "comps": comps, "progressive": m == 0xC2}
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedJpeg(
+                f"SOF marker 0x{m:02X} (baseline SOF0 / progressive SOF2 only)"
+            )
         elif m == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif m == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise BadJpeg("SOS before SOF")
+            if frame["progressive"]:
+                _init_geometry(frame)
+                pos = _decode_prog_scan(
+                    data, pos + 2 + seglen, seg, frame, huff, restart_interval
+                )
+                continue
             ns = seg[0]
             scan = {}
             for i in range(ns):
@@ -313,23 +325,189 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             )
         # APPn / COM / others: skip
         pos += 2 + seglen
+    if frame is not None and frame.get("progressive") and "mcux" in frame:
+        return _finish(frame, qt)
     raise BadJpeg("no SOS segment")
 
 
-def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
+def _init_geometry(frame):
+    """Once per frame: MCU grid, per-component padded storage dims (bw,
+    bh) and non-interleaved scan dims (cw, ch_), zeroed coeff buffers."""
+    if "mcux" in frame:
+        return
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if any(c["h"] not in (1, 2) or c["v"] not in (1, 2) for c in comps):
         raise UnsupportedJpeg("sampling factors beyond 2 unsupported")
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcux = (w + mcu_w - 1) // mcu_w
-    mcuy = (h + mcu_h - 1) // mcu_h
+    frame["hmax"], frame["vmax"] = hmax, vmax
+    frame["mcux"] = (w + 8 * hmax - 1) // (8 * hmax)
+    frame["mcuy"] = (h + 8 * vmax - 1) // (8 * vmax)
     for c in comps:
-        c["bw"] = mcux * c["h"]  # blocks across, padded to MCU grid
-        c["bh"] = mcuy * c["v"]
+        c["bw"] = frame["mcux"] * c["h"]
+        c["bh"] = frame["mcuy"] * c["v"]
+        # non-interleaved scans iterate the component's ACTUAL block dims
+        cpw = (w * c["h"] + hmax - 1) // hmax
+        cph = (h * c["v"] + vmax - 1) // vmax
+        c["cw"] = (cpw + 7) // 8
+        c["ch_"] = (cph + 7) // 8
         c["coeffs"] = np.zeros((c["bh"] * c["bw"], 64), np.int64)
+        c["pred"] = 0
+
+
+def _next_marker(data: bytes, pos: int) -> int:
+    """First non-stuffed, non-RST marker at/after ``pos``."""
+    p = pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] not in (0x00,) and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    raise BadJpeg("entropy data ran off the end")
+
+
+def _dc_unit(br, c, idx, Ah, Al, huff):
+    coef = c["coeffs"][idx]
+    if Ah == 0:
+        t = _decode_sym(br, huff[(0, c["dc_t"])])
+        c["pred"] += _extend(br.receive(t), t)
+        coef[0] = c["pred"] << Al
+    elif br.read_bit():
+        coef[0] |= 1 << Al
+
+
+def _ac_first(br, coef, Ss, Se, Al, tbl, eobrun):
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        rs = _decode_sym(br, tbl)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)+receive(r) blocks incl. this
+                return (1 << r) - 1 + br.receive(r)
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > Se:
+            raise BadJpeg("AC run past band end")
+        coef[k] = _extend(br.receive(s), s) << Al
+        k += 1
+    return 0
+
+
+def _ac_refine(br, coef, Ss, Se, Al, tbl, eobrun):
+    """T.81 G.1.2.3 AC successive-approximation refinement."""
+    p1 = 1 << Al
+    m1 = -(1 << Al)
+
+    def correct(k):
+        # libjpeg rule: append the refinement bit unless already present
+        if br.read_bit() and (coef[k] & p1) == 0:
+            coef[k] += p1 if coef[k] >= 0 else m1
+
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            rs = _decode_sym(br, tbl)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = (1 << r) + br.receive(r)
+                    break
+                newval = 0  # ZRL: skip 16 zero-history slots
+            else:
+                if s != 1:
+                    raise BadJpeg("bad AC-refinement size")
+                newval = p1 if br.read_bit() else m1
+            while k <= Se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval != 0 and k <= Se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= Se:  # EOB band: corrections for surviving coefficients
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(data, pos, seg, frame, huff, restart_interval):
+    """One progressive scan; returns the offset of the next marker."""
+    ns = seg[0]
+    params = []
+    for i in range(ns):
+        cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+        params.append((cs, tt >> 4, tt & 15))
+    Ss, Se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+    Ah, Al = ahal >> 4, ahal & 15
+    by_id = {c["id"]: c for c in frame["comps"]}
+    scomps = []
+    for cs, dct, act in params:
+        c = by_id.get(cs)
+        if c is None:
+            raise BadJpeg(f"scan references unknown component {cs}")
+        c["dc_t"], c["ac_t"] = dct, act
+        scomps.append(c)
+    br = _BitReader(data, pos)
+    if Ss == 0:
+        if Se != 0:
+            raise BadJpeg("DC scan with Se != 0")
+        for c in scomps:
+            c["pred"] = 0
+        if ns > 1:  # interleaved over the MCU grid
+            mcux = frame["mcux"]
+            for mi in range(mcux * frame["mcuy"]):
+                if restart_interval and mi and mi % restart_interval == 0:
+                    br.sync_restart()
+                    for c in scomps:
+                        c["pred"] = 0
+                my, mx = divmod(mi, mcux)
+                for c in scomps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            idx = (my * c["v"] + by) * c["bw"] + mx * c["h"] + bx
+                            _dc_unit(br, c, idx, Ah, Al, huff)
+        else:
+            c = scomps[0]
+            for mi in range(c["cw"] * c["ch_"]):
+                if restart_interval and mi and mi % restart_interval == 0:
+                    br.sync_restart()
+                    c["pred"] = 0
+                row, col = divmod(mi, c["cw"])
+                _dc_unit(br, c, row * c["bw"] + col, Ah, Al, huff)
+    else:
+        if ns != 1:
+            raise BadJpeg("AC scans must be non-interleaved")
+        c = scomps[0]
+        tbl = huff[(1, c["ac_t"])]
+        eobrun = 0
+        for mi in range(c["cw"] * c["ch_"]):
+            if restart_interval and mi and mi % restart_interval == 0:
+                br.sync_restart()
+                eobrun = 0
+            row, col = divmod(mi, c["cw"])
+            coef = c["coeffs"][row * c["bw"] + col]
+            fn = _ac_first if Ah == 0 else _ac_refine
+            eobrun = fn(br, coef, Ss, Se, Al, tbl, eobrun)
+    return _next_marker(data, br.pos)
+
+
+def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
+    comps = frame["comps"]
+    _init_geometry(frame)
+    mcux, mcuy = frame["mcux"], frame["mcuy"]
+    for c in comps:
         c["dc_t"], c["ac_t"] = scan[c["id"]]
         c["pred"] = 0
 
@@ -368,7 +546,14 @@ def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
                     row = my * c["v"] + by
                     col = mx * c["h"] + bx
                     c["coeffs"][row * c["bw"] + col] = blk
-    # --- batched dequant + inverse zigzag + IDCT per component ------------
+    return _finish(frame, qt)
+
+
+def _finish(frame, qt):
+    """Batched dequant + inverse zigzag + IDCT + upsample + color."""
+    comps = frame["comps"]
+    h, w = frame["h"], frame["w"]
+    hmax, vmax = frame["hmax"], frame["vmax"]
     planes = []
     for c in comps:
         # qt is stored in raster order already; de-zigzag the COEFFS
@@ -429,9 +614,14 @@ def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
     return t.astype(np.int64)
 
 
-def _encode_block(wtr, blk, q, dc_enc, ac_enc, pred):
+def _quant_zz(blk: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """8x8 spatial block -> quantized coefficients in zigzag order."""
     coeff = _A @ (blk.astype(np.float64) - 128.0) @ _A.T
-    zz = np.round(coeff.reshape(64)[_ZZ] / q.reshape(64)[_ZZ]).astype(np.int64)
+    return np.round(coeff.reshape(64)[_ZZ] / q.reshape(64)[_ZZ]).astype(np.int64)
+
+
+def _encode_block(wtr, blk, q, dc_enc, ac_enc, pred):
+    zz = _quant_zz(blk, q)
     diff = int(zz[0]) - pred
     mag = abs(diff)
     n = int(mag).bit_length()
@@ -462,19 +652,140 @@ def _encode_block(wtr, blk, q, dc_enc, ac_enc, pred):
     return int(zz[0])
 
 
+def _emit_bits_value(wtr, v: int, s: int):
+    vv = v if v >= 0 else v + (1 << s) - 1
+    wtr.write(vv & ((1 << s) - 1), s)
+
+
+def _prog_ac_table(base):
+    """AC table for progressive scans: the baseline symbol set plus the
+    EOBn symbols (0x10..0xE0). The Annex K tables have no canonical code
+    space left at length 16 for 14 more symbols, so the progressive
+    tables use uniform 9-bit codes (2^9 = 512 >= 176 symbols, last code
+    never all-ones) — legal, deterministic, a few percent larger
+    output."""
+    _, values = base
+    ext = list(values) + [r << 4 for r in range(1, 15)]
+    bits = [0] * 16
+    bits[8] = len(ext)  # every symbol at code length 9
+    return bits, ext
+
+
+def _emit_ac_scan(wtr, blocks, Ss, Se, Al, enc, refine: bool):
+    """Progressive AC scan emission with real EOB runs — the exact mirror
+    of ``_ac_first`` / ``_ac_refine`` including the interleaving of
+    correction bits with the symbol walk (refinement scans)."""
+    run = 0
+    runbits: list[list[int]] = []  # per run-member correction bits
+
+    def flush_run():
+        nonlocal run, runbits
+        while run:
+            chunk = min(run, 32767)
+            r = chunk.bit_length() - 1
+            c, l = enc[r << 4]
+            wtr.write(c, l)
+            if r:
+                wtr.write(chunk - (1 << r), r)
+            for bl in runbits[:chunk]:
+                for b in bl:
+                    wtr.write(b, 1)
+            runbits = runbits[chunk:]
+            run -= chunk
+
+    n_band = Se - Ss + 1
+    for zz in blocks:
+        va = [abs(int(zz[Ss + i])) for i in range(n_band)]
+        if not refine:
+            mags = [v >> Al for v in va]
+            nz = [i for i, m in enumerate(mags) if m]
+            if not nz:
+                run += 1
+                runbits.append([])
+                continue
+            flush_run()
+            r = 0
+            last = nz[-1]
+            for i in range(last + 1):
+                m = mags[i]
+                if m == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    c, l = enc[0xF0]
+                    wtr.write(c, l)
+                    r -= 16
+                s = m.bit_length()
+                c, l = enc[(r << 4) | s]
+                wtr.write(c, l)
+                _emit_bits_value(wtr, m if int(zz[Ss + i]) >= 0 else -m, s)
+                r = 0
+            if last < n_band - 1:  # trailing zeros: this block opens a run
+                run = 1
+                runbits = [[]]
+            continue
+        # --- refinement scan: Ah = Al + 1 history ------------------------
+        hist = [(v >> (Al + 1)) != 0 for v in va]
+        newpos = [
+            i for i, v in enumerate(va) if not hist[i] and (v >> Al) != 0
+        ]
+        if not newpos:
+            run += 1
+            runbits.append(
+                [(va[i] >> Al) & 1 for i in range(n_band) if hist[i]]
+            )
+            continue
+        flush_run()
+        i = 0
+        for npos in newpos:
+            zeros = sum(1 for j in range(i, npos) if not hist[j])
+            while zeros > 15:
+                c, l = enc[0xF0]
+                wtr.write(c, l)
+                z = 0
+                while z < 16:  # decoder walk: corrections interleave here
+                    if hist[i]:
+                        wtr.write((va[i] >> Al) & 1, 1)
+                    else:
+                        z += 1
+                    i += 1
+                zeros -= 16
+            c, l = enc[(zeros << 4) | 1]
+            wtr.write(c, l)
+            wtr.write(1 if int(zz[Ss + npos]) > 0 else 0, 1)
+            for j in range(i, npos):
+                if hist[j]:
+                    wtr.write((va[j] >> Al) & 1, 1)
+            i = npos + 1
+        if i < n_band:  # tail: rest-of-band corrections open a run
+            run = 1
+            runbits = [[(va[j] >> Al) & 1 for j in range(i, n_band) if hist[j]]]
+    flush_run()
+
+
 def encode_jpeg(
     img: np.ndarray,
     *,
     quality: int = 85,
     subsampling: str = "444",
     restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes
     (Annex K tables scaled by the libjpeg quality formula).
     ``subsampling``: "444" (default) or "420" (2x2-mean chroma);
-    ``restart_interval``: emit DRI + RSTn markers every N MCUs."""
+    ``restart_interval``: emit DRI + RSTn markers every N MCUs.
+    ``progressive``: SOF2 with the libjpeg-style successive-approximation
+    script (DC Al=1 -> DC refine -> per-component AC Al=1 -> AC refine);
+    4:4:4/grayscale only, EOB0-only so the fixed tables suffice. The
+    quantized coefficients are identical to the baseline encoder's, so
+    progressive-decode == baseline-decode bit-exactly (the test pin)."""
     if subsampling not in ("444", "420"):
         raise ValueError(subsampling)
+    if progressive and (subsampling != "444" or restart_interval):
+        raise ValueError(
+            "progressive encoder supports 4:4:4 / grayscale, no restarts"
+        )
     img = np.ascontiguousarray(img, np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -482,10 +793,14 @@ def encode_jpeg(
     h, w = img.shape[:2]
     lq = _quality_scale(K_LUMA_Q, quality).reshape(8, 8)
     cq = _quality_scale(K_CHROMA_Q, quality).reshape(8, 8)
+    ac_luma_spec = _prog_ac_table(K_AC_LUMA) if progressive else K_AC_LUMA
+    ac_chroma_spec = (
+        _prog_ac_table(K_AC_CHROMA) if progressive else K_AC_CHROMA
+    )
     _, dc_l = _canonical_codes(*K_DC_LUMA)
-    _, ac_l = _canonical_codes(*K_AC_LUMA)
+    _, ac_l = _canonical_codes(*ac_luma_spec)
     _, dc_c = _canonical_codes(*K_DC_CHROMA)
-    _, ac_c = _canonical_codes(*K_AC_CHROMA)
+    _, ac_c = _canonical_codes(*ac_chroma_spec)
 
     if gray:
         planes = [img.astype(np.float64)]
@@ -533,7 +848,7 @@ def encode_jpeg(
     for i in range(nc):
         hv = 0x22 if (sub420 and i == 0) else 0x11
         sof += bytes([i + 1, hv, 0 if i == 0 else 1])
-    seg(b"\xff\xc0", sof)
+    seg(b"\xff\xc2" if progressive else b"\xff\xc0", sof)
     if restart_interval:
         seg(b"\xff\xdd", struct.pack(">H", restart_interval))
 
@@ -545,10 +860,72 @@ def encode_jpeg(
         )
 
     dht(0, 0, K_DC_LUMA)
-    dht(1, 0, K_AC_LUMA)
+    dht(1, 0, ac_luma_spec)
     if not gray:
         dht(0, 1, K_DC_CHROMA)
-        dht(1, 1, K_AC_CHROMA)
+        dht(1, 1, ac_chroma_spec)
+    if progressive:
+        tabs = [(lq, dc_l, ac_l)] + [(cq, dc_c, ac_c)] * (nc - 1)
+        nbx, nby = pw // 8, ph // 8
+        zzs = []
+        for ci in range(nc):
+            q = tabs[ci][0]
+            arr = np.empty((nby * nbx, 64), np.int64)
+            for by in range(nby):
+                for bx in range(nbx):
+                    arr[by * nbx + bx] = _quant_zz(
+                        padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q
+                    )
+            zzs.append(arr)
+
+        def sos_header(comp_idx, Ss, Se, Ah, Al):
+            payload = bytes([len(comp_idx)])
+            for i in comp_idx:
+                payload += bytes([i + 1, 0x00 if i == 0 else 0x11])
+            payload += bytes([Ss, Se, (Ah << 4) | Al])
+            seg(b"\xff\xda", payload)
+
+        # scan 1: DC first, Al=1, interleaved (one block/comp per MCU in 4:4:4)
+        sos_header(range(nc), 0, 0, 0, 1)
+        wtr = _BitWriter()
+        preds = [0] * nc
+        for b in range(nby * nbx):
+            for ci in range(nc):
+                dce = tabs[ci][1]
+                dcv = int(zzs[ci][b][0]) >> 1
+                diff = dcv - preds[ci]
+                preds[ci] = dcv
+                s = abs(diff).bit_length()
+                code, length = dce[s]
+                wtr.write(code, length)
+                if s:
+                    _emit_bits_value(wtr, diff, s)
+        wtr.flush()
+        out += wtr.out
+        # scan 2: DC refinement (one raw bit per block)
+        sos_header(range(nc), 0, 0, 1, 0)
+        wtr = _BitWriter()
+        for b in range(nby * nbx):
+            for ci in range(nc):
+                wtr.write(int(zzs[ci][b][0]) & 1, 1)
+        wtr.flush()
+        out += wtr.out
+        # scans 3..: per-component AC first then AC refinement
+        for ci in range(nc):
+            sos_header([ci], 1, 63, 0, 1)
+            wtr = _BitWriter()
+            _emit_ac_scan(wtr, zzs[ci], 1, 63, 1, tabs[ci][2], refine=False)
+            wtr.flush()
+            out += wtr.out
+        for ci in range(nc):
+            sos_header([ci], 1, 63, 1, 0)
+            wtr = _BitWriter()
+            _emit_ac_scan(wtr, zzs[ci], 1, 63, 0, tabs[ci][2], refine=True)
+            wtr.flush()
+            out += wtr.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     sos = bytes([nc])
     for i in range(nc):
         sos += bytes([i + 1, 0x00 if i == 0 else 0x11])

@@ -315,9 +315,9 @@ def test_jpeg_rejects_bad_and_unsupported():
     with pytest.raises(BadJpeg):
         decode_jpeg(b"not a jpeg at all")
     good = encode_jpeg(np.full((8, 8), 10, np.uint8))
-    # flip SOF0 to SOF2 (progressive) -> unsupported
+    # flip SOF0 to SOF3 (lossless) -> unsupported
     idx = good.find(b"\xff\xc0")
-    bad = good[:idx] + b"\xff\xc2" + good[idx + 2 :]
+    bad = good[:idx] + b"\xff\xc3" + good[idx + 2 :]
     with pytest.raises(UnsupportedJpeg):
         decode_jpeg(bad)
 
@@ -413,3 +413,99 @@ def test_png_adam7_interlaced_decode(shape, ct):
     rng = np.random.default_rng(sum(shape))
     img = rng.integers(0, 256, shape, dtype=np.uint8)
     np.testing.assert_array_equal(decode_png(_adam7_png(img, ct)), img)
+
+
+# --- progressive JPEG (r5) --------------------------------------------------
+
+
+def test_jpeg_progressive_equals_baseline():
+    """Progressive encode uses the IDENTICAL quantized coefficients as
+    baseline, so decoding both must match bit-exactly — this pins the
+    entire SOF2 scan machinery (DC first/refine, AC spectral selection,
+    AC successive-approximation refinement, EOB runs)."""
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:37, 0:29]
+    cases = [
+        np.full((16, 16), 128, np.uint8),
+        np.tile(np.linspace(0, 255, 32).astype(np.uint8), (24, 1)),
+        rng.integers(0, 256, (21, 19), dtype=np.uint8),
+        rng.integers(0, 256, (24, 17, 3), dtype=np.uint8),
+        np.dstack(
+            [
+                (127 + 100 * np.sin(yy / 8)).astype(np.uint8),
+                (127 + 100 * np.cos(xx / 9)).astype(np.uint8),
+                ((yy + xx) // 2).astype(np.uint8),
+            ]
+        ),
+        # sparse high-frequency content: long EOB runs in the AC scans
+        (np.zeros((48, 48), np.uint8) + 128
+         + (np.mgrid[0:48, 0:48][0] % 16 == 0) * 40).astype(np.uint8),
+    ]
+    for img in cases:
+        for q in (50, 85, 95):
+            base = decode_jpeg(encode_jpeg(img, quality=q))
+            prog = decode_jpeg(encode_jpeg(img, quality=q, progressive=True))
+            np.testing.assert_array_equal(base, prog)
+
+
+def test_jpeg_progressive_scan_roundtrip_randomized():
+    """AC first + refinement scan emitters vs decoders at the coefficient
+    level over random sparse blocks — exercises EOB runs, ZRL walks, and
+    correction-bit interleaving without the DCT in the way."""
+    from knowledgegraphs_ray.multimodal.jpeg import (
+        K_AC_LUMA,
+        _ac_first,
+        _ac_refine,
+        _BitReader,
+        _BitWriter,
+        _canonical_codes,
+        _emit_ac_scan,
+        _prog_ac_table,
+    )
+
+    dec_tbl, enc_tbl = _canonical_codes(*_prog_ac_table(K_AC_LUMA))
+    rng = np.random.default_rng(1)
+    for _ in range(120):
+        blocks = []
+        for _b in range(int(rng.integers(1, 9))):
+            zz = np.zeros(64, np.int64)
+            nnz = int(rng.integers(0, 12))
+            pos = rng.choice(np.arange(1, 64), size=nnz, replace=False)
+            zz[pos] = rng.integers(-40, 41, size=nnz)
+            blocks.append(zz)
+        w = _BitWriter()
+        _emit_ac_scan(w, blocks, 1, 63, 1, enc_tbl, refine=False)
+        w.flush()
+        out = [np.zeros(64, np.int64) for _ in blocks]
+        br = _BitReader(bytes(w.out) + b"\xff\xd9", 0)
+        eob = 0
+        for c in out:
+            eob = _ac_first(br, c, 1, 63, 1, dec_tbl, eob)
+        w = _BitWriter()
+        _emit_ac_scan(w, blocks, 1, 63, 0, enc_tbl, refine=True)
+        w.flush()
+        br = _BitReader(bytes(w.out) + b"\xff\xd9", 0)
+        eob = 0
+        for c in out:
+            eob = _ac_refine(br, c, 1, 63, 0, dec_tbl, eob)
+        for a, b in zip(blocks, out):
+            e = a.copy()
+            e[0] = 0
+            np.testing.assert_array_equal(e[1:], b[1:])
+
+
+def test_jpeg_progressive_via_real_mode_stage():
+    from knowledgegraphs_ray.multimodal.stages import ImageDecoder
+
+    img = np.tile(np.linspace(0, 255, 24).astype(np.uint8), (16, 1))
+    payload = encode_jpeg(img, quality=90, progressive=True)
+    out = ImageDecoder(mode="real").decode_one(payload, 24, 16)
+    assert out.shape == (16, 24)
+
+
+def test_jpeg_progressive_encoder_guardrails():
+    img = np.zeros((8, 8, 3), np.uint8)
+    with pytest.raises(ValueError):
+        encode_jpeg(img, progressive=True, subsampling="420")
+    with pytest.raises(ValueError):
+        encode_jpeg(img, progressive=True, restart_interval=2)
