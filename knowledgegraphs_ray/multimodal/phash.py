@@ -65,27 +65,38 @@ def dhash64(img: np.ndarray) -> np.uint64:
 
 class ImageHasher:
     """Actor-pool fingerprint stage: (item_id, payload[, width, height]) ->
-    (item_id, simhash uint64). ``codec="png"`` decodes real pixels;
-    ``codec="raw"`` treats the payload as the byte grid (the fake-mode
-    plumbing contract). The payload column is consumed, not re-shipped —
+    (item_id, simhash uint64). ``codec="png"`` decodes real PNG pixels;
+    ``codec="real"`` sniffs the container per payload (PNG or baseline/
+    progressive JPEG — r5); ``codec="raw"`` treats the payload as the
+    byte grid (the fake-mode plumbing contract). The payload column is consumed, not re-shipped —
     after this stage only 8 bytes/row move."""
 
     def __init__(self, method: str = "ahash", codec: str = "png"):
         if method not in ("ahash", "dhash"):
             raise ValueError(method)
-        if codec not in ("png", "raw"):
+        if codec not in ("png", "raw", "real"):
             raise ValueError(codec)
         self._hash = ahash64 if method == "ahash" else dhash64
-        if codec == "png":
+        self._decode = None
+        if codec in ("png", "real"):
             from knowledgegraphs_ray.multimodal.png import decode_png
 
             self._decode = decode_png
+        if codec == "real":  # sniff the container per payload (PNG/JPEG)
+            from knowledgegraphs_ray.multimodal.jpeg import decode_jpeg
+
+            self._decode_jpeg = decode_jpeg
+            self._sniff = True
         else:
-            self._decode = None
+            self._sniff = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         fps = []
-        if self._decode is not None:
+        if self._sniff:
+            for pay in batch["payload"].to_pylist():
+                dec = self._decode_jpeg if pay[:2] == b"\xff\xd8" else self._decode
+                fps.append(self._hash(dec(pay)))
+        elif self._decode is not None:
             for pay in batch["payload"].to_pylist():
                 fps.append(self._hash(self._decode(pay)))
         else:

@@ -1778,6 +1778,53 @@ def q_token_cooccurrence(sf_dir: str):
     return token_cooccurrence(docs, vocab_size=200, min_pair_count=2)
 
 
+def q_image_phash_pairs(sf_dir: str):
+    """Perceptual image near-dup pairs over a deterministic mixed
+    PNG/JPEG corpus (multimodal/phash.py + both from-scratch codecs):
+    320 seeded gradient images, every 8th re-encoded as a
+    brightness-shifted JPEG near-duplicate — decode is container-sniffed
+    (baseline+progressive JPEG / PNG), aHash fingerprints (8 bytes/row
+    after the actor-pool stage), simhash pigeonhole pair kernel. Binary
+    payloads are not SQL-expressible, so this is a rows-only driver
+    check (like bpe_token_counts); determinism is pinned by pytest.
+    Corpus size is fixed (sf-independent) — the multimodal contract
+    check, not a throughput benchmark."""
+    import numpy as np
+
+    from knowledgegraphs_ray.multimodal.jpeg import encode_jpeg
+    from knowledgegraphs_ray.multimodal.phash import image_near_dup_pairs
+    from knowledgegraphs_ray.multimodal.png import encode_png
+
+    rng = np.random.default_rng(1234)
+    ids, payloads = [], []
+    n = 320
+    for i in range(n):
+        h, w = 24 + int(rng.integers(0, 17)), 24 + int(rng.integers(0, 17))
+        yy, xx = np.mgrid[0:h, 0:w]
+        a, b = rng.integers(1, 7), rng.integers(1, 7)
+        img = ((yy * a + xx * b) % 229).astype(np.uint8)
+        ids.append(i)
+        payloads.append(encode_png(img))
+        if i % 8 == 0:  # planted near-duplicate, other container
+            ids.append(n + i)
+            shifted = np.clip(img.astype(np.int16) + 6, 0, 255).astype(
+                np.uint8
+            )
+            payloads.append(
+                encode_jpeg(shifted, quality=95, progressive=(i % 16 == 0))
+            )
+    t = pa.table(
+        {
+            "item_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+    pairs = image_near_dup_pairs(
+        ray.data.from_arrow(t), codec="real", max_distance=3
+    )
+    return pairs.sort(["doc_a", "doc_b"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering contract: the driver's correctness gate checks the FIRST 50
     # entries in dict order.  Round-5 window: the 13 round-3-tail queries
@@ -1840,8 +1887,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_sessions": q_purchase_sessions,
         "dq_orders": q_dq_orders,
         "hybrid_search": q_hybrid_search,
-        "mapping_selection": q_mapping_selection,
+        "image_phash_pairs": q_image_phash_pairs,  # rows-only (binary)
         # --- green in the r1-r4 driver union, code unchanged ---
+        "mapping_selection": q_mapping_selection,
         "snm_candidate_pairs": q_snm_candidate_pairs,
         "orders_rollup": q_orders_rollup,
         "pmi_collocations": q_pmi_collocations,

@@ -1,6 +1,7 @@
 """Perceptual image hashes + near-dup pairing over real decoded PNGs."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -96,3 +97,18 @@ def test_hasher_raw_codec_contract():
     assert out["simhash"].type == pa.uint64()
     out2 = ImageHasher(method="dhash", codec="raw")(t)
     assert out["simhash"].to_pylist() == out2["simhash"].to_pylist()
+
+
+def test_image_phash_pairs_catalog_query(ray_session):
+    """r5 rows-only catalog query: deterministic mixed PNG/JPEG corpus,
+    every planted JPEG near-duplicate recovered through the sniffing
+    decode path."""
+    from knowledgegraphs_ray.pipelines.catalog import q_image_phash_pairs
+
+    df = q_image_phash_pairs("/root/testdata/sf0.001").to_pandas()
+    planted = {(i, 320 + i) for i in range(0, 320, 8)}
+    got = set(zip(df["doc_a"], df["doc_b"]))
+    missing = planted - got
+    assert not missing, f"planted near-dups not recovered: {sorted(missing)[:5]}"
+    df2 = q_image_phash_pairs("/root/testdata/sf0.001").to_pandas()
+    pd.testing.assert_frame_equal(df, df2)
