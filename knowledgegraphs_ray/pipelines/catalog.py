@@ -1800,9 +1800,9 @@ def q_image_phash_pairs(sf_dir: str):
     n = 320
     for i in range(n):
         h, w = 24 + int(rng.integers(0, 17)), 24 + int(rng.integers(0, 17))
-        yy, xx = np.mgrid[0:h, 0:w]
-        a, b = rng.integers(1, 7), rng.integers(1, 7)
-        img = ((yy * a + xx * b) % 229).astype(np.uint8)
+        # noise images: aHash is near-uniform over 64 bits, so incidental
+        # collisions at distance<=3 are rare and the planted pairs dominate
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
         ids.append(i)
         payloads.append(encode_png(img))
         if i % 8 == 0:  # planted near-duplicate, other container
