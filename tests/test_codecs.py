@@ -509,3 +509,51 @@ def test_jpeg_progressive_encoder_guardrails():
         encode_jpeg(img, progressive=True, subsampling="420")
     with pytest.raises(ValueError):
         encode_jpeg(img, progressive=True, restart_interval=2)
+
+
+def test_wav_widened_scope_r5():
+    """24/32-bit integer PCM, 32/64-bit float PCM, and extensible wrappers
+    all decode to the same int16 stream."""
+    import struct
+
+    from knowledgegraphs_ray.multimodal.wav import decode_wav
+
+    rng = np.random.default_rng(8)
+    x16 = rng.integers(-30000, 30000, 200).astype(np.int16)
+
+    def wav(tag, bits, payload, extensible=False):
+        block = bits // 8
+        if extensible:
+            fmt = struct.pack(
+                "<HHIIHHHHI", 0xFFFE, 1, 8000, 8000 * block, block, bits,
+                22, bits, 1,
+            ) + struct.pack("<H", tag) + b"\x00" * 14
+        else:
+            fmt = struct.pack("<HHIIHH", tag, 1, 8000, 8000 * block, block, bits)
+        body = (
+            b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # float32 / float64 round back to the same int16
+    f = (x16.astype(np.float64) / 32767.0)
+    out, rate = decode_wav(wav(3, 32, f.astype("<f4").tobytes()))
+    assert rate == 8000
+    assert int(np.abs(out.astype(int) - x16.astype(int)).max()) <= 1
+    out, _ = decode_wav(wav(3, 64, f.astype("<f8").tobytes()))
+    np.testing.assert_array_equal(out, x16)
+    # 32-bit int PCM: top 16 bits
+    out, _ = decode_wav(wav(1, 32, (x16.astype("<i4") << 16).tobytes()))
+    np.testing.assert_array_equal(out, x16)
+    # 24-bit PCM: pack as little-endian 3-byte frames, top 16 recovered
+    v24 = (x16.astype(np.int64) << 8) & 0xFFFFFF
+    raw = np.zeros((len(x16), 3), np.uint8)
+    raw[:, 0] = v24 & 0xFF
+    raw[:, 1] = (v24 >> 8) & 0xFF
+    raw[:, 2] = (v24 >> 16) & 0xFF
+    out, _ = decode_wav(wav(1, 24, raw.tobytes()))
+    np.testing.assert_array_equal(out, x16)
+    # extensible wrapper around float32
+    out, _ = decode_wav(wav(3, 32, f.astype("<f4").tobytes(), extensible=True))
+    assert int(np.abs(out.astype(int) - x16.astype(int)).max()) <= 1
