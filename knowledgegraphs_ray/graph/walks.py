@@ -207,30 +207,50 @@ def _walks_broadcast(
             if self._csr is None:
                 self._csr = ray.get(self.ref)
             nodes, indptr, nbrs = self._csr
-            out_start, out_walk, out_step, out_node = [], [], [], []
-            for s in b["start"].to_numpy(zero_copy_only=False):
-                for w in range(self.k):
-                    cur = s
-                    out_start.append(s); out_walk.append(w)
-                    out_step.append(0); out_node.append(s)
-                    for t in range(1, self.walk_len + 1):
-                        i = np.searchsorted(nodes, cur)
-                        if i >= len(nodes) or nodes[i] != cur:
-                            break  # sink: terminate early
-                        lo, hi = int(indptr[i]), int(indptr[i + 1])
-                        deg = hi - lo
-                        r = _md5_u64(f"{cur}\x1f{w}\x1f{t}") % deg
-                        cur = nbrs[lo + r]
-                        out_start.append(s); out_walk.append(w)
-                        out_step.append(t); out_node.append(cur)
-            return pd.DataFrame(
-                {
-                    "start": out_start,
-                    "walk": np.asarray(out_walk, np.int64),
-                    "step": np.asarray(out_step, np.int64),
-                    "node": out_node,
-                }
-            )
+            # level-synchronous frontier: every vector op (searchsorted,
+            # degree gather, neighbor gather) runs over the whole active
+            # frontier at once; only the md5 rank choice stays per-row
+            # (the SQL-twin determinism contract, see _step_ranks)
+            s0 = b["start"].to_numpy(zero_copy_only=False)
+            k = self.k
+            start = np.repeat(s0, k)
+            walk = np.tile(np.arange(k, dtype=np.int64), len(s0))
+            cur = start.copy()
+            outs = [
+                pd.DataFrame(
+                    {
+                        "start": start,
+                        "walk": walk,
+                        "step": np.int64(0),
+                        "node": cur,
+                    }
+                )
+            ]
+            idx = np.arange(len(cur))
+            for t in range(1, self.walk_len + 1):
+                c = cur[idx]
+                i = np.searchsorted(nodes, c)
+                i_cl = np.minimum(i, len(nodes) - 1)
+                ok = nodes[i_cl] == c  # sinks terminate their walk
+                idx = idx[ok]
+                if len(idx) == 0:
+                    break
+                i = i_cl[ok]
+                deg = (indptr[i + 1] - indptr[i]).astype(np.int64)
+                r = _step_ranks(cur[idx], walk[idx], t, deg)
+                nxt = nbrs[indptr[i] + r]
+                cur[idx] = nxt
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "start": start[idx],
+                            "walk": walk[idx],
+                            "step": np.int64(t),
+                            "node": nxt,
+                        }
+                    )
+                )
+            return pd.concat(outs, ignore_index=True)
 
     return starts.map_batches(
         Walker(csr_ref, walk_len, walks_per_node),
