@@ -245,8 +245,16 @@ def _decode_sym(br: _BitReader, table: dict) -> int:
     raise BadJpeg("invalid Huffman code")
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """-> uint8 (h, w) grayscale or (h, w, 3) RGB."""
+def decode_jpeg(data: bytes, *, scale: int = 1) -> np.ndarray:
+    """-> uint8 (h, w) grayscale or (h, w, 3) RGB.
+
+    ``scale=8``: DC-only thumbnail decode at 1/8 resolution — the IDCT of
+    a DC-only block is the constant dc*q00/8, so the whole einsum +
+    upsample stage collapses to one vector op per component (the
+    crawl-scale thumbnailing fast path; entropy decoding still walks the
+    full Huffman stream, which the format requires)."""
+    if scale not in (1, 8):
+        raise ValueError("scale must be 1 or 8")
     if data[:2] != b"\xff\xd8":
         raise BadJpeg("missing SOI")
     pos = 2
@@ -321,12 +329,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]
                 scan[cs] = (tt >> 4, tt & 15)
             return _decode_scan(
-                data, pos + 2 + seglen, frame, qt, huff, scan, restart_interval
+                data, pos + 2 + seglen, frame, qt, huff, scan,
+                restart_interval, scale=scale,
             )
         # APPn / COM / others: skip
         pos += 2 + seglen
     if frame is not None and frame.get("progressive") and "mcux" in frame:
-        return _finish(frame, qt)
+        return _finish(frame, qt, scale=scale)
     raise BadJpeg("no SOS segment")
 
 
@@ -503,7 +512,7 @@ def _decode_prog_scan(data, pos, seg, frame, huff, restart_interval):
     return _next_marker(data, br.pos)
 
 
-def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
+def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval, scale=1):
     comps = frame["comps"]
     _init_geometry(frame)
     mcux, mcuy = frame["mcux"], frame["mcuy"]
@@ -546,14 +555,35 @@ def _decode_scan(data, pos, frame, qt, huff, scan, restart_interval):
                     row = my * c["v"] + by
                     col = mx * c["h"] + bx
                     c["coeffs"][row * c["bw"] + col] = blk
-    return _finish(frame, qt)
+    return _finish(frame, qt, scale=scale)
 
 
-def _finish(frame, qt):
-    """Batched dequant + inverse zigzag + IDCT + upsample + color."""
+def _finish(frame, qt, scale=1):
+    """Batched dequant + inverse zigzag + IDCT + upsample + color;
+    ``scale=8`` emits the DC-only 1/8-scale thumbnail instead."""
     comps = frame["comps"]
     h, w = frame["h"], frame["w"]
     hmax, vmax = frame["hmax"], frame["vmax"]
+    if scale == 8:
+        th, tw = (h + 7) // 8, (w + 7) // 8
+        planes = []
+        for c in comps:
+            q00 = float(qt[c["tq"]][0, 0])
+            dc = c["coeffs"][:, 0].astype(np.float64)
+            px = np.clip(np.round(dc * q00 / 8.0 + 128), 0, 255).astype(
+                np.uint8
+            ).reshape(c["bh"], c["bw"])
+            ry, rx = vmax // c["v"], hmax // c["h"]
+            if ry > 1 or rx > 1:
+                px = np.repeat(np.repeat(px, ry, axis=0), rx, axis=1)
+            planes.append(px[:th, :tw])
+        if len(planes) == 1:
+            return planes[0]
+        y, cb, cr = (p.astype(np.float64) for p in planes)
+        r = y + 1.402 * (cr - 128)
+        g = y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)
+        b = y + 1.772 * (cb - 128)
+        return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
     planes = []
     for c in comps:
         # qt is stored in raster order already; de-zigzag the COEFFS

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 IMAGE_SCHEMA = pa.schema(
@@ -386,3 +387,43 @@ def image_feature_pipeline(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+_MAGIC = (
+    (b"\x89PNG\r\n\x1a\n", "image/png", True),
+    (b"\xff\xd8", "image/jpeg", True),
+    (b"GIF87a", "image/gif", False),
+    (b"GIF89a", "image/gif", False),
+    (b"BM", "image/bmp", False),
+)
+
+
+def sniff_media(batch: pa.Table, *, payload_col: str = "payload") -> pa.Table:
+    """Append ``media_format`` + ``decodable`` columns by magic bytes — the
+    quarantine router: a corpus splits into natively-decodable rows
+    (PNG incl. palette/16-bit/Adam7, baseline+progressive JPEG, WAV) and
+    quarantined rows with the format named, WITHOUT decoding anything.
+    RIFF containers disambiguate on the form type (WAVE vs WEBP/AVI)."""
+    fmts, ok = [], []
+    heads = pc.binary_slice(batch[payload_col].combine_chunks(), 0, 12)
+    for h in heads.to_pylist():
+        fmt, dec = "unknown", False
+        if h[:4] == b"RIFF":
+            form = h[8:12]
+            if form == b"WAVE":
+                fmt, dec = "audio/wav", True
+            elif form == b"WEBP":
+                fmt, dec = "image/webp", False
+            elif form[:3] == b"AVI":
+                fmt, dec = "video/avi", False
+            else:
+                fmt = "riff/other"
+        else:
+            for magic, name, d in _MAGIC:
+                if h[: len(magic)] == magic:
+                    fmt, dec = name, d
+                    break
+        fmts.append(fmt)
+        ok.append(dec)
+    out = batch.append_column("media_format", pa.array(fmts, pa.string()))
+    return out.append_column("decodable", pa.array(ok, pa.bool_()))

@@ -557,3 +557,54 @@ def test_wav_widened_scope_r5():
     # extensible wrapper around float32
     out, _ = decode_wav(wav(3, 32, f.astype("<f4").tobytes(), extensible=True))
     assert int(np.abs(out.astype(int) - x16.astype(int)).max()) <= 1
+
+
+def test_sniff_media_quarantine_router(ray_session):
+    import struct
+
+    from knowledgegraphs_ray.multimodal.jpeg import encode_jpeg
+    from knowledgegraphs_ray.multimodal.stages import sniff_media
+    from knowledgegraphs_ray.multimodal.wav import encode_wav
+
+    img = np.full((8, 8), 3, np.uint8)
+    wav = encode_wav(np.zeros(16, np.int16), 8000)
+    webp = b"RIFF" + struct.pack("<I", 4) + b"WEBP"
+    rows = [
+        (encode_png(img), "image/png", True),
+        (encode_jpeg(img), "image/jpeg", True),
+        (encode_jpeg(img, progressive=True), "image/jpeg", True),
+        (wav, "audio/wav", True),
+        (webp, "image/webp", False),
+        (b"GIF89a....", "image/gif", False),
+        (b"garbage bytes", "unknown", False),
+    ]
+    t = pa.table(
+        {
+            "item_id": pa.array(range(len(rows)), pa.int64()),
+            "payload": pa.array([r[0] for r in rows], pa.binary()),
+        }
+    )
+    out = sniff_media(t)
+    assert out["media_format"].to_pylist() == [r[1] for r in rows]
+    assert out["decodable"].to_pylist() == [r[2] for r in rows]
+    # router shape: decodable rows decode cleanly through the real stage
+    ds = ray.data.from_arrow(out)
+    good = ds.filter(expr="decodable")
+    assert good.count() == 4
+
+
+def test_jpeg_dc_thumbnail_scale8():
+    yy, xx = np.mgrid[0:64, 0:48]
+    img = (127 + 100 * np.sin(yy / 10) * np.cos(xx / 9)).astype(np.uint8)
+    for prog in (False, True):
+        subs = ("444", "420") if not prog else ("444",)
+        for sub in subs:
+            payload = encode_jpeg(img, subsampling=sub, progressive=prog)
+            full = decode_jpeg(payload)
+            thumb = decode_jpeg(payload, scale=8)
+            assert thumb.shape == (8, 6)
+            ref = full.reshape(8, 8, 6, 8).mean(axis=(1, 3))
+            assert np.abs(thumb.astype(float) - ref).max() <= 2.0
+    rgbpayload = encode_jpeg(np.dstack([img, img, img]), quality=90)
+    t = decode_jpeg(rgbpayload, scale=8)
+    assert t.shape == (8, 6, 3)
