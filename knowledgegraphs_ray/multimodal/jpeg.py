@@ -803,19 +803,18 @@ def encode_jpeg(
 ) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB -> baseline JFIF bytes
     (Annex K tables scaled by the libjpeg quality formula).
-    ``subsampling``: "444" (default) or "420" (2x2-mean chroma);
-    ``restart_interval``: emit DRI + RSTn markers every N MCUs.
-    ``progressive``: SOF2 with the libjpeg-style successive-approximation
-    script (DC Al=1 -> DC refine -> per-component AC Al=1 -> AC refine);
-    4:4:4/grayscale only, EOB0-only so the fixed tables suffice. The
-    quantized coefficients are identical to the baseline encoder's, so
-    progressive-decode == baseline-decode bit-exactly (the test pin)."""
-    if subsampling not in ("444", "420"):
+    ``subsampling``: "444" (default), "420" (2x2-mean chroma), or "422"
+    (horizontal 2-mean chroma); ``restart_interval``: emit DRI + RSTn
+    markers every N MCUs. ``progressive``: SOF2 with the libjpeg-style
+    successive-approximation script (DC Al=1 -> DC refine ->
+    per-component AC Al=1 -> AC refine, real EOB runs); any subsampling,
+    no restarts. The quantized coefficients are identical to the
+    baseline encoder's, so progressive-decode == baseline-decode
+    bit-exactly (the test pin)."""
+    if subsampling not in ("444", "420", "422"):
         raise ValueError(subsampling)
-    if progressive and (subsampling != "444" or restart_interval):
-        raise ValueError(
-            "progressive encoder supports 4:4:4 / grayscale, no restarts"
-        )
+    if progressive and restart_interval:
+        raise ValueError("progressive encoder does not emit restarts")
     img = np.ascontiguousarray(img, np.uint8)
     gray = img.ndim == 2
     if not gray and (img.ndim != 3 or img.shape[2] != 3):
@@ -842,18 +841,25 @@ def encode_jpeg(
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
         planes = [y, cb, cr]
-    sub420 = subsampling == "420" and not gray
-    mcu = 16 if sub420 else 8
-    ph, pw = (h + mcu - 1) // mcu * mcu, (w + mcu - 1) // mcu * mcu
-    padded = [
-        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
-    ]
-    if sub420:
-        # 2x2-mean chroma downsample (the padded dims are multiples of 16)
-        padded = [padded[0]] + [
-            p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
-            for p in padded[1:]
-        ]
+    nc0 = 1 if gray else 3
+    if gray or subsampling == "444":
+        factors = [(1, 1)] * nc0  # (h_i, v_i)
+    elif subsampling == "420":
+        factors = [(2, 2), (1, 1), (1, 1)]
+    else:  # 422: horizontal-only chroma subsampling
+        factors = [(2, 1), (1, 1), (1, 1)]
+    hmax_ = max(f[0] for f in factors)
+    vmax_ = max(f[1] for f in factors)
+    mcu_w, mcu_h = 8 * hmax_, 8 * vmax_
+    pw = (w + mcu_w - 1) // mcu_w * mcu_w
+    ph = (h + mcu_h - 1) // mcu_h * mcu_h
+    padded = []
+    for p, (fh, fv) in zip(planes, factors):
+        q = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        ry, rx = vmax_ // fv, hmax_ // fh
+        if ry > 1 or rx > 1:  # mean-downsample to the component grid
+            q = q.reshape(ph // ry, ry, pw // rx, rx).mean(axis=(1, 3))
+        padded.append(q)
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += (
@@ -873,10 +879,10 @@ def encode_jpeg(
     seg(b"\xff\xdb", b"\x00" + zz_bytes(lq))
     if not gray:
         seg(b"\xff\xdb", b"\x01" + zz_bytes(cq))
-    nc = 1 if gray else 3
+    nc = nc0
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i in range(nc):
-        hv = 0x22 if (sub420 and i == 0) else 0x11
+        hv = (factors[i][0] << 4) | factors[i][1]
         sof += bytes([i + 1, hv, 0 if i == 0 else 1])
     seg(b"\xff\xc2" if progressive else b"\xff\xc0", sof)
     if restart_interval:
@@ -896,17 +902,25 @@ def encode_jpeg(
         dht(1, 1, ac_chroma_spec)
     if progressive:
         tabs = [(lq, dc_l, ac_l)] + [(cq, dc_c, ac_c)] * (nc - 1)
-        nbx, nby = pw // 8, ph // 8
-        zzs = []
+        mcux, mcuy = pw // mcu_w, ph // mcu_h
+        # per-component MCU-padded coefficient grids (bw_i = mcux*h_i)
+        zzs, bws, bhs, cws, chs = [], [], [], [], []
         for ci in range(nc):
+            fh, fv = factors[ci]
+            bw_i, bh_i = mcux * fh, mcuy * fv
             q = tabs[ci][0]
-            arr = np.empty((nby * nbx, 64), np.int64)
-            for by in range(nby):
-                for bx in range(nbx):
-                    arr[by * nbx + bx] = _quant_zz(
+            arr = np.empty((bh_i * bw_i, 64), np.int64)
+            for by in range(bh_i):
+                for bx in range(bw_i):
+                    arr[by * bw_i + bx] = _quant_zz(
                         padded[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], q
                     )
             zzs.append(arr)
+            bws.append(bw_i)
+            bhs.append(bh_i)
+            # non-interleaved scans iterate the ACTUAL component dims
+            cws.append(((w * fh + hmax_ - 1) // hmax_ + 7) // 8)
+            chs.append(((h * fv + vmax_ - 1) // vmax_ + 7) // 8)
 
         def sos_header(comp_idx, Ss, Se, Ah, Al):
             payload = bytes([len(comp_idx)])
@@ -915,44 +929,52 @@ def encode_jpeg(
             payload += bytes([Ss, Se, (Ah << 4) | Al])
             seg(b"\xff\xda", payload)
 
-        # scan 1: DC first, Al=1, interleaved (one block/comp per MCU in 4:4:4)
+        def dc_scan(refine: bool):
+            wtr = _BitWriter()
+            preds = [0] * nc
+            for mi in range(mcux * mcuy):
+                my, mx = divmod(mi, mcux)
+                for ci in range(nc):
+                    fh, fv = factors[ci]
+                    for by in range(fv):
+                        for bx in range(fh):
+                            idx = (my * fv + by) * bws[ci] + mx * fh + bx
+                            v0 = int(zzs[ci][idx][0])
+                            if refine:
+                                wtr.write(v0 & 1, 1)
+                                continue
+                            dcv = v0 >> 1
+                            diff = dcv - preds[ci]
+                            preds[ci] = dcv
+                            sz = abs(diff).bit_length()
+                            code, length = tabs[ci][1][sz]
+                            wtr.write(code, length)
+                            if sz:
+                                _emit_bits_value(wtr, diff, sz)
+            wtr.flush()
+            return wtr.out
+
         sos_header(range(nc), 0, 0, 0, 1)
-        wtr = _BitWriter()
-        preds = [0] * nc
-        for b in range(nby * nbx):
-            for ci in range(nc):
-                dce = tabs[ci][1]
-                dcv = int(zzs[ci][b][0]) >> 1
-                diff = dcv - preds[ci]
-                preds[ci] = dcv
-                s = abs(diff).bit_length()
-                code, length = dce[s]
-                wtr.write(code, length)
-                if s:
-                    _emit_bits_value(wtr, diff, s)
-        wtr.flush()
-        out += wtr.out
-        # scan 2: DC refinement (one raw bit per block)
+        out.extend(dc_scan(refine=False))
         sos_header(range(nc), 0, 0, 1, 0)
-        wtr = _BitWriter()
-        for b in range(nby * nbx):
+        out.extend(dc_scan(refine=True))
+        for refine in (False, True):
             for ci in range(nc):
-                wtr.write(int(zzs[ci][b][0]) & 1, 1)
-        wtr.flush()
-        out += wtr.out
-        # scans 3..: per-component AC first then AC refinement
-        for ci in range(nc):
-            sos_header([ci], 1, 63, 0, 1)
-            wtr = _BitWriter()
-            _emit_ac_scan(wtr, zzs[ci], 1, 63, 1, tabs[ci][2], refine=False)
-            wtr.flush()
-            out += wtr.out
-        for ci in range(nc):
-            sos_header([ci], 1, 63, 1, 0)
-            wtr = _BitWriter()
-            _emit_ac_scan(wtr, zzs[ci], 1, 63, 0, tabs[ci][2], refine=True)
-            wtr.flush()
-            out += wtr.out
+                # AC scans are non-interleaved: actual cw x ch block order
+                blocks = [
+                    zzs[ci][row * bws[ci] + col]
+                    for row in range(chs[ci])
+                    for col in range(cws[ci])
+                ]
+                sos_header([ci], 1, 63, 1 if refine else 0,
+                           0 if refine else 1)
+                wtr = _BitWriter()
+                _emit_ac_scan(
+                    wtr, blocks, 1, 63, 0 if refine else 1, tabs[ci][2],
+                    refine=refine,
+                )
+                wtr.flush()
+                out += wtr.out
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
@@ -965,7 +987,7 @@ def encode_jpeg(
     wtr = _BitWriter()
     preds = [0] * nc
     tabs = [(lq, dc_l, ac_l)] + [(cq, dc_c, ac_c)] * (nc - 1)
-    mcux, mcuy = pw // mcu, ph // mcu
+    mcux, mcuy = pw // mcu_w, ph // mcu_h
     rst = 0
     mi = 0
     for my in range(mcuy):
@@ -979,11 +1001,11 @@ def encode_jpeg(
                 preds = [0] * nc
             for ci in range(nc):
                 q, dce, ace = tabs[ci]
-                rep = 2 if (sub420 and ci == 0) else 1
-                for by in range(rep):
-                    for bx in range(rep):
-                        y0 = (my * rep + by) * 8
-                        x0 = (mx * rep + bx) * 8
+                fh, fv = factors[ci]
+                for by in range(fv):
+                    for bx in range(fh):
+                        y0 = (my * fv + by) * 8
+                        x0 = (mx * fh + bx) * 8
                         blk = padded[ci][y0 : y0 + 8, x0 : x0 + 8]
                         preds[ci] = _encode_block(
                             wtr, blk, q, dce, ace, preds[ci]

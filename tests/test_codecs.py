@@ -506,9 +506,38 @@ def test_jpeg_progressive_via_real_mode_stage():
 def test_jpeg_progressive_encoder_guardrails():
     img = np.zeros((8, 8, 3), np.uint8)
     with pytest.raises(ValueError):
-        encode_jpeg(img, progressive=True, subsampling="420")
-    with pytest.raises(ValueError):
         encode_jpeg(img, progressive=True, restart_interval=2)
+    with pytest.raises(ValueError):
+        encode_jpeg(img, subsampling="411")
+
+
+def test_jpeg_subsampled_and_progressive_variants():
+    """4:2:2 baseline + progressive across every subsampling (the
+    non-interleaved AC scans over a SUBSAMPLED component exercise the
+    cw/ch != bw/bh block addressing) — all pinned bit-exact vs the
+    baseline decode of the same coefficients."""
+    yy, xx = np.mgrid[0:37, 0:29]
+    img = np.dstack(
+        [
+            (127 + 100 * np.sin(yy / 8)).astype(np.uint8),
+            (127 + 100 * np.cos(xx / 9)).astype(np.uint8),
+            ((yy + xx) // 2).astype(np.uint8),
+        ]
+    )
+    for sub in ("444", "420", "422"):
+        base = decode_jpeg(encode_jpeg(img, quality=90, subsampling=sub))
+        assert base.shape == img.shape
+        err = np.abs(base.astype(int) - img.astype(int)).mean()
+        assert err < 4.0, (sub, err)
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=90, subsampling=sub, progressive=True)
+        )
+        np.testing.assert_array_equal(base, prog)
+        a = decode_jpeg(
+            encode_jpeg(img, quality=85, subsampling=sub, restart_interval=2)
+        )
+        b = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+        np.testing.assert_array_equal(a, b)
 
 
 def test_wav_widened_scope_r5():
