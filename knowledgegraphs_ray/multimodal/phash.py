@@ -82,10 +82,12 @@ class ImageHasher:
             from knowledgegraphs_ray.multimodal.png import decode_png
 
             self._decode = decode_png
-        if codec == "real":  # sniff the container per payload (PNG/JPEG)
+        if codec == "real":  # sniff the container per payload
+            from knowledgegraphs_ray.multimodal.gif import decode_gif
             from knowledgegraphs_ray.multimodal.jpeg import decode_jpeg
 
             self._decode_jpeg = decode_jpeg
+            self._decode_gif = decode_gif
             self._sniff = True
         else:
             self._sniff = False
@@ -94,7 +96,12 @@ class ImageHasher:
         fps = []
         if self._sniff:
             for pay in batch["payload"].to_pylist():
-                dec = self._decode_jpeg if pay[:2] == b"\xff\xd8" else self._decode
+                if pay[:2] == b"\xff\xd8":
+                    dec = self._decode_jpeg
+                elif pay[:6] in (b"GIF87a", b"GIF89a"):
+                    dec = self._decode_gif
+                else:
+                    dec = self._decode
                 fps.append(self._hash(dec(pay)))
         elif self._decode is not None:
             for pay in batch["payload"].to_pylist():

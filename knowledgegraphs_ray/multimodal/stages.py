@@ -9,10 +9,11 @@ Images/audio/video are treated as ``binary`` columns + metadata columns
   length-prefixed PNG-frame container (``pack_frames``).
 * ``mode="fake"`` — deterministic byte-statistics decode (real plumbing,
   fake pixels) for plumbing tests with raw payloads.
-* ``mode="real"`` — REAL pixels with payload sniffing: PNG signatures
-  decode via ``multimodal/png.py`` (incl. palette/16-bit), JPEG SOI via
-  the from-scratch baseline codec ``multimodal/jpeg.py`` (r5). WebP /
-  H.264 remain the documented ``NotImplementedError`` seams.
+* ``mode="real"`` — REAL pixels with payload sniffing: PNG
+  (``multimodal/png.py``, incl. palette/16-bit/Adam7), JPEG
+  (``multimodal/jpeg.py``, baseline + progressive), GIF
+  (``multimodal/gif.py``, LZW + interlace + transparency). WebP / H.264
+  remain the documented ``NotImplementedError`` seams.
 
 Scale notes: binary rows are large ⇒ these stages run with SMALL
 ``batch_size`` (payload bytes × batch_size × concurrency must fit worker
@@ -96,9 +97,11 @@ class ImageDecoder:
 
             self._decode_png = decode_png
         if mode == "real":
+            from knowledgegraphs_ray.multimodal.gif import decode_gif
             from knowledgegraphs_ray.multimodal.jpeg import decode_jpeg
 
             self._decode_jpeg = decode_jpeg
+            self._decode_gif = decode_gif
 
     def decode_one(self, payload: bytes, w: int, h: int) -> np.ndarray:
         if self.mode == "real":
@@ -106,10 +109,12 @@ class ImageDecoder:
                 return self._decode_png(payload)
             if payload[:2] == b"\xff\xd8":
                 return self._decode_jpeg(payload)
+            if payload[:6] in (b"GIF87a", b"GIF89a"):
+                return self._decode_gif(payload)
             raise NotImplementedError(
-                "mode='real' decodes PNG and baseline JPEG natively; other "
-                "containers (WebP/AVIF/...) need an image library — route "
-                "them to a quarantine sink"
+                "mode='real' decodes PNG, JPEG (baseline+progressive) and "
+                "GIF natively; other containers (WebP/AVIF/...) need an "
+                "image library — route them to a quarantine sink"
             )
         if self.mode == "png":
             return self._decode_png(payload)
@@ -185,6 +190,7 @@ class ImageResizer:
         if self.mode in ("png", "real"):
             from knowledgegraphs_ray.multimodal.png import decode_png, encode_png
         if self.mode == "real":
+            from knowledgegraphs_ray.multimodal.gif import decode_gif
             from knowledgegraphs_ray.multimodal.jpeg import decode_jpeg
         out_payloads = []
         fmts = []
@@ -200,10 +206,12 @@ class ImageResizer:
                     img = decode_png(pay)
                 elif pay[:2] == b"\xff\xd8":
                     img = decode_jpeg(pay)
+                elif pay[:6] in (b"GIF87a", b"GIF89a"):
+                    img = decode_gif(pay)
                 else:
                     raise NotImplementedError(
-                        "mode='real' resizes PNG and baseline JPEG "
-                        "natively; other containers need an image library"
+                        "mode='real' resizes PNG, JPEG, and GIF natively; "
+                        "other containers need an image library"
                     )
                 if img.dtype == np.uint16:  # 16-bit PNG -> 8-bit thumbnail
                     img = (img >> 8).astype(np.uint8)
@@ -392,8 +400,8 @@ def image_feature_pipeline(
 _MAGIC = (
     (b"\x89PNG\r\n\x1a\n", "image/png", True),
     (b"\xff\xd8", "image/jpeg", True),
-    (b"GIF87a", "image/gif", False),
-    (b"GIF89a", "image/gif", False),
+    (b"GIF87a", "image/gif", True),
+    (b"GIF89a", "image/gif", True),
     (b"BM", "image/bmp", False),
 )
 
@@ -401,7 +409,8 @@ _MAGIC = (
 def sniff_media(batch: pa.Table, *, payload_col: str = "payload") -> pa.Table:
     """Append ``media_format`` + ``decodable`` columns by magic bytes — the
     quarantine router: a corpus splits into natively-decodable rows
-    (PNG incl. palette/16-bit/Adam7, baseline+progressive JPEG, WAV) and
+    (PNG incl. palette/16-bit/Adam7, baseline+progressive JPEG, GIF,
+    WAV) and
     quarantined rows with the format named, WITHOUT decoding anything.
     RIFF containers disambiguate on the form type (WAVE vs WEBP/AVI)."""
     fmts, ok = [], []

@@ -595,6 +595,13 @@ def test_sniff_media_quarantine_router(ray_session):
     from knowledgegraphs_ray.multimodal.stages import sniff_media
     from knowledgegraphs_ray.multimodal.wav import encode_wav
 
+    from knowledgegraphs_ray.multimodal.gif import encode_gif
+
+    def encode_gif_fixture():
+        return encode_gif(
+            np.zeros((4, 4), np.uint8), np.zeros((2, 3), np.uint8)
+        )
+
     img = np.full((8, 8), 3, np.uint8)
     wav = encode_wav(np.zeros(16, np.int16), 8000)
     webp = b"RIFF" + struct.pack("<I", 4) + b"WEBP"
@@ -604,7 +611,7 @@ def test_sniff_media_quarantine_router(ray_session):
         (encode_jpeg(img, progressive=True), "image/jpeg", True),
         (wav, "audio/wav", True),
         (webp, "image/webp", False),
-        (b"GIF89a....", "image/gif", False),
+        (encode_gif_fixture(), "image/gif", True),
         (b"garbage bytes", "unknown", False),
     ]
     t = pa.table(
@@ -619,7 +626,7 @@ def test_sniff_media_quarantine_router(ray_session):
     # router shape: decodable rows decode cleanly through the real stage
     ds = ray.data.from_arrow(out)
     good = ds.filter(expr="decodable")
-    assert good.count() == 4
+    assert good.count() == 5
 
 
 def test_jpeg_dc_thumbnail_scale8():
@@ -637,3 +644,59 @@ def test_jpeg_dc_thumbnail_scale8():
     rgbpayload = encode_jpeg(np.dstack([img, img, img]), quality=90)
     t = decode_jpeg(rgbpayload, scale=8)
     assert t.shape == (8, 6, 3)
+
+
+# --- GIF codec (r5) ---------------------------------------------------------
+
+
+def test_gif_roundtrip_paths():
+    from knowledgegraphs_ray.multimodal.gif import (
+        BadGif,
+        decode_gif,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 6, (23, 31), dtype=np.uint8) * 40
+    rgb = np.dstack([img, 255 - img, img // 2])
+    np.testing.assert_array_equal(decode_gif(encode_gif(rgb)), rgb)
+    # 256-color indexed with dictionary growth + reset at 4096
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    big = rng.integers(0, 256, (200, 200), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_gif(encode_gif(big, pal)), pal[big])
+    # interlaced row order
+    np.testing.assert_array_equal(
+        decode_gif(encode_gif(big, pal, interlace=True)), pal[big]
+    )
+    # transparency -> RGBA alpha plane
+    out = decode_gif(encode_gif(img // 40, pal, transparent=3))
+    assert out.shape == (23, 31, 4)
+    np.testing.assert_array_equal(out[..., 3] == 0, img // 40 == 3)
+    # corrupt stream
+    with pytest.raises(BadGif):
+        decode_gif(b"GIF89a\x00")
+    with pytest.raises(BadGif):
+        decode_gif(b"not a gif")
+
+
+def test_gif_through_real_stages(ray_session):
+    from knowledgegraphs_ray.multimodal.gif import encode_gif
+    from knowledgegraphs_ray.multimodal.phash import ImageHasher
+    from knowledgegraphs_ray.multimodal.stages import ImageDecoder
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 4, (20, 24), dtype=np.uint8) * 60
+    rgb = np.dstack([img] * 3)
+    payload = encode_gif(rgb)
+    assert ImageDecoder(mode="real").decode_one(payload, 24, 20).shape == (
+        20, 24, 3,
+    )
+    # same image as PNG and GIF must fingerprint identically
+    t = pa.table(
+        {
+            "item_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([encode_png(rgb), payload], pa.binary()),
+        }
+    )
+    h = ImageHasher(codec="real")(t)["simhash"].to_pylist()
+    assert h[0] == h[1]
