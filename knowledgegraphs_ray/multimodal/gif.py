@@ -267,3 +267,59 @@ def encode_gif(
         out += bytes([len(chunk)]) + chunk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# --- BMP (windows bitmap) ---------------------------------------------------
+# Rides in this module as the second palette-family legacy format: the
+# decode surface is tiny (uncompressed BI_RGB only) and shares the
+# index->palette expansion shape with GIF.
+
+
+class BadBmp(ValueError):
+    pass
+
+
+class UnsupportedBmp(ValueError):
+    pass
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB BMP -> uint8 (h, w, 3) RGB (8-bit palette,
+    24-bit BGR, or 32-bit BGRX); RLE/compressed inputs raise."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise BadBmp("missing BM header")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise UnsupportedBmp(f"core header size {hdr_size}")
+    w, h_signed = struct.unpack("<ii", data[18:26])
+    bits, comp = struct.unpack("<HI", data[28:34])
+    if comp != 0:
+        raise UnsupportedBmp(f"compression {comp} (BI_RGB only)")
+    if bits not in (8, 24, 32):
+        raise UnsupportedBmp(f"{bits}-bit pixels (8/24/32 supported)")
+    bottom_up = h_signed > 0
+    h = abs(h_signed)
+    pal = None
+    if bits == 8:
+        (ncol,) = struct.unpack("<I", data[46:50])
+        ncol = ncol or 256
+        quads = np.frombuffer(
+            data[14 + hdr_size : 14 + hdr_size + 4 * ncol], np.uint8
+        ).reshape(-1, 4)
+        pal = quads[:, [2, 1, 0]]  # BGRX -> RGB
+    stride = (w * bits // 8 + 3) // 4 * 4
+    need = stride * h
+    raw = np.frombuffer(data[pix_off : pix_off + need], np.uint8)
+    if len(raw) != need:
+        raise BadBmp("truncated pixel data")
+    rows = raw.reshape(h, stride)
+    if bottom_up:
+        rows = rows[::-1]
+    if bits == 8:
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise BadBmp("palette index out of range")
+        return pal[idx]
+    px = rows[:, : w * (bits // 8)].reshape(h, w, bits // 8)
+    return px[:, :, [2, 1, 0]]  # BGR(X) -> RGB

@@ -97,11 +97,12 @@ class ImageDecoder:
 
             self._decode_png = decode_png
         if mode == "real":
-            from knowledgegraphs_ray.multimodal.gif import decode_gif
+            from knowledgegraphs_ray.multimodal.gif import decode_bmp, decode_gif
             from knowledgegraphs_ray.multimodal.jpeg import decode_jpeg
 
             self._decode_jpeg = decode_jpeg
             self._decode_gif = decode_gif
+            self._decode_bmp = decode_bmp
 
     def decode_one(self, payload: bytes, w: int, h: int) -> np.ndarray:
         if self.mode == "real":
@@ -111,6 +112,8 @@ class ImageDecoder:
                 return self._decode_jpeg(payload)
             if payload[:6] in (b"GIF87a", b"GIF89a"):
                 return self._decode_gif(payload)
+            if payload[:2] == b"BM":
+                return self._decode_bmp(payload)
             raise NotImplementedError(
                 "mode='real' decodes PNG, JPEG (baseline+progressive) and "
                 "GIF natively; other containers (WebP/AVIF/...) need an "
@@ -402,7 +405,7 @@ _MAGIC = (
     (b"\xff\xd8", "image/jpeg", True),
     (b"GIF87a", "image/gif", True),
     (b"GIF89a", "image/gif", True),
-    (b"BM", "image/bmp", False),
+    (b"BM", "image/bmp", True),
 )
 
 

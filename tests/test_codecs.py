@@ -700,3 +700,85 @@ def test_gif_through_real_stages(ray_session):
     )
     h = ImageHasher(codec="real")(t)["simhash"].to_pylist()
     assert h[0] == h[1]
+
+
+def _bmp_fixture(img_or_idx, bits=24, bottom_up=True, palette=None):
+    import struct
+
+    if bits == 8:
+        idx = img_or_idx
+        h, w = idx.shape
+        stride = (w + 3) // 4 * 4
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, :w] = idx
+        quads = np.zeros((len(palette), 4), np.uint8)
+        quads[:, :3] = palette[:, [2, 1, 0]]
+        pal = quads.tobytes()
+    else:
+        img = img_or_idx
+        h, w = img.shape[:2]
+        if bits == 24:
+            stride = (w * 3 + 3) // 4 * 4
+            rows = np.zeros((h, stride), np.uint8)
+            rows[:, : w * 3] = img[:, :, [2, 1, 0]].reshape(h, w * 3)
+        else:
+            stride = w * 4
+            rows = np.dstack(
+                [img[:, :, 2], img[:, :, 1], img[:, :, 0],
+                 np.zeros_like(img[:, :, 0])]
+            ).reshape(h, stride)
+        pal = b""
+    if bottom_up:
+        rows = rows[::-1]
+    pix = rows.tobytes()
+    off = 14 + 40 + len(pal)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+    info = (
+        struct.pack("<I", 40)
+        + struct.pack("<ii", w, h if bottom_up else -h)
+        + struct.pack("<HH", 1, bits)
+        + struct.pack("<II", 0, len(pix))
+        + struct.pack("<ii", 2835, 2835)
+        + struct.pack("<II", (len(pal) // 4) if pal else 0, 0)
+    )
+    return hdr + info + pal + pix
+
+
+def test_bmp_decode_paths():
+    from knowledgegraphs_ray.multimodal.gif import (
+        UnsupportedBmp,
+        decode_bmp,
+    )
+
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (13, 10, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_bmp(_bmp_fixture(img)), img)
+    np.testing.assert_array_equal(
+        decode_bmp(_bmp_fixture(img, bottom_up=False)), img
+    )
+    np.testing.assert_array_equal(decode_bmp(_bmp_fixture(img, bits=32)), img)
+    idx = rng.integers(0, 7, (9, 11), dtype=np.uint8)
+    palette = rng.integers(0, 256, (7, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_bmp(_bmp_fixture(idx, bits=8, palette=palette)), palette[idx]
+    )
+    # RLE compression stays out of scope
+    rle = bytearray(_bmp_fixture(idx, bits=8, palette=palette))
+    rle[30] = 1  # biCompression = BI_RLE8
+    with pytest.raises(UnsupportedBmp):
+        decode_bmp(bytes(rle))
+    # BMP routes as decodable through sniffing stages
+    from knowledgegraphs_ray.multimodal.stages import ImageDecoder, sniff_media
+
+    assert ImageDecoder(mode="real").decode_one(
+        _bmp_fixture(img), 10, 13
+    ).shape == (13, 10, 3)
+    t = pa.table(
+        {
+            "item_id": pa.array([0], pa.int64()),
+            "payload": pa.array([_bmp_fixture(img)], pa.binary()),
+        }
+    )
+    out = sniff_media(t)
+    assert out["media_format"].to_pylist() == ["image/bmp"]
+    assert out["decodable"].to_pylist() == [True]
