@@ -336,13 +336,19 @@ def test_image_decoder_real_mode_sniffs_png_and_jpeg():
 def test_image_resizer_real_mode_mixed_formats(ray_session):
     from knowledgegraphs_ray.multimodal.stages import IMAGE_SCHEMA, ImageResizer
 
+    from knowledgegraphs_ray.multimodal.gif import encode_gif
+
     rng = np.random.default_rng(3)
     payloads, fmts = [], []
     for i in range(6):
         img = rng.integers(0, 256, (20 + i, 17 + i), dtype=np.uint8)
-        if i % 2:
+        if i % 3 == 1:
             payloads.append(encode_jpeg(img, quality=90))
             fmts.append("image/jpeg")
+        elif i % 3 == 2:
+            rgb = np.dstack([img // 64 * 64] * 3)  # <=256 distinct colors
+            payloads.append(encode_gif(rgb))
+            fmts.append("image/gif")
         else:
             payloads.append(encode_png(img))
             fmts.append("image/png")
@@ -370,7 +376,7 @@ def test_image_resizer_real_mode_mixed_formats(ray_session):
     for row in out:
         assert row["format"] == "image/png"
         small = decode_png(row["payload"])
-        assert small.shape == (8, 8)
+        assert small.shape[:2] == (8, 8)  # GIF rows resize as (8, 8, 3)
 
 
 def _adam7_png(img, color_type):
